@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark runner.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a count-collapsing action
+(``df.write.format("noop")`` keeps full execution without driver
+materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import registry
+from hospital_data_engineering_pipeline_end_to_end_project_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q04_star_join",
+    "q05_dedupe_exact",
+    "q06_latest_event_per_user",
+    "q08_date_dim",
+    "q09_word_count",
+    "q11_monthly_revenue",
+    "q13_running_user_totals",
+    "q19_brand_nation_sales",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
+    if extra:
+        names += [n for n in extra.split(",") if n in qs and n not in names]
+
+    # warm the JVM/code paths once on the smallest SF so measured times
+    # are query time, not session bootstrap
+    qs["q01_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,49 @@
+"""Central query registry — the driver-facing catalog.
+
+Merges the per-module catalogs (relational parity, SCD2/medallion,
+LLM-data-pipeline extensions).  ``queries()`` maps name ->
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` maps the same names
+to DuckDB-runnable ANSI SQL.  Names missing from ``oracle_sql()`` are
+non-SQL-expressible operators (driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _modules():
+    mods = [relational]
+    try:
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import scd2_queries
+
+        mods.append(scd2_queries)
+    except ImportError:
+        pass
+    try:
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import llm_ops
+
+        mods.append(llm_ops)
+    except ImportError:
+        pass
+    return mods
+
+
+def queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _modules():
+        out.update(m.QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,45 @@
+"""Sinks.
+
+The reference's sinks are Delta ``saveAsTable`` overwrites and
+``partitionBy("year","month")`` fact writes (`Gold Layer.py:153-156`).
+This engine targets vanilla OSS Spark: Parquet paths/tables with the
+same layout decisions, Delta used automatically if ``delta-spark`` is
+importable (it is not baked into this container).
+
+Layout notes for 100 TB: partition columns must stay low-cardinality
+(year/month ~ 12/yr is fine); within partitions rely on parquet row
+-group statistics + AQE-coalesced file sizes rather than tiny-file
+explosions.  ``repartition(*partition_cols)`` before a partitioned
+write gives one (or a few) files per partition instead of
+``num_tasks x num_partitions`` fragments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Overwrite-save a table directory (parity with
+    ``df.write.format("delta").mode("overwrite").saveAsTable``,
+    `Silver Layer.py:120`)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    coalesce_per_partition: bool = True,
+) -> None:
+    """Partitioned overwrite (parity with `Gold Layer.py:153-156`).
+
+    ``coalesce_per_partition`` shuffles rows to their partition before
+    the write so each hive partition gets contiguous files — the
+    difference between 32 files/partition and 1 at local scale, and
+    between millions of small files and thousands at 100 TB.
+    """
+    if coalesce_per_partition and partition_cols:
+        df = df.repartition(*partition_cols)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
