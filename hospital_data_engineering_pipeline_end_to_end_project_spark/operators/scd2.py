@@ -1,0 +1,182 @@
+"""SCD Type-2 merge engine.
+
+The reference's centerpiece is a per-entity Delta ``MERGE`` repeated
+six times (``Silver Layer.py:79-120,221-263,318-365,431-475,532-559,
+626-653``) with known semantic defects (SURVEY.md 2.6): it expires a
+changed row but never inserts the new version ("half-SCD2"), uses
+null-unsafe ``!=`` change predicates, and can throw on duplicate
+business keys in a batch.
+
+This engine implements *full* SCD2 on vanilla Spark DataFrames:
+
+- expire AND insert the new current version in one pass;
+- null-safe change detection (``NOT (a <=> b)``);
+- composite business keys (billing's ``billing_id + service``,
+  ``Silver Layer.py:230-234``);
+- deterministic pre-merge batch dedupe (latest-wins window) so
+  duplicate keys in a batch cannot fan out;
+- injected ``processing_date`` (the reference stamps wall-clock
+  ``current_date()``, ``Silver Layer.py:74`` — untestable);
+- idempotent re-runs: replaying an identical batch is a no-op.
+
+Physical shape (designed for 100 TB state):
+one shuffle on the business key (the full-outer join), then each
+joined row emits 0-2 output rows via an ``explode(array(struct...))``
+— the classic staged-union MERGE idiom collapsed into a single join
+execution instead of 3 re-reads of the join output.  History rows
+(``is_current = false``) never enter the join: they are
+filter-partition-pruned and unioned back untouched, so merge cost
+scales with |current| + |batch|, not |history|.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EFFECTIVE = "effective_date"
+END = "end_date"
+CURRENT = "is_current"
+META_COLS = (EFFECTIVE, END, CURRENT)
+
+
+@dataclass
+class Scd2Spec:
+    """Declarative merge spec for one entity."""
+
+    keys: list[str]
+    #: attributes whose change triggers a new version; default = every
+    #: non-key, non-metadata column
+    tracked: list[str] | None = None
+    #: deterministic within-batch ordering; highest wins the dedupe
+    order_by: list[str] = field(default_factory=list)
+
+
+def stamp(batch: DataFrame, processing_date: str) -> DataFrame:
+    """Add SCD2 metadata columns (parity: ``Silver Layer.py:74-76``,
+    with an injected date instead of ``current_date()``)."""
+    return (
+        batch.withColumn(EFFECTIVE, F.lit(processing_date).cast("date"))
+        .withColumn(END, F.lit(None).cast("date"))
+        .withColumn(CURRENT, F.lit(True))
+    )
+
+
+def dedupe_batch(batch: DataFrame, spec: Scd2Spec) -> DataFrame:
+    """Latest-wins dedupe by business key before merging.
+
+    The reference merges raw batches and can hit Delta's
+    multiple-match error (SURVEY 7.3).  Ordering is deterministic:
+    ``order_by`` desc first, then every remaining column desc as a
+    total tiebreak.
+    """
+    non_key = [c for c in batch.columns if c not in spec.keys]
+    order_cols = [F.col(c).desc_nulls_last() for c in spec.order_by] + [
+        F.col(c).desc_nulls_last() for c in non_key if c not in spec.order_by
+    ]
+    if not order_cols:
+        return batch.dropDuplicates(spec.keys)
+    w = Window.partitionBy(*spec.keys).orderBy(*order_cols)
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _changed_predicate(tracked: list[str]) -> Column:
+    """Null-safe any-attribute-changed across old/new aliases."""
+    pred = F.lit(False)
+    for c in tracked:
+        pred = pred | ~F.col(f"old.{c}").eqNullSafe(F.col(f"new.{c}"))
+    return pred
+
+
+def initial_load(batch: DataFrame, spec: Scd2Spec, processing_date: str) -> DataFrame:
+    """First load: dedupe + stamp (parity: create path,
+    ``Silver Layer.py:119-120``)."""
+    return stamp(dedupe_batch(batch, spec), processing_date)
+
+
+def merge(
+    state: DataFrame,
+    batch: DataFrame,
+    spec: Scd2Spec,
+    processing_date: str,
+) -> DataFrame:
+    """Full SCD2 merge of a new batch into versioned state.
+
+    Returns the complete new state (history + current).  ``state``
+    must carry the metadata columns; ``batch`` must not.
+    """
+    entity_cols = [c for c in batch.columns]
+    tracked = spec.tracked or [c for c in entity_cols if c not in spec.keys]
+    out_cols = entity_cols + list(META_COLS)
+
+    batch = dedupe_batch(batch, spec)
+    current = state.filter(F.col(CURRENT)).alias("old")
+    history = state.filter(~F.col(CURRENT))
+    new = stamp(batch, processing_date).alias("new")
+
+    join_cond = F.lit(True)
+    for k in spec.keys:
+        join_cond = join_cond & F.col(f"old.{k}").eqNullSafe(F.col(f"new.{k}"))
+    joined = current.join(new, join_cond, "full_outer")
+
+    matched = F.col(f"old.{spec.keys[0]}").isNotNull() & F.col(
+        f"new.{spec.keys[0]}"
+    ).isNotNull()
+    batch_only = F.col(f"old.{spec.keys[0]}").isNull()
+    has_change = _changed_predicate(tracked)
+
+    def row_from(side: str, **overrides: Column) -> Column:
+        fields = []
+        for c in out_cols:
+            col = overrides.get(c, F.col(f"{side}.{c}"))
+            fields.append(col.alias(c))
+        return F.struct(*fields)
+
+    old_row = row_from("old")
+    expired_old = row_from(
+        "old",
+        **{
+            END: F.lit(processing_date).cast("date"),
+            CURRENT: F.lit(False),
+        },
+    )
+    new_row = row_from("new")
+
+    emitted = (
+        F.when(batch_only, F.array(new_row))
+        .when(~matched, F.array(old_row))  # state-only key
+        .when(matched & has_change, F.array(expired_old, new_row))
+        .otherwise(F.array(old_row))  # matched, unchanged — idempotent
+    )
+
+    merged = joined.select(F.explode(emitted).alias("r")).select("r.*")
+    return merged.unionByName(history.select(*out_cols))
+
+
+def validate(state: DataFrame, spec: Scd2Spec) -> dict[str, int]:
+    """SCD2 invariant check (SURVEY 5.5): at most one current row per
+    key; ``end_date >= effective_date``; expired rows have an end
+    date.  Returns violation counts (all zero when healthy)."""
+    multi_current = (
+        state.filter(F.col(CURRENT))
+        .groupBy(*spec.keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    bad_interval = state.filter(
+        F.col(END).isNotNull() & (F.col(END) < F.col(EFFECTIVE))
+    ).count()
+    open_expired = state.filter(~F.col(CURRENT) & F.col(END).isNull()).count()
+    return {
+        "multi_current_keys": multi_current,
+        "end_before_effective": bad_interval,
+        "expired_without_end": open_expired,
+    }

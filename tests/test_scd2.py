@@ -1,0 +1,105 @@
+"""SCD2 state-machine tests (SURVEY 5.2): initial load, idempotent
+replay, attribute change (expire + insert), new key, null transitions,
+composite keys, within-batch duplicate keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+
+D1, D2, D3 = "2026-01-01", "2026-02-01", "2026-03-01"
+
+
+def _mkdf(spark, rows, cols=("pid", "city", "age")):
+    if cols == ("pid", "city", "age"):
+        return spark.createDataFrame(rows, "pid string, city string, age bigint")
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _state_map(state):
+    out = {}
+    for r in state.collect():
+        out.setdefault(r["pid"], []).append(r.asDict())
+    return out
+
+
+def test_initial_load_and_idempotent_replay(spark):
+    spec = scd2.Scd2Spec(keys=["pid"])
+    b1 = _mkdf(spark, [("p1", "Rome", 30), ("p2", "Oslo", 40)])
+    s1 = scd2.initial_load(b1, spec, D1)
+    assert s1.count() == 2
+    assert s1.filter(F.col("is_current")).count() == 2
+
+    s2 = scd2.merge(s1, b1, spec, D2)
+    assert s2.count() == 2, "replaying an identical batch must be a no-op"
+    assert s2.filter(F.col("effective_date") == D1).count() == 2
+    assert scd2.validate(s2, spec) == {
+        "multi_current_keys": 0,
+        "end_before_effective": 0,
+        "expired_without_end": 0,
+    }
+
+
+def test_change_expires_and_inserts_new_version(spark):
+    spec = scd2.Scd2Spec(keys=["pid"])
+    s1 = scd2.initial_load(_mkdf(spark, [("p1", "Rome", 30)]), spec, D1)
+    s2 = scd2.merge(s1, _mkdf(spark, [("p1", "Rome", 31)]), spec, D2)
+
+    rows = _state_map(s2)["p1"]
+    assert len(rows) == 2, "full SCD2: expired old AND inserted new version"
+    old = next(r for r in rows if not r["is_current"])
+    new = next(r for r in rows if r["is_current"])
+    assert old["age"] == 30 and old["end_date"] == dt.date(2026, 2, 1)
+    assert new["age"] == 31 and new["effective_date"] == dt.date(2026, 2, 1)
+    assert new["end_date"] is None
+
+
+def test_new_key_and_absent_key(spark):
+    spec = scd2.Scd2Spec(keys=["pid"])
+    s1 = scd2.initial_load(_mkdf(spark, [("p1", "Rome", 30)]), spec, D1)
+    s2 = scd2.merge(s1, _mkdf(spark, [("p9", "Kyiv", 20)]), spec, D2)
+    m = _state_map(s2)
+    assert m["p1"][0]["is_current"], "key absent from batch stays current"
+    assert m["p9"][0]["effective_date"] == dt.date(2026, 2, 1)
+
+
+def test_null_transition_detected(spark):
+    # reference's != predicate misses null transitions (SURVEY 2.6)
+    spec = scd2.Scd2Spec(keys=["pid"])
+    s1 = scd2.initial_load(_mkdf(spark, [("p1", "Rome", 30)]), spec, D1)
+    s2 = scd2.merge(s1, _mkdf(spark, [("p1", "Rome", None)]), spec, D2)
+    assert len(_state_map(s2)["p1"]) == 2
+    s3 = scd2.merge(s2, _mkdf(spark, [("p1", "Rome", None)]), spec, D3)
+    assert len(_state_map(s3)["p1"]) == 2, "null -> null is not a change"
+
+
+def test_composite_key(spark):
+    # billing's composite billing_id + service (Silver Layer.py:230-234)
+    spec = scd2.Scd2Spec(keys=["bid", "service"])
+    cols = ("bid", "service", "amount")
+    b1 = _mkdf(
+        spark,
+        [("b1", "ICU", 100.0), ("b1", "Surgery", 900.0)],
+        cols,
+    )
+    s1 = scd2.initial_load(b1, spec, D1)
+    b2 = _mkdf(
+        spark,
+        [("b1", "ICU", 150.0), ("b1", "Surgery", 900.0)],
+        cols,
+    )
+    s2 = scd2.merge(s1, b2, spec, D2)
+    assert s2.count() == 3, "only the changed service line gets versioned"
+    icu = s2.filter((F.col("service") == "ICU") & F.col("is_current")).collect()[0]
+    assert icu["amount"] == 150.0
+
+
+def test_duplicate_keys_in_batch_deduped(spark):
+    spec = scd2.Scd2Spec(keys=["pid"], order_by=["age"])
+    b1 = _mkdf(spark, [("p1", "Rome", 30), ("p1", "Rome", 35)])
+    s1 = scd2.initial_load(b1, spec, D1)
+    assert s1.count() == 1
+    assert s1.collect()[0]["age"] == 35, "latest-wins by order_by desc"
