@@ -32,6 +32,13 @@ HEADLINE = [
     "q11_monthly_revenue",
     "q13_running_user_totals",
     "q19_brand_nation_sales",
+    "q10_scd2_orders",
+    "q20_exact_dup_groups",
+    "q25_minhash_bands",
+    "q26_jaccard_pairs",
+    "q27_simhash",
+    "q28_cosine_topk",
+    "q30_multimodal_features",
 ]
 
 

@@ -1,0 +1,133 @@
+"""Text-analysis Column library (LLM-data-pipeline extension ops).
+
+Everything here is built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the row path — so the same
+expressions run unchanged over 100 TB of documents.  Determinism is
+load-bearing: shingles, fingerprints and MinHash signatures use md5
+(stable across engines/runs), never ``hash()``/``xxhash64`` whose
+values are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword indicator sets for the heuristic
+#: language ID (n-gram/stopword approach; deterministic, SQL-mirrorable)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for"),
+    "es": ("el", "la", "de", "y", "en", "que", "los", "una"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une", "est"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space split, empties dropped) —
+    matches DuckDB ``string_split(text, ' ')`` exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Word n-gram shingles: positions ``0 .. len-n`` joined by a
+    space.  Empty array when the document is shorter than ``n``
+    (guarded — ``sequence`` would otherwise run descending)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    a canonical-form content hash (word-order / duplication
+    insensitive), the cheap exact-near-dup key."""
+    t = tokens(col)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " "))
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 8, n: int = 5) -> Column:
+    """MinHash signature as an array of ``num_hashes`` hex strings.
+
+    Permutation ``j`` is simulated by ``min(md5(j || '|' || shingle))``
+    — the lexicographic min of a keyed cryptographic hash, which is a
+    valid min-wise permutation family and, critically, reproducible in
+    any engine with md5 (the DuckDB oracle recomputes it bit-for-bit).
+    Empty-shingle docs get nulls in the signature.
+    """
+    sh = shingles(col, n)
+
+    def keyed_hash(j: int):
+        # closure factory — a default-arg lambda would make PySpark
+        # pass the array INDEX as the second parameter
+        prefix = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, keyed_hash(j))) for j in range(num_hashes)]
+    )
+
+
+def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Banding: hash each band of ``rows_per_band`` signature entries.
+    Docs sharing any band hash are near-dup candidates."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[sig[b * rows_per_band + r] for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality-scoring features (length / punctuation /
+    stopword ratios) used for corpus filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(t)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(
+            (n_chars - n_tokens + 1).cast("double") / n_tokens, 6
+        ),
+        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        "stopword_ratio": F.round(stop_hits.cast("double") / n_tokens, 6),
+    }
+
+
+def lang_hits(col: Column | str, lang: str) -> Column:
+    """Stopword-hit count for one language (repeats counted)."""
+    return F.size(F.filter(tokens(col), lambda x: x.isin(*LANG_STOPWORDS[lang])))
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Argmax over language hit counts, fixed precedence en>es>de>fr,
+    'und' (undetermined) when nothing hits."""
+    en, es, de, fr = (lang_hits(col, L) for L in ("en", "es", "de", "fr"))
+    return (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es >= fr) & (es > 0), F.lit("es"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )

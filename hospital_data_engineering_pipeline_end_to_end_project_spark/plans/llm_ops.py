@@ -1,0 +1,390 @@
+"""LLM-data-pipeline operator catalog (north-star extensions).
+
+Dedup (exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search over embeddings (brute-force + LSH-bucketed),
+text analysis (tokens, quality, language ID), and multimodal binary
+plumbing — each as a driver-checkable query over the ``documents`` /
+``embeddings`` test tables, with a DuckDB oracle wherever the
+operator is SQL-expressible (all md5-derived hashing, so both engines
+compute identical values).
+
+q29 (LSH ANN) has no oracle by design: its output depends on
+seeded hyperplane literals that SQL can't regenerate — the driver
+records a rows-only check; its recall is tested against q28 in
+``tests/test_llm_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+    dedupe,
+    multimodal,
+    similarity,
+)
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# q20 — exact deduplication (hash-groupBy over normalized text)
+# ---------------------------------------------------------------------------
+
+def q20_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.exact_dup_groups(d, "doc_id", "text")
+
+
+Q20_SQL = r"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+       count(*) OVER (
+         PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+       ) AS n_copies
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 — token counting / length stats
+# ---------------------------------------------------------------------------
+
+def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    qf = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        qf["n_chars"].cast("long").alias("n_chars"),
+        qf["n_tokens"].cast("long").alias("n_tokens"),
+        qf["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+Q21_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       len({TOKS_SQL}) AS n_tokens,
+       round(CAST(length(text) - len({TOKS_SQL}) + 1 AS DOUBLE)
+             / len({TOKS_SQL}), 6) AS avg_token_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — quality scoring (length/punct/stopword ratios)
+# ---------------------------------------------------------------------------
+
+def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composite score is computed from UNROUNDED ratios: combining
+    # already-rounded values lands exactly on round-half boundaries,
+    # where Spark (exact BigDecimal) and DuckDB (scale-by-1e6 in
+    # double) disagree
+    d = load_table(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    n_chars = F.length("text")
+    punct = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), r"[\.,;:!\?]", ""))
+    ).cast("double") / n_chars
+    stop = (
+        F.size(F.filter(t, lambda x: x.isin(*TX.LANG_STOPWORDS["en"]))).cast("double")
+        / F.size(t)
+    )
+    return d.select(
+        "doc_id",
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(stop * 0.5 + (1.0 - punct) * 0.5, 6).alias("quality_score"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
+
+Q22_SQL = rf"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_raw,
+         CAST(len(list_filter({TOKS_SQL}, x -> x IN ({_EN}))) AS DOUBLE)
+           / len({TOKS_SQL}) AS stop_raw
+  FROM documents
+)
+SELECT doc_id, round(punct_raw, 6) AS punct_ratio,
+       round(stop_raw, 6) AS stopword_ratio,
+       round(stop_raw * 0.5 + (1.0 - punct_raw) * 0.5, 6) AS quality_score
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — heuristic language ID (stopword n-gram hits, fixed precedence)
+# ---------------------------------------------------------------------------
+
+def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cols = [
+        TX.lang_hits("text", L).cast("long").alias(f"{L}_hits")
+        for L in ("en", "es", "de", "fr")
+    ]
+    return d.select("doc_id", "lang", *cols, TX.lang_guess("text").alias("lang_guess"))
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return f"len(list_filter({TOKS_SQL}, x -> x IN ({words})))"
+
+
+Q23_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS en_hits,
+         {_hits_sql('es')} AS es_hits,
+         {_hits_sql('de')} AS de_hits,
+         {_hits_sql('fr')} AS fr_hits
+  FROM documents
+)
+SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24 — document fingerprinting (md5 of sorted distinct token set)
+# ---------------------------------------------------------------------------
+
+def q24_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+Q24_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({TOKS_SQL})), ' ')) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q25 — MinHash + LSH banding (the near-dup index itself)
+# ---------------------------------------------------------------------------
+
+def q25_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = dedupe.minhash_bands(d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5)
+    return out.withColumn("band_id", F.col("band_id").cast("long"))
+
+
+Q25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
+  FROM toks WHERE len(t) >= 5
+),
+sigs AS (
+  SELECT doc_id,
+         [list_aggregate([md5(CAST(j AS VARCHAR) || '|' || s) FOR s IN sh], 'min')
+          FOR j IN range(8)] AS sig
+  FROM sh
+)
+SELECT doc_id, band_id,
+       md5(CAST(band_id AS VARCHAR) || '|' || sig[2*band_id + 1] || '|' || sig[2*band_id + 2]) AS band_hash
+FROM sigs, (SELECT unnest(range(4)) AS band_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q26 — n-gram Jaccard similarity (within-source blocking)
+# ---------------------------------------------------------------------------
+
+def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.filter(F.size(TX.tokens("text")) >= 3).select(
+        "doc_id",
+        "source",
+        F.array_distinct(TX.shingles("text", 3)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter > 0)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+Q26_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(t[i+1:i+3], ' ') FOR i IN range(len(t) - 2)]) AS sh
+  FROM (SELECT doc_id, source, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — SimHash document fingerprints (16-bit, md5-nibble derived)
+# ---------------------------------------------------------------------------
+
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", dedupe.simhash16("text").cast("long").alias("simhash")
+    )
+
+
+Q27_SQL = f"""
+WITH h AS (
+  SELECT doc_id, md5(unnest({TOKS_SQL})) AS hx FROM documents
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, (b.i // 4) + 1, 1)) - 1)
+                        & (1 << (b.i % 4))) <> 0 THEN 1 ELSE -1 END) AS bal
+  FROM h, (SELECT unnest(range(16)) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — brute-force cosine top-k over embeddings (exact ANN baseline)
+# ---------------------------------------------------------------------------
+
+def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(
+        e.filter(F.col("vec_id") < 20), e, id_col="vec_id", vec_col="embedding", k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+Q28_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — LSH-bucketed approximate top-k (the scale path; rows-only
+# check: seeded hyperplane literals are not SQL-regenerable)
+# ---------------------------------------------------------------------------
+
+def q29_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucket_topk(
+        e, id_col="vec_id", vec_col="embedding", dim=64, k=5, n_planes=8
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# q30 — multimodal binary plumbing (Arrow-batched mapInPandas feature
+# extraction over a binary payload column)
+# ---------------------------------------------------------------------------
+
+def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.documents_as_media(d))
+
+
+Q30_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q31 — embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def q31_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+
+
+Q31_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.dv, b.dv)
+             / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.dv, b.dv)
+            / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) >= 0.4
+"""
+
+
+QUERIES = {
+    "q20_exact_dup_groups": q20_exact_dup_groups,
+    "q21_token_stats": q21_token_stats,
+    "q22_quality_score": q22_quality_score,
+    "q23_lang_id": q23_lang_id,
+    "q24_fingerprint": q24_fingerprint,
+    "q25_minhash_bands": q25_minhash_bands,
+    "q26_jaccard_pairs": q26_jaccard_pairs,
+    "q27_simhash": q27_simhash,
+    "q28_cosine_topk": q28_cosine_topk,
+    "q29_ann_lsh": q29_ann_lsh,
+    "q30_multimodal_features": q30_multimodal_features,
+    "q31_embedding_near_dups": q31_embedding_near_dups,
+}
+
+ORACLES = {
+    "q20_exact_dup_groups": Q20_SQL,
+    "q21_token_stats": Q21_SQL,
+    "q22_quality_score": Q22_SQL,
+    "q23_lang_id": Q23_SQL,
+    "q24_fingerprint": Q24_SQL,
+    "q25_minhash_bands": Q25_SQL,
+    "q26_jaccard_pairs": Q26_SQL,
+    "q27_simhash": Q27_SQL,
+    "q28_cosine_topk": Q28_SQL,
+    "q30_multimodal_features": Q30_SQL,
+    "q31_embedding_near_dups": Q31_SQL,
+    # q29_ann_lsh intentionally omitted (rows-only check)
+}

@@ -1,0 +1,108 @@
+"""Semantic tests for the LLM-pipeline operators on planted cases:
+real near-duplicates must be found, unrelated docs must not."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+    dedupe,
+    multimodal,
+    similarity,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun and nothing else moves"
+)
+NEAR = BASE.replace("afternoon", "evening")  # one-token edit
+OTHER = (
+    "completely different text about spark shuffles partitions and "
+    "broadcast joins running on large clusters with many executors today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedupe_keeps_first(spark, docs):
+    kept = dedupe.keep_first_exact(docs, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 2, 3], "doc 4 is an exact copy of doc 1"
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    bands = dedupe.minhash_bands(docs, "doc_id", "text", 8, 4, 5)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedupe.near_dup_candidates(bands).collect()
+    }
+    assert (1, 4) in pairs, "exact copies always collide in every band"
+    assert (1, 2) in pairs or (2, 4) in pairs, (
+        "one-token edit should collide in at least one of 4 bands"
+    )
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_confirms_candidates(spark, docs):
+    bands = dedupe.minhash_bands(docs, "doc_id", "text", 8, 4, 5)
+    pairs = dedupe.near_dup_candidates(bands)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedupe.jaccard_pairs(docs, pairs, "doc_id", "text", 3).collect()
+    }
+    assert jac[(1, 4)] == 1.0
+    for (a, b), j in jac.items():
+        if 3 in (a, b):
+            assert j < 0.2
+
+
+def test_simhash_hamming_locality(spark, docs):
+    sh = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", dedupe.simhash16("text").alias("h")
+        ).collect()
+    }
+    d_near = bin(sh[1] ^ sh[2]).count("1")
+    d_far = bin(sh[1] ^ sh[3]).count("1")
+    assert sh[1] == sh[4]
+    assert d_near < d_far, f"near dist {d_near} should be < far dist {d_far}"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(e, e, k=3)
+    approx = similarity.lsh_bucket_topk(e, dim=64, k=3, n_planes=4)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    approx_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in approx.collect()
+    }
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 16 buckets over a small corpus: LSH trades recall for candidate
+    # count; anything clearly above random co-bucketing is structure
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+    assert approx.count() > 0
+
+
+def test_multimodal_stub_and_plumbing(spark, docs):
+    media = multimodal.documents_as_media(
+        docs.withColumn("source", F.lit("test"))
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert len(feats) == 4
+    assert feats[1]["byte_len"] == len(BASE.encode())
+    assert feats[1]["content_md5"] == feats[4]["content_md5"]
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xxx", "image/png")
+    multimodal.register_decoder("image/png", lambda b: ("decoded", len(b)))
+    assert multimodal.decode_media(b"xxx", "image/png") == ("decoded", 3)
