@@ -59,20 +59,41 @@ def minhash_bands(
     bands: int = 4,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """(id, band_id, band_hash) — the LSH index. Docs too short to
-    shingle get no bands (cannot near-dup-match)."""
+    """(id, band_id, band_hash) — the LSH index.
+
+    Explode-aggregate formulation: shingles are exploded once and each
+    (doc, shingle) row computes the ``num_hashes`` keyed hashes
+    exactly once; the signature is ``num_hashes`` map-side-combined
+    ``min`` aggregates in ONE groupBy.  (The array-expression
+    formulation recomputes the shingle array per signature entry after
+    Catalyst's CollapseProject — 8x the md5 work; at corpus scale the
+    explode+partial-agg shape is also what bounds memory per row.)
+    Docs too short to shingle get no bands (cannot near-dup-match).
+    """
     rows_per_band = num_hashes // bands
-    sig = TX.minhash_signature(text_col, num_hashes, shingle_n)
-    # docs too short to shingle produce null signatures; concat_ws
-    # would silently skip them and fabricate a band hash — exclude
-    df = df.filter(F.size(TX.tokens(text_col)) >= shingle_n)
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(TX.lsh_band_hashes(sig, bands, rows_per_band)).alias(
-            "band_id", "band_hash"
-        ),
+    exploded = df.select(
+        F.col(id_col), F.explode(TX.shingles(text_col, shingle_n)).alias("s")
     )
-    return banded.filter(F.col("band_hash").isNotNull())
+    sigs = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"sig{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    )
 
 
 def near_dup_candidates(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -123,6 +144,65 @@ def jaccard_pairs(
         "id_a",
         "id_b",
         F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def jaccard_within_key(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All within-key pair Jaccard similarities via sparse-set
+    intersection: explode distinct shingles, equi-join on
+    (key, shingle), count shared shingles per pair, derive the union
+    from per-doc set sizes.  Only intersecting pairs materialize, and
+    work scales with shingle co-occurrence — the corpus-scale
+    formulation (the array-intersect cross-pair form ships whole
+    shingle arrays through the join and compares them pairwise).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select(F.col(id_col), F.col(key_col), F.size("sh").alias("n_sh"))
+    exploded = sh.select(
+        F.col(id_col), F.col(key_col), F.explode("sh").alias("s")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

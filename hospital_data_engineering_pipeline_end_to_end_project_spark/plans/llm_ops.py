@@ -208,27 +208,7 @@ FROM sigs, (SELECT unnest(range(4)) AS band_id)
 
 def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = d.filter(F.size(TX.tokens("text")) >= 3).select(
-        "doc_id",
-        "source",
-        F.array_distinct(TX.shingles("text", 3)).alias("sh"),
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(inter > 0)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-    )
+    return dedupe.jaccard_within_key(d, "doc_id", "text", "source", shingle_n=3)
 
 
 Q26_SQL = f"""

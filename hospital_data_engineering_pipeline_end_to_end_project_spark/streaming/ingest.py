@@ -1,0 +1,113 @@
+"""Structured Streaming ingest (north-star extension; SURVEY 2.8 —
+the reference has no streaming surface; its "incremental loads" are
+re-runnable batch merges).
+
+Three building blocks:
+
+- :func:`read_event_stream` — schema'd file/rate stream source
+- :func:`windowed_event_counts` — tumbling-window aggregate with a
+  watermark (late data dropped deterministically; state is bounded,
+  which is what makes it runnable forever at cluster scale)
+- :func:`scd2_sink` — the standard streaming-SCD2 idiom:
+  ``foreachBatch`` applies the engine's batch merge
+  (``operators/scd2.py``) to every micro-batch, turning the stream
+  into continuously-versioned Silver state.
+
+Under the hood each micro-batch is a normal Catalyst plan, so all the
+batch-side design (decimal-exact aggs, broadcast dims, AQE) carries
+over unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """NDJSON file-source stream with an explicit schema (streaming
+    reads must never infer — inference is a full scan per trigger)."""
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data watermark.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) are finalized and evicted, so state size is
+    O(active windows x keys) regardless of stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def scd2_sink(
+    stream: DataFrame,
+    store: SilverStore,
+    entity: str,
+    spec: scd2.Scd2Spec,
+    processing_date_fn=None,
+    checkpoint_dir: str | None = None,
+):
+    """Continuously merge a stream into SCD2-versioned Silver state.
+
+    ``foreachBatch`` hands each micro-batch to the exact batch merge
+    used by the medallion pipeline — one code path for batch and
+    streaming (the Kappa-style idiom).  ``processing_date_fn`` maps a
+    batch id to the effective date (injectable for determinism).
+    """
+    date_fn = processing_date_fn or (lambda batch_id: "2026-01-01")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pdate = date_fn(batch_id)
+        if store.exists(entity):
+            new_state = scd2.merge(store.read(entity), batch_df, spec, pdate)
+        else:
+            new_state = scd2.initial_load(batch_df, spec, pdate)
+        store.write(entity, new_state)
+
+    writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

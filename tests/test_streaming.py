@@ -1,0 +1,110 @@
+"""Structured Streaming tests: watermarked window aggregation over a
+file-source stream, and the foreachBatch SCD2 sink versioning state
+across micro-batches."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import ingest
+
+
+def _write_batch(d: str, name: str, rows: list[dict]) -> None:
+    with open(os.path.join(d, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_windowed_counts_from_file_stream(spark, tmp_path):
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    _write_batch(
+        src,
+        "b0.json",
+        [
+            {"event_id": 1, "ts": "2026-01-01T10:05:00", "user_id": 1,
+             "event_type": "click", "value": 1.5},
+            {"event_id": 2, "ts": "2026-01-01T10:45:00", "user_id": 2,
+             "event_type": "click", "value": 2.0},
+            {"event_id": 3, "ts": "2026-01-01T11:10:00", "user_id": 1,
+             "event_type": "view", "value": 0.5},
+        ],
+    )
+    stream = ingest.read_event_stream(spark, src)
+    assert stream.isStreaming
+    agg = ingest.windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2026-01-01 10:00:00", "click")] == (2, 3.5)
+    assert got[("2026-01-01 11:00:00", "view")] == (1, 0.5)
+
+
+def test_scd2_sink_versions_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    store = SilverStore(spark, wh)
+    spec = scd2.Scd2Spec(keys=["user_id"])
+
+    stream = ingest.read_event_stream(spark, src).select(
+        "user_id", "event_type", "value"
+    )
+    dates = {0: "2026-01-01", 1: "2026-02-01"}
+    sink = ingest.scd2_sink(
+        stream, store, "user_state", spec,
+        processing_date_fn=lambda b: dates.get(b, "2026-03-01"),
+        checkpoint_dir=ckpt,
+    )
+
+    _write_batch(
+        src, "b0.json",
+        [{"event_id": 1, "ts": "2026-01-01T00:00:00", "user_id": 1,
+          "event_type": "signup", "value": 1.0}],
+    )
+    q = sink.start()
+    try:
+        q.processAllAvailable()
+        assert store.read("user_state").count() == 1
+
+        # second micro-batch: changed attribute for user 1, new user 2
+        _write_batch(
+            src, "b1.json",
+            [{"event_id": 2, "ts": "2026-02-01T00:00:00", "user_id": 1,
+              "event_type": "purchase", "value": 9.0},
+             {"event_id": 3, "ts": "2026-02-01T00:00:00", "user_id": 2,
+              "event_type": "signup", "value": 1.0}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = store.read("user_state")
+    assert state.count() == 3, "expired v1 + current v2 for user 1, v1 for user 2"
+    u1 = state.filter(F.col("user_id") == 1).collect()
+    assert sorted(r["is_current"] for r in u1) == [False, True]
+    cur = next(r for r in u1 if r["is_current"])
+    assert cur["event_type"] == "purchase"
+    v = scd2.validate(state, spec)
+    assert v == {
+        "multi_current_keys": 0,
+        "end_before_effective": 0,
+        "expired_without_end": 0,
+    }
