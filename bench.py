@@ -39,6 +39,11 @@ HEADLINE = [
     "q27_simhash",
     "q28_cosine_topk",
     "q30_multimodal_features",
+    "q33_cube",
+    "q35_asof_join",
+    "q36_range_join",
+    "q37_sessionize",
+    "q38_distinct_counts",
 ]
 
 

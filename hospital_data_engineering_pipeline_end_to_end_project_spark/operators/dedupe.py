@@ -242,3 +242,30 @@ def simhash16(col: Column | str) -> Column:
 
 def hamming16(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash via explode + 16 conditional sums in one groupBy —
+    identical math to :func:`simhash16` but each token is md5-hashed
+    once (the Column-expression form re-evaluates the hash array per
+    bit after projection collapsing) and the per-bit balances combine
+    map-side.  Returns (id_col, simhash:long).  Preferred at corpus
+    scale; ``simhash16`` remains for inline Column composition."""
+    hx = df.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
+
+    def bit_balance(i: int) -> Column:
+        pos, shift = i // 4, i % 4
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring("h", pos + 1, 1)) - 1
+        return F.sum(
+            F.when(nib.bitwiseAND(F.lit(1 << shift)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"b{i}")
+
+    bals = hx.groupBy(id_col).agg(*[bit_balance(i) for i in range(16)])
+    sim = F.lit(0)
+    for i in range(16):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bals.select(F.col(id_col), sim.cast("long").alias("simhash"))

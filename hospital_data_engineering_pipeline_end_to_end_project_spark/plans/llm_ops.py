@@ -232,9 +232,7 @@ WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0
 
 def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", dedupe.simhash16("text").cast("long").alias("simhash")
-    )
+    return dedupe.simhash16_agg(d, "doc_id", "text")
 
 
 Q27_SQL = f"""

@@ -20,18 +20,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     mods = [relational]
-    try:
-        from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import scd2_queries
-
-        mods.append(scd2_queries)
-    except ImportError:
-        pass
-    try:
-        from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import llm_ops
-
-        mods.append(llm_ops)
-    except ImportError:
-        pass
+    for name in ("scd2_queries", "llm_ops", "advanced"):
+        try:
+            mod = __import__(
+                f"hospital_data_engineering_pipeline_end_to_end_project_spark.plans.{name}",
+                fromlist=[name],
+            )
+            mods.append(mod)
+        except ImportError:
+            pass
     return mods
 
 

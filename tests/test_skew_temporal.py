@@ -1,0 +1,104 @@
+"""Skew utilities + temporal operator unit tests on constructed data
+(oracle parity for the temporal ops runs in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew, temporal
+
+
+def test_salted_join_matches_plain_join(spark):
+    skewed = spark.createDataFrame(
+        [(1, f"v{i}") for i in range(500)] + [(2, "x"), (3, "y")],
+        "k long, payload string",
+    )
+    other = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (4, "four")], "k long, name string"
+    )
+    plain = skewed.join(other, "k")
+    salted = skew.salted_join(skewed, other, "k", salt_buckets=4)
+    assert salted.count() == plain.count() == 501
+    assert sorted(salted.columns) == sorted(plain.columns)
+    got = {
+        (r["k"], r["payload"], r["name"])
+        for r in salted.collect()
+    }
+    want = {(r["k"], r["payload"], r["name"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_groupby_count(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 1000 + [(2,)] * 3, "k long"
+    )
+    got = {r["k"]: r["count"] for r in skew.salted_groupby_count(df, "k").collect()}
+    assert got == {1: 1000, 2: 3}
+
+
+def test_asof_join_backward_semantics(spark):
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)],
+        "sym string, t long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 5), ("A", 10), ("A", 25), ("B", 14), ("C", 99)],
+        "sym string, t long",
+    )
+    out = temporal.asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="t",
+        right_values=["px"],
+    )
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    assert got[("A", 5)] is None, "no quote at-or-before t=5"
+    assert got[("A", 10)] == 100.0, "tie: quote at t=10 matches"
+    assert got[("A", 25)] == 101.0, "latest quote wins"
+    assert got[("B", 14)] is None
+    assert got[("C", 99)] is None, "unseen key passes through with null"
+
+
+def test_asof_join_forward_semantics(spark):
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0)], "sym string, t long, px double"
+    )
+    trades = spark.createDataFrame([("A", 15), ("A", 21)], "sym string, t long")
+    out = temporal.asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="t",
+        right_values=["px"], direction="forward",
+    )
+    got = {(r["sym"], r["t"]): r["px"] for r in out.collect()}
+    assert got[("A", 15)] == 101.0, "earliest quote at-or-after t=15"
+    assert got[("A", 21)] is None
+
+
+def test_range_join_binned_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 200), (2, 300, 310)], "lid long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(10, 99), (11, 100), (12, 199), (13, 200), (14, 305)],
+        "rid long, t long",
+    )
+    out = temporal.range_join_binned(
+        left, right, on=None,
+        left_start=F.col("s"), left_end=F.col("e"),
+        right_time=F.col("t"), bin_width_sec=50,
+    )
+    got = {(r["lid"], r["rid"]) for r in out.select("l.lid", "r.rid").collect()}
+    assert got == {(1, 11), (1, 12), (2, 14)}, (
+        "half-open [start, end): 100 in, 199 in, 99/200 out"
+    )
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 101), (1, 300), (2, 0)],
+        "uid long, t long",
+    )
+    out = temporal.sessionize(df, "uid", "t", gap=100)
+    got = {(r["uid"], r["t"]): r["session_id"] for r in out.collect()}
+    assert got[(1, 0)] == 1
+    assert got[(1, 100)] == 1, "gap == limit stays in session"
+    assert got[(1, 101)] == 1
+    assert got[(1, 300)] == 2, "gap 199 > 100 starts a new session"
+    assert got[(2, 0)] == 1
