@@ -1,0 +1,162 @@
+"""Catalog-surface, pandas-UDF, and end-to-end medallion queries.
+
+q40 runs the actual reference-parity engine (seeded raw generation ->
+Bronze -> Silver SCD2 -> Gold mart) and returns the revenue mart —
+rows-only for the driver (its inputs are generated, not the
+pre-registered views), deterministic by construction (seed + injected
+processing_date), and hash-stable across runs.
+
+q41 exercises the catalog surface (CREATE DATABASE / saveAsTable /
+spark.table / CTAS — SURVEY S8-S10).  q42 exercises the
+``applyInPandas`` escape hatch with an oracle (group-mean deviation:
+``l_quantity`` is integral, so the group mean is exact in both
+engines).  q43 is the BPE-ish regex token counter.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# q40 — the medallion engine end-to-end (rows-only)
+# ---------------------------------------------------------------------------
+
+def q40_hospital_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import medallion, star
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.testing import datagen
+
+    base = tempfile.mkdtemp(prefix="hospital_e2e_")
+    raw, wh = os.path.join(base, "raw"), os.path.join(base, "wh")
+    datagen.generate(
+        raw, seed=42, n_patients=80, n_doctors=15, n_admissions=120,
+        n_vitals=120, n_procedures=120, n_billing=120,
+    )
+    medallion.run_silver(spark, raw, wh, "2026-01-15")
+    star.run_gold(spark, wh)
+    mart = spark.read.parquet(os.path.join(wh, "gold", "agg_revenue_month"))
+    return mart.orderBy("year", "month")
+
+
+# ---------------------------------------------------------------------------
+# q41 — catalog: CREATE DATABASE / saveAsTable / spark.table / CTAS
+# (SURVEY S4, S8, S9, S10)
+# ---------------------------------------------------------------------------
+
+def q41_catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = "engine_q41"
+    # idempotent: drop catalog entries AND any orphaned managed-table
+    # location a previously failed run left in the warehouse dir
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), f"{db}.db"),
+        ignore_errors=True,
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        f"{db}.nation_managed"
+    )
+    assert spark.catalog.tableExists(f"{db}.nation_managed")
+    # v1 session catalog has no REPLACE TABLE AS SELECT; DROP + CTAS
+    spark.sql(f"DROP TABLE IF EXISTS {db}.nations_per_region")
+    spark.sql(
+        f"""
+        CREATE TABLE {db}.nations_per_region USING PARQUET AS
+        SELECT n_regionkey, count(*) AS n_nations,
+               min(n_name) AS first_nation
+        FROM {db}.nation_managed
+        GROUP BY n_regionkey
+        """
+    )
+    return spark.table(f"{db}.nations_per_region")
+
+
+Q41_SQL = """
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q42 — applyInPandas (grouped-map pandas UDF; the custom-operator
+# escape hatch, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+def q42_group_mean_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+    def dev(pdf: pd.DataFrame) -> pd.DataFrame:
+        # l_quantity is integral-valued, so the sum (and mean) are
+        # exact in float64 regardless of summation order — the oracle
+        # computes the identical mean
+        mean = pdf["l_quantity"].sum() / len(pdf)
+        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        out["dev_from_mean"] = (pdf["l_quantity"] - mean).round(6)
+        return out
+
+    return l.groupBy("l_returnflag").applyInPandas(
+        dev,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, "
+        "dev_from_mean double",
+    )
+
+
+Q42_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag), 6)
+         AS dev_from_mean
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# q43 — BPE-ish regex token counting (word pieces + punctuation)
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def q43_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+Q43_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_regex_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+QUERIES = {
+    "q40_hospital_medallion_e2e": q40_hospital_medallion_e2e,
+    "q41_catalog_ctas": q41_catalog_ctas,
+    "q42_group_mean_deviation": q42_group_mean_deviation,
+    "q43_regex_token_count": q43_regex_token_count,
+}
+
+ORACLES = {
+    # q40 rows-only: inputs are engine-generated, not the shared views
+    "q41_catalog_ctas": Q41_SQL,
+    "q42_group_mean_deviation": Q42_SQL,
+    "q43_regex_token_count": Q43_SQL,
+}
