@@ -147,11 +147,74 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q44 — range source (SURVEY S11: spark.range as a generated seed)
+# ---------------------------------------------------------------------------
+
+def q44_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1, 101).select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("square"),
+        F.when(F.col("id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias(
+            "parity"
+        ),
+    )
+
+
+Q44_SQL = """
+SELECT x AS id, x * x AS square,
+       CASE WHEN x % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM (SELECT unnest(range(1, 101)) AS x)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q45 — CSV round-trip (SURVEY S1: header CSV written then re-read
+# with an explicit schema + PERMISSIVE quarantine, aggregated)
+# ---------------------------------------------------------------------------
+
+def q45_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import read_csv
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "events_csv")
+    e.write.mode("overwrite").option("header", True).csv(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    back = read_csv(spark, tmp, schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
+Q45_SQL = """
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q40_hospital_medallion_e2e": q40_hospital_medallion_e2e,
     "q41_catalog_ctas": q41_catalog_ctas,
     "q42_group_mean_deviation": q42_group_mean_deviation,
     "q43_regex_token_count": q43_regex_token_count,
+    "q44_range_source": q44_range_source,
+    "q45_csv_roundtrip": q45_csv_roundtrip,
 }
 
 ORACLES = {
@@ -159,4 +222,6 @@ ORACLES = {
     "q41_catalog_ctas": Q41_SQL,
     "q42_group_mean_deviation": Q42_SQL,
     "q43_regex_token_count": Q43_SQL,
+    "q44_range_source": Q44_SQL,
+    "q45_csv_roundtrip": Q45_SQL,
 }

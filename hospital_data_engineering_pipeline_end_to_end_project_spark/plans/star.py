@@ -33,7 +33,9 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.writers
 
 
 def _current(store: SilverStore, entity: str) -> DataFrame:
-    return store.read(entity).filter(F.col(CURRENT))
+    # SQL-string filter form for parity with Gold Layer.py:30,62,134,167
+    # (same Catalyst predicate as F.col(CURRENT))
+    return store.read(entity).filter(f"{CURRENT} = true")
 
 
 def _with_ym(df: DataFrame, date_col: str) -> DataFrame:
