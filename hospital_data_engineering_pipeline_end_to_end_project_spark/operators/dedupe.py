@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
 
@@ -170,6 +171,17 @@ def jaccard_within_key(
     sizes = sh.select(F.col(id_col), F.col(key_col), F.size("sh").alias("n_sh"))
     exploded = sh.select(
         F.col(id_col), F.col(key_col), F.explode("sh").alias("s")
+    )
+    # co-occurrence pruning: a shingle seen in only one doc of a key
+    # can never contribute to an intersection — drop it before the
+    # self-join.  For mostly-unique shingle vocabularies this removes
+    # the bulk of the join input without changing any pair's jaccard
+    # (doc sizes come from `sizes`, computed before pruning).
+    w_cnt = Window.partitionBy(key_col, "s")
+    exploded = (
+        exploded.withColumn("__n", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
