@@ -31,9 +31,12 @@ def q10_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = scd2.Scd2Spec(keys=["order_key"])
     state1 = scd2.initial_load(base, spec, D1)
 
+    # the raw double product is bit-identical across engines; rounding
+    # it is NOT (x*1.1 lands on .005 ties where Spark's exact rounding
+    # and DuckDB's scale-by-100 rounding disagree) — so don't round
     batch2 = base.filter(F.col("status") == "O").select(
         "order_key",
-        F.round(F.col("total_price") * 1.1, 2).alias("total_price"),
+        (F.col("total_price") * 1.1).alias("total_price"),
         F.lit("F").alias("status"),
         "priority",
     )
@@ -48,7 +51,7 @@ WITH base AS (
   FROM orders
 ),
 changed AS (
-  SELECT order_key, round(total_price * 1.1, 2) AS new_price, priority
+  SELECT order_key, total_price * 1.1 AS new_price, priority
   FROM base WHERE status = 'O'
 )
 SELECT b.order_key, b.total_price, b.status, b.priority,
