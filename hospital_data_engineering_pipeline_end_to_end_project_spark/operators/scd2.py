@@ -117,19 +117,25 @@ def merge(
     out_cols = entity_cols + list(META_COLS)
 
     batch = dedupe_batch(batch, spec)
-    current = state.filter(F.col(CURRENT)).alias("old")
+    # presence flags, not key-null checks: business keys containing
+    # NULL would otherwise be misclassified as unmatched on both sides
+    current = (
+        state.filter(F.col(CURRENT)).withColumn("__present", F.lit(1)).alias("old")
+    )
     history = state.filter(~F.col(CURRENT))
-    new = stamp(batch, processing_date).alias("new")
+    new = (
+        stamp(batch, processing_date).withColumn("__present", F.lit(1)).alias("new")
+    )
 
     join_cond = F.lit(True)
     for k in spec.keys:
         join_cond = join_cond & F.col(f"old.{k}").eqNullSafe(F.col(f"new.{k}"))
     joined = current.join(new, join_cond, "full_outer")
 
-    matched = F.col(f"old.{spec.keys[0]}").isNotNull() & F.col(
-        f"new.{spec.keys[0]}"
+    matched = F.col("old.__present").isNotNull() & F.col(
+        "new.__present"
     ).isNotNull()
-    batch_only = F.col(f"old.{spec.keys[0]}").isNull()
+    batch_only = F.col("old.__present").isNull()
     has_change = _changed_predicate(tracked)
 
     def row_from(side: str, **overrides: Column) -> Column:

@@ -337,8 +337,45 @@ WHERE round(list_dot_product(a.dv, b.dv)
 """
 
 
+# ---------------------------------------------------------------------------
+# q46 — grouped top-k: most frequent words per language label
+# (explode -> count -> rank window -> k per group)
+# ---------------------------------------------------------------------------
+
+def q46_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+Q46_SQL = f"""
+WITH counts AS (
+  SELECT lang, unnest({TOKS_SQL}) AS word FROM documents
+),
+agg AS (
+  SELECT lang, word, count(*) AS n FROM counts GROUP BY lang, word
+)
+SELECT lang, word, n, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+  FROM agg
+) WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "q20_exact_dup_groups": q20_exact_dup_groups,
+    "q46_top_words_per_lang": q46_top_words_per_lang,
     "q21_token_stats": q21_token_stats,
     "q22_quality_score": q22_quality_score,
     "q23_lang_id": q23_lang_id,
@@ -354,6 +391,7 @@ QUERIES = {
 
 ORACLES = {
     "q20_exact_dup_groups": Q20_SQL,
+    "q46_top_words_per_lang": Q46_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,
     "q23_lang_id": Q23_SQL,

@@ -97,6 +97,24 @@ def test_composite_key(spark):
     assert icu["amount"] == 150.0
 
 
+def test_null_business_key_versions_correctly(spark):
+    # presence-flag matching: a NULL key row is one logical entity
+    # (eqNullSafe join), not perpetually re-inserted
+    spec = scd2.Scd2Spec(keys=["pid"])
+    s1 = scd2.initial_load(
+        _mkdf(spark, [(None, "Rome", 30), ("p1", "Oslo", 40)]), spec, D1
+    )
+    assert s1.count() == 2
+    s2 = scd2.merge(
+        s1, _mkdf(spark, [(None, "Rome", 30), ("p1", "Oslo", 40)]), spec, D2
+    )
+    assert s2.count() == 2, "identical replay incl. null key is a no-op"
+    s3 = scd2.merge(s2, _mkdf(spark, [(None, "Rome", 99)]), spec, D3)
+    null_rows = [r for r in s3.collect() if r["pid"] is None]
+    assert len(null_rows) == 2, "null-key change expires + inserts"
+    assert sorted(r["is_current"] for r in null_rows) == [False, True]
+
+
 def test_duplicate_keys_in_batch_deduped(spark):
     spec = scd2.Scd2Spec(keys=["pid"], order_by=["age"])
     b1 = _mkdf(spark, [("p1", "Rome", 30), ("p1", "Rome", 35)])
