@@ -152,6 +152,115 @@ def lsh_bucket_topk(
     )
 
 
+def build_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means with the K
+    lowest-id vectors as seeds.
+
+    Each iteration is one distributed assign (broadcast centroids,
+    argmin over K) + one distributed update (posexplode + mean per
+    (cluster, dim)).  Only the K x dim centroid matrix ever reaches
+    the driver — bounded regardless of corpus size.
+    """
+    centroids = [
+        [float(x) for x in r["v"]]
+        for r in df.orderBy(id_col)
+        .limit(k)
+        .select(V.as_double(vec_col).alias("v"))
+        .collect()
+    ]
+    for _ in range(iterations):
+        assigned = assign_ivf_cluster(df, centroids, vec_col)
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode(V.as_double(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in rows:
+            new[r["cluster"]][r["dim"]] = r["m"]
+        centroids = [new[c] for c in sorted(new)]
+    return centroids
+
+
+def assign_ivf_cluster(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``cluster`` column: argmin squared-distance to the
+    (broadcast-literal) centroids.  Ties break to the lower cluster id."""
+    v = V.as_double(vec_col)
+    best_c = F.lit(0)
+    best_d = None
+    for c, cent in enumerate(centroids):
+        p = F.array(*[F.lit(x) for x in cent])
+        diff = F.zip_with(v, p, lambda a, b: (a - b) * (a - b))
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        if best_d is None:
+            best_d = d
+        else:
+            best_c = F.when(d < best_d, F.lit(c)).otherwise(best_c)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+    return df.withColumn("cluster", best_c)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate all-pairs top-k: corpus is partitioned by a
+    coarse quantizer; each query ranks candidates only in the
+    ``nprobe`` clusters nearest to its own vector.  Candidate volume
+    scales with corpus/n_clusters x nprobe — the inverted-file
+    trade (recall vs probed fraction), complementary to LSH."""
+    centroids = build_ivf_centroids(df, vec_col, id_col, n_clusters)
+    assigned = assign_ivf_cluster(df, centroids, vec_col).select(
+        F.col(id_col), F.col("cluster"), V.as_double(vec_col).alias("v")
+    )
+
+    # per-row probe list: nprobe nearest centroids by squared distance
+    v = F.col("v")
+    dist_structs = []
+    for c, cent in enumerate(centroids):
+        p = F.array(*[F.lit(x) for x in cent])
+        d = F.aggregate(
+            F.zip_with(v, p, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist_structs.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+    probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)
+    queries = assigned.withColumn(
+        "probe_cluster", F.explode(F.transform(probes, lambda s: s["c"]))
+    )
+
+    cand = queries.alias("q").join(
+        assigned.alias("c"),
+        (F.col("q.probe_cluster") == F.col("c.cluster"))
+        & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+    )
+    scored = cand.select(
+        F.col(f"q.{id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(V.cosine(F.col("q.v"), F.col("c.v")), 6).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

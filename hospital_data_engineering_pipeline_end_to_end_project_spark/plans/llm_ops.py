@@ -373,9 +373,52 @@ SELECT lang, word, n, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q47 — JSON extraction via from_json (SURVEY 2.7 noted the reference
+# has no from_json; this adds the explicit-schema JSON-column path)
+# ---------------------------------------------------------------------------
+
+def q47_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return (
+        e.select("event_type", parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+Q47_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_parsed,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q48 — IVF approximate nearest neighbors (rows-only: centroids come
+# from distributed k-means, not SQL-regenerable; recall is tested
+# against q28 in tests/test_llm_ops.py)
+# ---------------------------------------------------------------------------
+
+def q48_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        e, id_col="vec_id", vec_col="embedding", k=5, n_clusters=8, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 QUERIES = {
     "q20_exact_dup_groups": q20_exact_dup_groups,
     "q46_top_words_per_lang": q46_top_words_per_lang,
+    "q47_json_extract": q47_json_extract,
+    "q48_ivf_topk": q48_ivf_topk,
     "q21_token_stats": q21_token_stats,
     "q22_quality_score": q22_quality_score,
     "q23_lang_id": q23_lang_id,
@@ -392,6 +435,8 @@ QUERIES = {
 ORACLES = {
     "q20_exact_dup_groups": Q20_SQL,
     "q46_top_words_per_lang": Q46_SQL,
+    "q47_json_extract": Q47_SQL,
+    # q48_ivf_topk intentionally omitted (rows-only)
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,
     "q23_lang_id": Q23_SQL,

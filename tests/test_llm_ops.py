@@ -93,6 +93,18 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert approx.count() > 0
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(e, e, k=3)
+    approx = similarity.ivf_topk(e, k=3, n_clusters=8, nprobe=3)
+    ep = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ep & ap) / len(ep)
+    # probing 3/8 clusters; true neighbors are usually co-clustered,
+    # so recall should clearly beat the 3/8 random-probe floor
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
 def test_multimodal_stub_and_plumbing(spark, docs):
     media = multimodal.documents_as_media(
         docs.withColumn("source", F.lit("test"))
