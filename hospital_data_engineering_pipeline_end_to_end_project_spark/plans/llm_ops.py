@@ -401,6 +401,24 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q49 — sketch-based approximate aggregates (rows-only: HLL and KLL
+# sketch estimates are engine-specific by construction; the exact
+# counterparts are oracle-checked as q38/q39).  At 100 TB these are
+# the single-pass fixed-memory versions of distinct-count/quantiles.
+# ---------------------------------------------------------------------------
+
+def q49_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+            "approx_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q48 — IVF approximate nearest neighbors (rows-only: centroids come
 # from distributed k-means, not SQL-regenerable; recall is tested
 # against q28 in tests/test_llm_ops.py)
@@ -419,6 +437,7 @@ QUERIES = {
     "q46_top_words_per_lang": q46_top_words_per_lang,
     "q47_json_extract": q47_json_extract,
     "q48_ivf_topk": q48_ivf_topk,
+    "q49_sketch_stats": q49_sketch_stats,
     "q21_token_stats": q21_token_stats,
     "q22_quality_score": q22_quality_score,
     "q23_lang_id": q23_lang_id,
