@@ -138,9 +138,9 @@ WITH e AS (
   FROM events
 )
 SELECT user_id, event_id, ts_us,
-       1 + sum(CASE WHEN ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) OVER (
+       CAST(1 + sum(CASE WHEN ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) OVER (
          PARTITION BY user_id ORDER BY ts_us, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM e
 """
 

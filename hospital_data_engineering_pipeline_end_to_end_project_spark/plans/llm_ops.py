@@ -394,7 +394,7 @@ def q47_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q47_SQL = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_parsed,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """
@@ -409,11 +409,13 @@ GROUP BY event_type
 
 def q49_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-            "approx_p50_p95"
-        ),
+        # scalar columns, not array<double>: the driver's rows-only
+        # canonicalizer sorts rows and cannot hash list-valued cells
+        pct.getItem(0).alias("approx_p50"),
+        pct.getItem(1).alias("approx_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -304,7 +304,7 @@ WITH cleansed AS (
 SELECT event_type,
        count(*) AS n_rows,
        count(k) AS n_valid,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k,
        max(k) AS max_k
 FROM cleansed

@@ -55,16 +55,43 @@ def _rowset(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]
     return sorted_cols, canon
 
 
+def _dtype_kinds(cols: list[str], pdf) -> dict[str, str]:
+    return {c: pdf[c].dtype.kind for c in cols}
+
+
 def compare(spark, name: str, query_fn, sql: str, sf_dir: str) -> None:
     sdf = query_fn(spark, sf_dir)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    collected = sdf.collect()
+    s_rows = [tuple(r) for r in collected]
 
     con = duckdb_conn(sf_dir)
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    d_pdf = res.df()
+    d_rows = con.execute(sql).fetchall()
     con.close()
+
+    # The driver canonicalizes through pandas, where DuckDB HUGEINT
+    # (sum over INTEGER) lands as float64 while Spark emits int64 —
+    # equal values, divergent value-hash.  Catch the int-vs-float
+    # divergence locally: pandas-ify both sides and compare numeric
+    # kind per column (only the i/u-vs-f split; object/date columns
+    # are compared by value below).
+    import pandas as pd
+
+    s_pdf = pd.DataFrame(s_rows, columns=s_cols) if s_rows else None
+    if s_pdf is not None and len(d_pdf):
+        sk, dk = _dtype_kinds(s_cols, s_pdf), _dtype_kinds(d_cols, d_pdf)
+        for c in set(sk) & set(dk):
+            a, b = sk[c], dk[c]
+            int_kinds = {"i", "u"}
+            if (a in int_kinds and b == "f") or (a == "f" and b in int_kinds):
+                raise AssertionError(
+                    f"{name}: column {c!r} numeric-kind mismatch "
+                    f"spark={a} duckdb={b} (driver value-hash would diverge; "
+                    f"CAST the oracle or the Spark side)"
+                )
 
     sc, sr = _rowset(s_cols, s_rows)
     dc, dr = _rowset(d_cols, d_rows)
