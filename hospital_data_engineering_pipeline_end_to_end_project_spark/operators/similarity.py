@@ -47,8 +47,12 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), V.as_double(vec_col).alias("cv")
     )
+    # broadcast the query side: it is the small, pre-filtered side by
+    # contract (corpus x corpus callers use the LSH/IVF paths), so the
+    # corpus never shuffles — each corpus partition streams past the
+    # broadcast queries
     scored = (
-        q.join(F.broadcast(c) if _is_small(c) else c, F.lit(True))
+        c.join(F.broadcast(q), F.lit(True))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -63,12 +67,6 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-
-
-def _is_small(df: DataFrame) -> bool:
-    # corpus below Spark's default broadcast threshold? leave the
-    # decision to AQE in general; hint only helps the local harness
-    return False
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 20260813) -> list[list[float]]:
@@ -95,6 +93,36 @@ def with_lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def _multi_table_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, v, table_id, bucket) — one row per (vector, table): sign-bit
+    bucket from an independent seeded plane set per table."""
+    base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
+    buckets = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=20260813 + 7919 * t)
+        b = F.lit(0)
+        for j, plane in enumerate(planes):
+            p = F.array(*[F.lit(x) for x in plane])
+            b = b + F.when(
+                V.dot(F.col("v"), p) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        buckets.append(b.alias(f"b{t}"))
+    return base.select(F.col(id_col), F.col("v"), *buckets).select(
+        F.col(id_col),
+        F.col("v"),
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -113,24 +141,7 @@ def lsh_bucket_topk(
     candidate pair set, then ranks — comparisons and shuffle volume
     scale with bucket occupancy, not corpus^2.
     """
-    base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
-    buckets = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=20260813 + 7919 * t)
-        b = F.lit(0)
-        for j, plane in enumerate(planes):
-            p = F.array(*[F.lit(x) for x in plane])
-            b = b + F.when(
-                V.dot(F.col("v"), p) > 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-        buckets.append(b.alias(f"b{t}"))
-    tabled = base.select(F.col(id_col), F.col("v"), *buckets).select(
-        F.col(id_col),
-        F.col("v"),
-        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
-            "table_id", "bucket"
-        ),
-    )
+    tabled = _multi_table_buckets(df, id_col, vec_col, dim, n_planes, n_tables)
     a, c = tabled.alias("a"), tabled.alias("c")
     candidates = (
         a.join(
@@ -266,10 +277,59 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b) above a
-    threshold — brute force; swap the join for ``lsh_bucket`` buckets
-    at corpus scale."""
+    """Embedding-cosine near-duplicate pairs (a < b) above a threshold.
+
+    Candidates come from multi-table hyperplane LSH (OR-construction:
+    a pair qualifies if it co-buckets in ANY of ``n_tables`` tables of
+    ``2^n_planes`` buckets), then the exact cosine verifies the
+    threshold — precision is exact, only recall is probabilistic:
+
+        recall(theta) = 1 - (1 - (1 - theta/pi)^n_planes)^n_tables
+
+    The defaults target real near-dup thresholds: at cos >= 0.95
+    (theta <= 18.2 deg, per-plane split prob ~0.101) recall is
+    1 - (1 - 0.899^8)^16 ~ 0.9999.  For looser thresholds, trade
+    selectivity for recall (fewer planes, more tables) — q31 runs
+    threshold 0.4 with (3, 24) for ~0.999 recall.  Join volume scales
+    with bucket occupancy (~n^2 * n_tables / 2^n_planes for uniform
+    data, sub-quadratic for clustered corpora), never a cartesian.
+    The seeded literal hyperplanes make the construction deterministic
+    and cross-engine reproducible — the DuckDB oracle replays the
+    identical bucketing, so even the approximate operator hash-checks.
+    ``brute_force_near_dup_pairs`` is the exact oracle for recall
+    tests.
+    """
+    tabled = _multi_table_buckets(df, id_col, vec_col, dim, n_planes, n_tables)
+    a, b = tabled.alias("a"), tabled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def brute_force_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs threshold join — O(|V|^2) cartesian; retained
+    only as the test oracle for ``embedding_near_dup_pairs``."""
     a = df.select(F.col(id_col).alias("id_a"), V.as_double(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), V.as_double(vec_col).alias("vb"))
     return (

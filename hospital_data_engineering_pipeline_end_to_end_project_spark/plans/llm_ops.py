@@ -316,25 +316,68 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# q31 — embedding-cosine near-duplicate pairs
+# q31 — embedding-cosine near-duplicate pairs via LSH candidates +
+# exact-cosine verify.  The hyperplanes are seeded literals, so the
+# oracle SQL below REPLAYS the identical bucketing in DuckDB: the
+# approximate operator is deterministic cross-engine and hash-checks
+# end-to-end (bucketing + candidate join + cosine verify), which is a
+# stronger gate than the rows-only check approximate ops usually get.
+# (3 planes, 24 tables) targets ~0.999 recall at the 0.4 threshold;
+# the brute-force cartesian survives only as the recall-test oracle.
 # ---------------------------------------------------------------------------
+
+Q31_THRESHOLD, Q31_PLANES, Q31_TABLES = 0.4, 3, 24
+
 
 def q31_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.4
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=Q31_THRESHOLD,
+        n_planes=Q31_PLANES,
+        n_tables=Q31_TABLES,
     )
 
 
-Q31_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.dv, b.dv)
-             / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.dv, b.dv)
-            / (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) >= 0.4
+def _q31_sql() -> str:
+    """Oracle that mirrors the Spark LSH construction plane-for-plane.
+
+    ``list_dot_product`` is a sequential fold, bit-identical to the
+    Spark ``aggregate(zip_with(...))`` fold, so the sign tests (and
+    therefore the buckets) agree exactly across engines.
+    """
+    branches = []
+    for t in range(Q31_TABLES):
+        planes = similarity.hyperplanes(64, Q31_PLANES, seed=20260813 + 7919 * t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(dv, {plane!r}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(planes)
+        )
+        branches.append(
+            f"SELECT vec_id, dv, {t} AS table_id, {bucket} AS bucket FROM v"
+        )
+    tabled = "\nUNION ALL\n".join(branches)
+    cos = (
+        "list_dot_product(a.dv, b.dv) / (sqrt(list_dot_product(a.dv, a.dv))"
+        " * sqrt(list_dot_product(b.dv, b.dv)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+tabled AS ({tabled}),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+  FROM tabled a JOIN tabled b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b, cos_sim FROM cand WHERE cos_sim >= {Q31_THRESHOLD}
 """
+
+
+Q31_SQL = _q31_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,24 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert approx.count() > 0
 
 
+def test_near_dup_pairs_recall_and_plan(spark):
+    """q31's LSH+verify path: high recall vs the brute-force oracle at
+    its tuned threshold, and a bucketed equi-join plan — never a
+    cartesian (the thing that made brute force a 100 TB non-starter)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = similarity.embedding_near_dup_pairs(
+        e, threshold=0.4, n_planes=3, n_tables=24
+    )
+    brute = similarity.brute_force_near_dup_pairs(e, threshold=0.4)
+    lp = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    bp = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert lp <= bp, "exact verify means no false positives, ever"
+    assert len(lp) / len(bp) >= 0.95, f"recall {len(lp)/len(bp):.3f}"
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = similarity.cosine_topk(e, e, k=3)
