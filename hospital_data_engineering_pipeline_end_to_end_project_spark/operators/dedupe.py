@@ -154,6 +154,7 @@ def jaccard_within_key(
     text_col: str,
     key_col: str,
     shingle_n: int = 3,
+    df_max: int | None = None,
 ) -> DataFrame:
     """All within-key pair Jaccard similarities via sparse-set
     intersection: explode distinct shingles, equi-join on
@@ -162,27 +163,42 @@ def jaccard_within_key(
     work scales with shingle co-occurrence — the corpus-scale
     formulation (the array-intersect cross-pair form ships whole
     shingle arrays through the join and compares them pairwise).
+
+    ``df_max`` caps per-key shingle document frequency: a shingle
+    shared by d docs fans out d^2/2 join rows, so one hot boilerplate
+    shingle is a quadratic blow-up on its key.  Capping drops such
+    shingles from the intersection (per-doc set sizes keep counting
+    them), the standard MinHash-pipeline trade: jaccard is slightly
+    under-counted for pairs sharing capped shingles, and pairs whose
+    ONLY shared shingles are capped disappear.  ``None`` = exact.
     """
-    sh = df.select(
+    exploded = df.select(
         F.col(id_col),
         F.col(key_col),
-        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sizes = sh.select(F.col(id_col), F.col(key_col), F.size("sh").alias("n_sh"))
-    exploded = sh.select(
-        F.col(id_col), F.col(key_col), F.explode("sh").alias("s")
+        F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias("s"),
+    )
+    # one pass over the exploded stream computes BOTH per-doc set size
+    # (window over the doc) and per-(key, shingle) document frequency
+    # (window over the shingle) — n_sh then rides along through the
+    # self-join, so the corpus is shingled once instead of four times
+    # (two join sides + two size-lookup joins in the naive shape).
+    # Window order matters: the (key, s) window runs last so its
+    # shuffle IS the join partitioning, and the two identical join
+    # sides collapse into one ReusedExchange.
+    exploded = exploded.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    ).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(key_col, "s"))
     )
     # co-occurrence pruning: a shingle seen in only one doc of a key
     # can never contribute to an intersection — drop it before the
-    # self-join.  For mostly-unique shingle vocabularies this removes
-    # the bulk of the join input without changing any pair's jaccard
-    # (doc sizes come from `sizes`, computed before pruning).
-    w_cnt = Window.partitionBy(key_col, "s")
-    exploded = (
-        exploded.withColumn("__n", F.count(F.lit(1)).over(w_cnt))
-        .filter(F.col("__n") > 1)
-        .drop("__n")
-    )
+    # self-join; with df_max also drop the hot ones (see above).
+    # Per-doc sizes are already bound to each row, so pruning never
+    # changes a surviving pair's union term.
+    keep = F.col("__n") > 1
+    if df_max is not None:
+        keep = keep & (F.col("__n") <= df_max)
+    exploded = exploded.filter(keep).drop("__n")
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
@@ -195,26 +211,20 @@ def jaccard_within_key(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-    )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
         )
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
     )
 
 

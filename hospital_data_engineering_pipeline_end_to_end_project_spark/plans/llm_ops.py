@@ -206,9 +206,18 @@ FROM sigs, (SELECT unnest(range(4)) AS band_id)
 # q26 — n-gram Jaccard similarity (within-source blocking)
 # ---------------------------------------------------------------------------
 
+# per-key shingle document-frequency cap: a shingle shared by d docs
+# fans out d^2/2 self-join rows, so hot boilerplate shingles are the
+# quadratic failure mode at corpus scale.  The oracle applies the
+# identical cap (sparse-intersection form, same QUALIFY bounds).
+Q26_DF_MAX = 64
+
+
 def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dedupe.jaccard_within_key(d, "doc_id", "text", "source", shingle_n=3)
+    return dedupe.jaccard_within_key(
+        d, "doc_id", "text", "source", shingle_n=3, df_max=Q26_DF_MAX
+    )
 
 
 Q26_SQL = f"""
@@ -217,12 +226,22 @@ WITH sh AS (
          list_distinct([array_to_string(t[i+1:i+3], ' ') FOR i IN range(len(t) - 2)]) AS sh
   FROM (SELECT doc_id, source, {TOKS_SQL} AS t FROM documents)
   WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, source, unnest(sh) AS s, len(sh) AS n_sh FROM sh),
+kept AS (
+  SELECT *, count(*) OVER (PARTITION BY source, s) AS df
+  FROM ex QUALIFY df > 1 AND df <= {Q26_DF_MAX}
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter,
+         min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
+  FROM kept a JOIN kept b
+    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+FROM inter
 """
 
 
