@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import cleanse
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
-from hospital_data_engineering_pipeline_end_to_end_project_spark.sources import schemas
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources import delta_io, schemas
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
     CORRUPT_COL,
     read_csv,
@@ -171,33 +171,74 @@ ENTITIES: dict[str, EntitySpec] = {
 
 
 class SilverStore:
-    """Parquet-backed versioned state store, one directory per entity.
+    """Versioned SCD2 state store, one directory per entity.
 
-    ``merge`` writes the new state beside the old and swaps via rename
-    (documented non-atomicity of the OSS-parquet path; the Delta path
-    would commit through its log).
+    Two backends, selected by ``state_format``:
+
+    - ``"parquet"`` (default, always available): ``apply_batch``
+      computes the full new state DataFrame and swaps it in via
+      write-new/rename (documented non-atomicity of the OSS-parquet
+      path; merge cost is |current| + |batch| in compute but the
+      write rewrites the whole state).
+    - ``"delta"`` (requires ``delta-spark``; parity with the
+      reference's at-rest layer, ``Silver Layer.py:84-120``):
+      ``apply_batch`` runs one in-place Delta ``MERGE`` — atomic
+      through the transaction log, and the write cost scales with the
+      touched files, not |history|.  Raises ``ImportError`` with an
+      actionable message when delta-spark isn't installed.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, state_format: str = "parquet"):
+        if state_format not in ("parquet", "delta"):
+            raise ValueError(f"unknown state_format: {state_format!r}")
+        if state_format == "delta":
+            delta_io.require_delta()
         self.spark = spark
         self.root = root
+        self.state_format = state_format
 
     def path(self, entity: str) -> str:
         return os.path.join(self.root, "silver", entity)
 
     def exists(self, entity: str) -> bool:
+        if self.state_format == "delta":
+            return delta_io.is_delta_table(self.spark, self.path(entity))
         return os.path.exists(os.path.join(self.path(entity), "_SUCCESS"))
 
     def read(self, entity: str) -> DataFrame:
+        if self.state_format == "delta":
+            return delta_io.read_delta(self.spark, self.path(entity))
         return self.spark.read.parquet(self.path(entity))
 
     def write(self, entity: str, df: DataFrame) -> None:
         target = self.path(entity)
+        if self.state_format == "delta":
+            delta_io.write_delta(df, target)
+            return
         tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(target):
             shutil.rmtree(target)
         os.replace(tmp, target)
+
+    def apply_batch(
+        self,
+        spec: EntitySpec,
+        batch: DataFrame,
+        processing_date: str,
+    ) -> None:
+        """SCD2-merge one cleansed batch into the entity's state."""
+        if not self.exists(spec.name):
+            self.write(spec.name, scd2.initial_load(batch, spec.scd2, processing_date))
+        elif self.state_format == "delta":
+            delta_io.scd2_delta_merge(
+                self.spark, self.path(spec.name), batch, spec.scd2, processing_date
+            )
+        else:
+            self.write(
+                spec.name,
+                scd2.merge(self.read(spec.name), batch, spec.scd2, processing_date),
+            )
 
 
 def read_bronze(spark: SparkSession, raw_dir: str, spec: EntitySpec) -> DataFrame:
@@ -233,11 +274,7 @@ def run_silver_entity(
     batch = batch.dropDuplicates()  # exact dupe rows (Silver Layer.py:175)
     batch = cleanse.require_keys(batch, spec.keys)
 
-    if store.exists(spec.name):
-        state = scd2.merge(store.read(spec.name), batch, spec.scd2, processing_date)
-    else:
-        state = scd2.initial_load(batch, spec.scd2, processing_date)
-    store.write(spec.name, state)
+    store.apply_batch(spec, batch, processing_date)
 
     written = store.read(spec.name)
     metrics = {
@@ -250,9 +287,13 @@ def run_silver_entity(
 
 
 def run_silver(
-    spark: SparkSession, raw_dir: str, warehouse: str, processing_date: str
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse: str,
+    processing_date: str,
+    state_format: str = "parquet",
 ) -> dict[str, dict[str, int]]:
-    store = SilverStore(spark, warehouse)
+    store = SilverStore(spark, warehouse, state_format=state_format)
     return {
         name: run_silver_entity(spark, raw_dir, store, spec, processing_date)
         for name, spec in ENTITIES.items()
