@@ -26,23 +26,117 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers
 
 
 # ---------------------------------------------------------------------------
-# q40 — the medallion engine end-to-end (rows-only)
+# q40 — the medallion engine end-to-end, oracle-checked
+#
+# The raw fixture lives at a DETERMINISTIC path (seeded datagen,
+# atomic tmp+rename publish) so the DuckDB oracle can re-derive the
+# revenue mart end-to-end from the very same files: NDJSON billing ->
+# explode line_items -> marker-aware scrub-casts -> exact-dup DISTINCT
+# -> key requirement -> latest-wins batch dedupe -> year/month revenue
+# aggregate.  This is a full-value check of the medallion centerpiece
+# (Silver Layer.py billing block + Gold Layer.py:260-272), not just a
+# row count.
 # ---------------------------------------------------------------------------
+
+Q40_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "hospital_q40_fixture")
+Q40_GEN = dict(
+    seed=42, n_patients=80, n_doctors=15, n_admissions=120,
+    n_vitals=120, n_procedures=120, n_billing=120,
+)
+
+
+def ensure_q40_fixture() -> str:
+    """Generate the seeded raw fixture once (idempotent; billing_raw
+    .json is written last, so its presence marks a complete dir)."""
+    if not os.path.exists(os.path.join(Q40_FIXTURE_DIR, "billing_raw.json")):
+        import shutil
+        import uuid
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.testing import datagen
+
+        tmp = f"{Q40_FIXTURE_DIR}.tmp-{uuid.uuid4().hex[:8]}"
+        datagen.generate(tmp, **Q40_GEN)
+        shutil.rmtree(Q40_FIXTURE_DIR, ignore_errors=True)
+        os.replace(tmp, Q40_FIXTURE_DIR)
+    return Q40_FIXTURE_DIR
+
+
+#: registry hook — called from oracle_sql() so the fixture exists no
+#: matter which side (Spark query vs DuckDB oracle) the driver runs
+#: first
+PREPARE = ensure_q40_fixture
+
 
 def q40_hospital_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import medallion, star
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.testing import datagen
 
-    base = tempfile.mkdtemp(prefix="hospital_e2e_")
-    raw, wh = os.path.join(base, "raw"), os.path.join(base, "wh")
-    datagen.generate(
-        raw, seed=42, n_patients=80, n_doctors=15, n_admissions=120,
-        n_vitals=120, n_procedures=120, n_billing=120,
-    )
+    raw = ensure_q40_fixture()
+    wh = os.path.join(tempfile.mkdtemp(prefix="hospital_e2e_"), "wh")
     medallion.run_silver(spark, raw, wh, "2026-01-15")
     star.run_gold(spark, wh)
     mart = spark.read.parquet(os.path.join(wh, "gold", "agg_revenue_month"))
     return mart.orderBy("year", "month")
+
+
+_MARKERS_SQL = "'ERR','TEMP_ERR','COST_ERR','EXP_ERR','BAD_AMOUNT','','-','null','NULL','N/A'"
+
+
+def _clean_sql(expr: str, target: str) -> str:
+    """DuckDB mirror of cleanse.clean_cast: trim, null the error
+    markers, try_cast."""
+    t = f"trim({expr})"
+    return (
+        f"try_cast(CASE WHEN {t} IS NULL OR {t} IN ({_MARKERS_SQL}) "
+        f"THEN NULL ELSE {t} END AS {target})"
+    )
+
+
+_AMOUNT_SQL = (
+    # cleanse.regex_scrub_cast: trim -> marker-null -> strip non-numeric
+    # chars (global!) -> ''->NULL -> try_cast
+    "try_cast(nullif(regexp_replace("
+    f"CASE WHEN trim(li.amount) IS NULL OR trim(li.amount) IN ({_MARKERS_SQL}) "
+    "THEN NULL ELSE trim(li.amount) END, '[^0-9.\\-]', '', 'g'), '') AS DOUBLE)"
+)
+
+Q40_SQL = f"""
+WITH raw AS (
+  SELECT billing_id, patient_id, line_items, total, billing_date
+  FROM read_json('{Q40_FIXTURE_DIR}/billing_raw.json',
+                 format = 'newline_delimited',
+                 columns = {{billing_id: 'VARCHAR', patient_id: 'VARCHAR',
+                             line_items: 'STRUCT(service VARCHAR, amount VARCHAR)[]',
+                             total: 'VARCHAR', billing_date: 'VARCHAR'}})
+),
+ex AS (
+  SELECT billing_id, patient_id, unnest(line_items) AS li, total, billing_date
+  FROM raw
+),
+cleansed AS (
+  SELECT billing_id, patient_id, li.service AS service,
+         {_AMOUNT_SQL} AS amount,
+         {_clean_sql('total', 'DOUBLE')} AS total,
+         {_clean_sql('billing_date', 'DATE')} AS billing_date
+  FROM ex
+),
+batch AS (
+  SELECT DISTINCT * FROM cleansed
+  WHERE billing_id IS NOT NULL AND service IS NOT NULL
+),
+deduped AS (
+  SELECT * FROM batch
+  QUALIFY row_number() OVER (
+    PARTITION BY billing_id, service
+    ORDER BY patient_id DESC NULLS LAST, amount DESC NULLS LAST,
+             total DESC NULLS LAST, billing_date DESC NULLS LAST) = 1
+)
+SELECT year(billing_date) AS year, month(billing_date) AS month,
+       round(CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_revenue,
+       count(*) AS n_line_items
+FROM deduped
+GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +312,9 @@ QUERIES = {
 }
 
 ORACLES = {
-    # q40 rows-only: inputs are engine-generated, not the shared views
+    # q40's oracle reads the deterministic raw fixture directly and
+    # replays the whole billing medallion pipeline in SQL
+    "q40_hospital_medallion_e2e": Q40_SQL,
     "q41_catalog_ctas": Q41_SQL,
     "q42_group_mean_deviation": Q42_SQL,
     "q43_regex_token_count": Q43_SQL,

@@ -42,5 +42,10 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _modules():
+        # a module may need side-input fixtures materialized before its
+        # oracle SQL can run (q40 reads a generated raw file)
+        prepare = getattr(m, "PREPARE", None)
+        if prepare is not None:
+            prepare()
         out.update(m.ORACLES)
     return out
