@@ -100,20 +100,28 @@ def range_join_binned(
     interval density, not |left| x |right|.  ``bin_width_sec`` should
     be on the order of the typical interval length.
     """
-    ls = left_start.cast("long")
-    le = left_end.cast("long")
-    lbins = left.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                (ls / bin_width_sec).cast("long"),
-                ((le - F.lit(1)) / bin_width_sec).cast("long"),
-            )
-        ),
-    ).withColumn("__ls", ls).withColumn("__le", le)
-    rt = right_time.cast("long")
-    rbins = right.withColumn("__bin", (rt / bin_width_sec).cast("long")).withColumn(
-        "__rt", rt
+    # exact floor division on longs: double division + cast truncates
+    # toward zero (negative epochs land in the wrong bin — a DROPPED
+    # match, since the residual predicate only removes false positives)
+    # and loses precision past 2^53.  Subtracting the non-negative
+    # pmod remainder first makes plain integral DIV an exact floor.
+    w = int(bin_width_sec)
+
+    def _floor_bin(col: str) -> Column:
+        return F.expr(f"({col} - pmod({col}, {w})) DIV {w}")
+
+    lbins = (
+        left.withColumn("__ls", left_start.cast("long"))
+        .withColumn("__le", left_end.cast("long"))
+        .withColumn("__le1", F.col("__le") - F.lit(1))
+        .withColumn(
+            "__bin",
+            F.explode(F.sequence(_floor_bin("__ls"), _floor_bin("__le1"))),
+        )
+        .drop("__le1")
+    )
+    rbins = right.withColumn("__rt", right_time.cast("long")).withColumn(
+        "__bin", _floor_bin("__rt")
     )
     cond = (F.col("l.__bin") == F.col("r.__bin")) & (
         F.col("r.__rt") >= F.col("l.__ls")

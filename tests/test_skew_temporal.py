@@ -90,6 +90,23 @@ def test_range_join_binned_boundaries(spark):
     )
 
 
+def test_range_join_binned_negative_epochs(spark):
+    # pre-1970 times: truncation-toward-zero binning (the old
+    # double-divide + cast) puts t=-99 and start=-120 in DIFFERENT
+    # bins and silently drops the match; floor binning keeps them
+    left = spark.createDataFrame([(1, -120, -80)], "lid long, s long, e long")
+    right = spark.createDataFrame(
+        [(10, -99), (11, -120), (12, -80), (13, -121)], "rid long, t long"
+    )
+    out = temporal.range_join_binned(
+        left, right, on=None,
+        left_start=F.col("s"), left_end=F.col("e"),
+        right_time=F.col("t"), bin_width_sec=50,
+    )
+    got = {(r["lid"], r["rid"]) for r in out.select("l.lid", "r.rid").collect()}
+    assert got == {(1, 10), (1, 11)}, "half-open [-120, -80): -99/-120 in"
+
+
 def test_sessionize_gap_boundaries(spark):
     df = spark.createDataFrame(
         [(1, 0), (1, 100), (1, 101), (1, 300), (2, 0)],
