@@ -1,0 +1,195 @@
+"""Training-data preparation operators (LLM-pipeline extensions).
+
+The ops a pretraining corpus pipeline runs after dedup/quality
+filtering: deterministic train/val/test splitting, per-group caps
+(class balancing), fixed-window sequence packing, document chunking,
+and TF-IDF term scoring.  All are pure Column-expression plans —
+no Python row path, one shuffle each (or none), so they hold at
+100 TB — and every one is deterministic via md5-derived ordering,
+never ``rand()``/``hash()`` (engine-specific, non-replayable).
+
+Cross-engine exactness notes (the DuckDB oracles recompute these
+bit-for-bit):
+
+- split buckets are md5 *hex-prefix strings* compared
+  lexicographically — avoids hex->int conversion, which the two
+  engines expose differently;
+- tf-idf uses the rational idf ``(N+1)/(df+1)`` — a single IEEE
+  division, bit-identical everywhere, unlike ``ln`` whose libm
+  rounding differs across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 4 hex chars = 65536 buckets; thresholds are cumulative-weight
+#: boundaries rendered as zero-padded hex strings
+SPLIT_PREFIX_LEN = 4
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, upper_bound_hex_exclusive)] in declaration order;
+    the last split's bound is None (catch-all)."""
+    total = sum(weights.values())
+    n_buckets = 16**SPLIT_PREFIX_LEN
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = format(int(acc * n_buckets), f"0{SPLIT_PREFIX_LEN}x")
+        out.append((name, bound))
+    out.append((names[-1], None))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Stable train/val/test assignment by md5 bucket of the id.
+
+    The assignment is a pure function of the id (+ optional salt), so
+    it is reproducible across runs, engines, and re-shards — the
+    property that actually matters for split integrity at corpus
+    scale (a ``rand()`` split re-rolls membership every run).  Adds
+    ``bucket`` (hex prefix) and ``split``.  No shuffle at all: this is
+    a narrow projection.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, SPLIT_PREFIX_LEN)
+    expr: Column | None = None
+    for name, bound in split_thresholds(weights):
+        if bound is None:
+            expr = expr.otherwise(F.lit(name)) if expr is not None else F.lit(name)
+        else:
+            cond = bucket < bound
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def group_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Deterministic per-group downsample to at most ``cap`` rows —
+    class balancing for over-represented sources/languages.
+
+    Selection order is md5(id) (a stable uniform shuffle within the
+    group), id as total tiebreak.  One shuffle on the group key; at
+    scale a skewed group is bounded by the window's per-partition
+    sort, and the output per group is capped by construction.
+    Adds ``sample_rank`` (1-based within group).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (pretraining batch layout).
+
+    Documents are laid out consecutively in deterministic ``order_col``
+    order (per group); a document belongs to the fixed-size token
+    window its START offset falls in: ``pack_id = start_offset DIV
+    budget``.  This is the streaming concatenation layout (documents
+    may straddle window boundaries, exactly like GPT-style pretraining
+    token streams) — not bin packing, which is iterative and
+    data-dependent.  Integer window cumsum: exact in both engines.
+    Adds ``start_offset`` and ``pack_id``.
+    """
+    keys = group_cols or []
+    w = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(token_col).cast("long")
+    return df.withColumn("start_offset", F.sum(toks).over(w) - toks).withColumn(
+        "pack_id", F.expr(f"start_offset DIV {int(budget)}")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    window: int,
+) -> DataFrame:
+    """Split each document into fixed-size token windows.
+
+    Emits one row per chunk: ``chunk_id`` (0-based), ``tok_start``
+    inclusive, ``tok_end`` exclusive (capped at the doc's token
+    count).  Zero-token documents emit nothing.  Narrow explode — no
+    shuffle; output row count is sum(ceil(n/window)).
+    """
+    n = F.col(token_col).cast("long")
+    w = int(window)
+    # ceil-div on positive ints (token counts << 2^53, double is exact)
+    n_chunks = F.floor((n + (w - 1)) / F.lit(w)).cast("long")
+    return (
+        df.filter(n > 0)
+        .withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+        )
+        .withColumn("tok_start", F.col("chunk_id") * w)
+        .withColumn("tok_end", F.least(F.col("tok_start") + w, n))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    term_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    ``docs`` must already be exploded to (id, term) rows (one per
+    token occurrence).  Score = ``tf * (N + 1) / (df + 1)`` — the
+    rational idf form: integer-valued numerator and denominator, one
+    IEEE double division, so Spark and any SQL engine produce the
+    identical float64 (``ln``-based idf differs in the last ulp across
+    libms and breaks exact comparison; the ranking is the same).
+
+    Shape: two shuffles (doc-term tf, then term df) + a term-keyed
+    join; the df side is |vocab|-sized.  Deterministic top-k ties
+    break on the term string.
+    """
+    tf = docs.groupBy(id_col, term_col).agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a broadcast scalar, not a driver-side .count():
+    # the whole plan stays one lazy job
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, term_col)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col(term_col),
+            F.col("tf"),
+            F.col("df"),
+            (F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1)).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc(term_col))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+    )
