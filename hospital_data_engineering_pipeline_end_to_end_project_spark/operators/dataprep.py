@@ -153,6 +153,41 @@ def chunk_documents(
     )
 
 
+def contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_bench: Column,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination probe: per training doc, how many of
+    its distinct word ``shingle_n``-grams appear anywhere in the
+    benchmark slice (``is_bench`` rows).
+
+    The benchmark side is an eval suite — small by definition — so it
+    is BROADCAST into a shingle equi-join: the corpus side never
+    shuffles; each partition streams past the benchmark shingle set.
+    Docs with zero overlap are absent from the output (join, not
+    left join): the common case produces no rows at all.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+
+    bench_sh = (
+        df.filter(is_bench)
+        .select(F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias("s"))
+        .distinct()
+    )
+    train_sh = df.filter(~is_bench).select(
+        id_col,
+        F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias("s"),
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_shingles"))
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str,

@@ -186,12 +186,151 @@ QUALIFY term_rank <= {Q54_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q55 — benchmark decontamination (n-gram overlap against an eval set)
+#
+# The canonical pretraining hygiene op: drop/flag training docs that
+# share long word n-grams with a benchmark/eval set.  The benchmark
+# here is a deterministic slice of the corpus (doc_id % 20 == 0, ~5%);
+# in production it is the actual eval suite — small, which is why the
+# contaminated-shingle probe is a BROADCAST semi-join: the corpus side
+# never shuffles, each partition streams past the benchmark shingles.
+# ---------------------------------------------------------------------------
+
+Q55_SHINGLE_N = 5
+Q55_MOD = 20
+
+
+def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.contamination(
+        d, "doc_id", "text", F.col("doc_id") % Q55_MOD == 0, Q55_SHINGLE_N
+    )
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB word-n-gram mirror of TX.shingles (same guard/layout as
+    the q25/q26 oracles)."""
+    return (
+        f"list_distinct([array_to_string(t[i+1:i+{n}], ' ') "
+        f"FOR i IN range(len(t) - {n - 1})])"
+    )
+
+
+Q55_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_sql(Q55_SHINGLE_N)} AS sh
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= {Q55_SHINGLE_N}
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % {Q55_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % {Q55_MOD} <> 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_shingles
+FROM train JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q56 — repetition statistics (Gopher/RefinedWeb-style quality signal)
+# ---------------------------------------------------------------------------
+
+Q56_SHINGLE_N = 3
+
+
+def q56_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "doc_id", F.explode(TX.shingles("text", Q56_SHINGLE_N)).alias("s")
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_ratio"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+Q56_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         [array_to_string(t[i+1:i+{Q56_SHINGLE_N}], ' ')
+          FOR i IN range(len(t) - {Q56_SHINGLE_N - 1})] AS sh
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= {Q56_SHINGLE_N}
+),
+per AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+  GROUP BY doc_id, s
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ratio,
+       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
+FROM per
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — PII scrubbing (email / long-digit-run redaction)
+# ---------------------------------------------------------------------------
+
+# patterns kept to the regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{9,}"
+
+
+def q57_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, LONGNUM_RE, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(LONGNUM_RE), 0))
+        .cast("long")
+        .alias("n_long_numbers"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+Q57_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{LONGNUM_RE}')) AS BIGINT)
+         AS n_long_numbers,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{LONGNUM_RE}', '<NUM>', 'g')) AS clean_hash
+FROM documents
+"""
+
+
 QUERIES = {
     "q50_hash_split": q50_hash_split,
     "q51_group_cap": q51_group_cap,
     "q52_pack_sequences": q52_pack_sequences,
     "q53_chunk_documents": q53_chunk_documents,
     "q54_tfidf_top_terms": q54_tfidf_top_terms,
+    "q55_decontaminate": q55_decontaminate,
+    "q56_repetition_stats": q56_repetition_stats,
+    "q57_pii_scrub": q57_pii_scrub,
 }
 
 ORACLES = {
@@ -200,4 +339,7 @@ ORACLES = {
     "q52_pack_sequences": Q52_SQL,
     "q53_chunk_documents": Q53_SQL,
     "q54_tfidf_top_terms": Q54_SQL,
+    "q55_decontaminate": Q55_SQL,
+    "q56_repetition_stats": Q56_SQL,
+    "q57_pii_scrub": Q57_SQL,
 }

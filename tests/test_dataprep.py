@@ -122,6 +122,66 @@ def test_tfidf_rare_term_beats_common(spark):
     assert got[1] == "the", "tie at score 2.0 breaks lexicographically"
 
 
+def test_contamination_planted_and_broadcast(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, bench_text),                                      # benchmark doc
+        (1, "intro words then alpha beta gamma delta epsilon tail"),  # copies a 5-gram
+        (2, "totally unrelated text with no overlap at all here"),
+        (3, "alpha beta gamma but too short overlap"),        # only 3-gram shared
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.dataprep import contamination
+
+    out = contamination(d, "doc_id", "text", F.col("doc_id") == 0, shingle_n=5)
+    got = {r["doc_id"]: r["n_contaminated_shingles"] for r in out.collect()}
+    assert got == {1: 1}, (
+        "doc 1 shares exactly 'alpha beta gamma delta epsilon'; 2 & 3 clean"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
+        "benchmark shingle probe must broadcast, never shuffle the corpus"
+    )
+
+
+def test_repetition_stats_flag_degenerate_doc(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+
+    rows = [(1, "spam ham spam ham spam ham spam ham spam ham"),
+            (2, "one two three four five six seven eight nine ten")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    per = (
+        d.select("doc_id", F.explode(TX.shingles("text", 3)).alias("s"))
+        .groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_ratio"))
+    )
+    got = {r["doc_id"]: r["top_ratio"] for r in per.collect()}
+    assert got[1] > 0.4, "degenerate 2-word loop: one shingle dominates"
+    assert got[2] < 0.2, "all-unique text: flat shingle distribution"
+
+
+def test_pii_scrub_planted(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.data_prep import (
+        EMAIL_RE,
+        LONGNUM_RE,
+    )
+
+    rows = [(1, "contact ada.stone@example.com or card 1234567890123 now")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = d.select(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0)).alias("e"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(LONGNUM_RE), 0)).alias("n"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            LONGNUM_RE,
+            "<NUM>",
+        ).alias("clean"),
+    ).collect()[0]
+    assert out["e"] == 1 and out["n"] == 1
+    assert out["clean"] == "contact <EMAIL> or card <NUM> now"
+
+
 def test_q50_weights_cover_default():
     names = [n for n, _ in dataprep.split_thresholds(DP.SPLIT_WEIGHTS)]
     assert names == ["train", "val", "test"]
