@@ -2,9 +2,11 @@
 
 The reference's sinks are Delta ``saveAsTable`` overwrites and
 ``partitionBy("year","month")`` fact writes (`Gold Layer.py:153-156`).
-This engine targets vanilla OSS Spark: Parquet paths/tables with the
-same layout decisions, Delta used automatically if ``delta-spark`` is
-importable (it is not baked into this container).
+This engine defaults to Parquet paths/tables with the same layout
+decisions; passing ``fmt="delta"`` routes through ``delta_io`` (atomic
+log commit + ``overwriteSchema``) and fails fast with an actionable
+ImportError when delta-spark isn't installed (it is not baked into
+this container).
 
 Layout notes for 100 TB: partition columns must stay low-cardinality
 (year/month ~ 12/yr is fine); within partitions rely on parquet row
@@ -18,11 +20,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources import delta_io
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+
+def write_table(
+    df: DataFrame, path: str, mode: str = "overwrite", fmt: str = "parquet"
+) -> None:
     """Overwrite-save a table directory (parity with
     ``df.write.format("delta").mode("overwrite").saveAsTable``,
     `Silver Layer.py:120`)."""
+    if fmt == "delta":
+        delta_io.require_delta()
+        df.write.format("delta").mode(mode).option(
+            "overwriteSchema", "true"
+        ).save(path)
+        return
     df.write.mode(mode).parquet(path)
 
 
@@ -32,6 +44,7 @@ def write_partitioned(
     partition_cols: list[str],
     mode: str = "overwrite",
     coalesce_per_partition: bool = True,
+    fmt: str = "parquet",
 ) -> None:
     """Partitioned overwrite (parity with `Gold Layer.py:153-156`).
 
@@ -42,4 +55,9 @@ def write_partitioned(
     """
     if coalesce_per_partition and partition_cols:
         df = df.repartition(*partition_cols)
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    w = df.write.mode(mode).partitionBy(*partition_cols)
+    if fmt == "delta":
+        delta_io.require_delta()
+        w.format("delta").option("overwriteSchema", "true").save(path)
+        return
+    w.parquet(path)

@@ -49,6 +49,20 @@ def test_unknown_state_format_rejected(spark, tmp_path):
         medallion.SilverStore(spark, str(tmp_path), state_format="iceberg")
 
 
+@needs_no_delta
+def test_writers_delta_fmt_raises_actionable(spark, tmp_path):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.writers import (
+        write_partitioned,
+        write_table,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ImportError, match="delta-spark"):
+        write_table(df, str(tmp_path / "t"), fmt="delta")
+    with pytest.raises(ImportError, match="delta-spark"):
+        write_partitioned(df, str(tmp_path / "p"), ["id"], fmt="delta")
+
+
 @pytest.fixture(scope="module")
 def delta_spark():
     """A session carrying the Delta SQL extensions (only built where
