@@ -80,6 +80,29 @@ def windowed_event_counts(
     )
 
 
+def dedupe_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark``: a key is remembered only until
+    the watermark passes its first-seen event time, then its dedup
+    state is evicted — so state is O(keys per watermark horizon), not
+    O(all keys ever), which is the difference between a pipeline that
+    runs forever and one that OOMs after a week.  Duplicates arriving
+    inside the horizon (the at-least-once-delivery case this op
+    exists for) are dropped; a re-delivery later than the watermark is
+    out of contract, exactly like late data in the windowed agg.
+    Plain ``dropDuplicates`` on a stream would keep every key forever.
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def scd2_sink(
     stream: DataFrame,
     store: SilverStore,

@@ -56,6 +56,45 @@ def test_windowed_counts_from_file_stream(spark, tmp_path):
     assert got[("2026-01-01 11:00:00", "view")] == (1, 0.5)
 
 
+def test_stream_dedupe_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dup_events")
+    os.makedirs(src)
+    # duplicate event_id 1 within one batch and again across batches
+    _write_batch(
+        src, "b0.json",
+        [{"event_id": 1, "ts": "2026-01-01T10:00:00", "user_id": 1,
+          "event_type": "click", "value": 1.0},
+         {"event_id": 1, "ts": "2026-01-01T10:00:01", "user_id": 1,
+          "event_type": "click", "value": 1.0},
+         {"event_id": 2, "ts": "2026-01-01T10:01:00", "user_id": 2,
+          "event_type": "view", "value": 2.0}],
+    )
+    _write_batch(
+        src, "b1.json",
+        [{"event_id": 1, "ts": "2026-01-01T10:05:00", "user_id": 1,
+          "event_type": "click", "value": 1.0},
+         {"event_id": 3, "ts": "2026-01-01T10:06:00", "user_id": 3,
+          "event_type": "click", "value": 3.0}],
+    )
+    stream = ingest.read_event_stream(spark, src, max_files_per_trigger=1)
+    deduped = ingest.dedupe_event_stream(stream, ["event_id"], "ts", "2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = sorted(
+            r["event_id"]
+            for r in spark.sql("SELECT event_id FROM dedup_stream").collect()
+        )
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3], "intra- and cross-batch re-deliveries dropped"
+
+
 def test_scd2_sink_versions_across_microbatches(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     wh = str(tmp_path / "wh")
