@@ -164,6 +164,85 @@ def build_agg_admissions_reason_month(fact_admissions: DataFrame) -> DataFrame:
     )
 
 
+#: fact name -> (builder, date column its year/month partitions derive
+#: from) — shared by the full rebuild and the incremental refresh
+FACT_BUILDERS = {
+    "fact_admissions": (build_fact_admissions, "admission_date"),
+    "fact_billing": (build_fact_billing, "billing_date"),
+    "fact_vitals": (build_fact_vitals, "measured_at"),
+    "fact_procedures": (build_fact_procedures, "performed_at"),
+}
+
+
+def months_touched(df: DataFrame, date_col: str) -> list[tuple[int, int]]:
+    """Distinct non-null (year, month) pairs of a batch — the
+    partitions an incremental Gold refresh must rewrite.  Bounded
+    collect: cardinality is months-in-batch, a few hundred at most."""
+    rows = (
+        df.select(F.year(date_col).alias("y"), F.month(date_col).alias("m"))
+        .filter(F.col("y").isNotNull())
+        .distinct()
+        .collect()
+    )
+    return sorted((r["y"], r["m"]) for r in rows)
+
+
+def refresh_fact_partitions(
+    spark: SparkSession,
+    warehouse: str,
+    fact_name: str,
+    months: list[tuple[int, int]],
+) -> int:
+    """Incrementally rewrite ONLY the given (year, month) partitions
+    of one fact — dynamic partition overwrite, the 100 TB answer to
+    the reference's rebuild-everything Gold runs (`Gold Layer.py`
+    rewrites every fact wholesale on every execution).
+
+    Cost scales with the touched months' data, not the fact's total
+    history: the builder's plan is partition-pruned by the month
+    filter before the scan, and ``partitionOverwriteMode=dynamic``
+    replaces only the partition directories present in the written
+    frame, leaving every other partition's files untouched.
+
+    Returns the number of rows written.  NULL-dated rows live in the
+    HIVE default partition and are only rewritten by a full
+    ``run_gold``.
+    """
+    builder, _ = FACT_BUILDERS[fact_name]
+    df = builder(SilverStore(spark, warehouse))
+    pred = F.lit(False)
+    for y, m in months:
+        pred = pred | ((F.col("year") == y) & (F.col("month") == m))
+    sub = df.filter(pred).repartition("year", "month")
+    (
+        sub.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year", "month")
+        .parquet(os.path.join(warehouse, "gold", fact_name))
+    )
+    return spark.read.parquet(os.path.join(warehouse, "gold", fact_name)).filter(
+        pred
+    ).count()
+
+
+def refresh_marts(spark: SparkSession, warehouse: str) -> dict[str, int]:
+    """Rebuild the aggregate marts from the (possibly incrementally
+    refreshed) facts.  Marts are months x small-dimension aggregates —
+    tiny relative to facts — so a full rebuild is the right trade at
+    any scale."""
+    gold = os.path.join(warehouse, "gold")
+    fb = spark.read.parquet(os.path.join(gold, "fact_billing"))
+    fa = spark.read.parquet(os.path.join(gold, "fact_admissions"))
+    counts = {}
+    for name, df in {
+        "agg_revenue_month": build_agg_revenue_month(fb),
+        "agg_admissions_reason_month": build_agg_admissions_reason_month(fa),
+    }.items():
+        write_table(df, os.path.join(gold, name))
+        counts[name] = spark.read.parquet(os.path.join(gold, name)).count()
+    return counts
+
+
 def run_gold(spark: SparkSession, warehouse: str) -> dict[str, int]:
     """Build and persist the full Gold layer; returns row counts."""
     store = SilverStore(spark, warehouse)
@@ -174,12 +253,7 @@ def run_gold(spark: SparkSession, warehouse: str) -> dict[str, int]:
         "dim_doctor": build_dim_doctor(store),
         "dim_date": build_dim_date(spark, store),
     }
-    facts = {
-        "fact_admissions": build_fact_admissions(store),
-        "fact_billing": build_fact_billing(store),
-        "fact_vitals": build_fact_vitals(store),
-        "fact_procedures": build_fact_procedures(store),
-    }
+    facts = {name: b(store) for name, (b, _) in FACT_BUILDERS.items()}
 
     counts: dict[str, int] = {}
     for name, df in dims.items():
