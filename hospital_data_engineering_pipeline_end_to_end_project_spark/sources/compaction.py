@@ -1,0 +1,78 @@
+"""Small-file compaction for parquet table directories.
+
+The chronic operational failure mode of long-lived Spark tables:
+every micro-batch / incremental write adds a few files, and a year
+later the table is a million 2 MB files — list+open overhead dwarfs
+the actual scan, and the NameNode/object-store listing itself becomes
+the bottleneck.  Compaction rewrites a directory into size-targeted
+files (Delta calls this OPTIMIZE; this is the OSS-parquet analog,
+published via the same atomic tmp+rename swap as ``SilverStore``).
+
+Scale notes: the rewrite is one shuffle sized by ``ceil(bytes /
+target)``; for hive-partitioned tables ``repartition(partition_cols)``
+lands each partition's rows in one task → one output file per
+partition, which is the right end-state for low-cardinality
+(year, month) layouts.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(total_bytes, n_files) over the parquet data files under path."""
+    total = 0
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+    return total, n
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    partition_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Rewrite a parquet directory into size-targeted files.
+
+    Unpartitioned: ``repartition(ceil(bytes / target))``.
+    Partitioned: ``repartition(*partition_cols)`` (one file per hive
+    partition — callers with huge single partitions should compact
+    those separately with a larger target).  The rewrite publishes via
+    write-to-temp + atomic rename, so readers never observe a partial
+    table.  Returns before/after file counts and bytes.
+    """
+    bytes_before, files_before = _dir_stats(path)
+    df = spark.read.parquet(path)
+    if partition_cols:
+        out = df.repartition(*partition_cols)
+        writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        n = max(1, math.ceil(bytes_before / target_file_bytes))
+        out = df.repartition(n)
+        writer = out.write.mode("overwrite")
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    writer.parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+    bytes_after, files_after = _dir_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+    }
