@@ -496,8 +496,71 @@ def q48_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# ---------------------------------------------------------------------------
+# q58 — embedding int8 quantization (the storage op for 100 TB
+# embedding tables: 4x smaller at-rest than float32, 8x than float64)
+#
+# Per vector: L2 norm, absmax scale, and the int8 codes summarized as
+# scalars (sum + md5 of the joined code string) because the driver
+# canon can't hash array cells.  Every step is exact cross-engine:
+# sqrt and single divisions are correctly-rounded IEEE, and rounding
+# is floor(x/scale + 0.5) — half-away-up on both engines, avoiding
+# round()'s banker's-vs-half-away divergence.
+# ---------------------------------------------------------------------------
+
+def q58_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double("embedding")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    qv = F.transform(v, lambda x: F.floor(x / (amax / 127.0) + 0.5).cast("int"))
+    return (
+        e.select(
+            "vec_id",
+            V.norm(v).alias("l2_norm"),
+            scale,
+            qv.alias("qv"),
+        )
+        .filter(F.col("scale") > 0)  # zero vectors are unquantizable
+        .select(
+            "vec_id",
+            "l2_norm",
+            "scale",
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.md5(
+                F.concat_ws(",", F.transform("qv", lambda x: x.cast("string")))
+            ).alias("q_md5"),
+        )
+    )
+
+
+Q58_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS l2_norm,
+         list_max([abs(x) FOR x IN embedding::DOUBLE[]]) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, l2_norm, scale,
+         [CAST(floor(x / scale + 0.5) AS INT) FOR x IN v] AS qv
+  FROM s WHERE scale > 0
+)
+SELECT vec_id, l2_norm, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       md5(array_to_string(qv, ',')) AS q_md5
+FROM q
+"""
+
+
 QUERIES = {
     "q20_exact_dup_groups": q20_exact_dup_groups,
+    "q58_quantize_embeddings": q58_quantize_embeddings,
     "q46_top_words_per_lang": q46_top_words_per_lang,
     "q47_json_extract": q47_json_extract,
     "q48_ivf_topk": q48_ivf_topk,
@@ -517,6 +580,7 @@ QUERIES = {
 
 ORACLES = {
     "q20_exact_dup_groups": Q20_SQL,
+    "q58_quantize_embeddings": Q58_SQL,
     "q46_top_words_per_lang": Q46_SQL,
     "q47_json_extract": Q47_SQL,
     # q48_ivf_topk intentionally omitted (rows-only)

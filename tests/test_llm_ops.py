@@ -136,3 +136,22 @@ def test_multimodal_stub_and_plumbing(spark, docs):
         multimodal.decode_media(b"xxx", "image/png")
     multimodal.register_decoder("image/png", lambda b: ("decoded", len(b)))
     assert multimodal.decode_media(b"xxx", "image/png") == ("decoded", 3)
+
+
+def test_quantization_roundtrip_fidelity(spark):
+    """int8 codes must reconstruct the vector to within scale/2 per
+    element, i.e. dequantized cosine vs the original ~1."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = V.as_double("embedding")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / 127.0
+    qv = F.transform(v, lambda x: F.floor(x / (amax / 127.0) + 0.5).cast("int"))
+    deq = F.transform(qv, lambda q: q.cast("double") * scale)
+    worst = (
+        e.select(V.cosine(v, deq).alias("c"))
+        .agg(F.min("c"))
+        .collect()[0][0]
+    )
+    assert worst > 0.995, f"dequantized cosine dropped to {worst}"
