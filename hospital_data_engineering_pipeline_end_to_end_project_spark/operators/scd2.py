@@ -166,6 +166,44 @@ def merge(
     return merged.unionByName(history.select(*out_cols))
 
 
+def pit_join(
+    facts: DataFrame,
+    state: DataFrame,
+    keys: list[str],
+    as_of_col: str,
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version
+    valid at its ``as_of_col`` date — the consumption pattern SCD2
+    history exists for (the reference materializes only current-row
+    dims, so historical facts silently join to today's attributes).
+
+    Validity is ``effective_date <= as_of < end_date`` with an open
+    end for current rows; on a version boundary day the NEW version
+    wins (expiry is exclusive), matching the merge's same-day
+    transition semantics.
+
+    Physical shape: equi-join on the business key (one shuffle), the
+    validity window as a residual predicate.  Per-key version counts
+    are bounded by change frequency, so the pre-filter fan-out is
+    |facts| x avg_versions — small — and AQE handles a hot key.
+    """
+    f = facts.alias("f")
+    s = state.alias("s")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"f.{k}") == F.col(f"s.{k}"))
+    as_of = F.col(f"f.{as_of_col}")
+    cond = (
+        cond
+        & (F.col(f"s.{EFFECTIVE}") <= as_of)
+        & (F.col(f"s.{END}").isNull() | (as_of < F.col(f"s.{END}")))
+    )
+    state_cols = [
+        F.col(f"s.{c}") for c in state.columns if c not in keys
+    ]
+    return f.join(s, cond).select("f.*", *state_cols)
+
+
 def validate(state: DataFrame, spec: Scd2Spec) -> dict[str, int]:
     """SCD2 invariant check (SURVEY 5.5): at most one current row per
     key; ``end_date >= effective_date``; expired rows have an end

@@ -65,5 +65,81 @@ FROM changed
 """
 
 
-QUERIES = {"q10_scd2_orders": q10_scd2_orders}
-ORACLES = {"q10_scd2_orders": Q10_SQL}
+# ---------------------------------------------------------------------------
+# q59 — point-in-time join against the versioned state: line items
+# carry an as-of date on either side of the D2 price bump, and each
+# must see the order version valid THEN (the reference's current-only
+# dims silently give historical facts today's attributes)
+# ---------------------------------------------------------------------------
+
+PIT_D1 = "2026-01-16"  # inside [D1, D2) — sees v1
+PIT_D2 = "2026-02-16"  # after D2 — sees the bumped version
+
+
+def _orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    spec = scd2.Scd2Spec(keys=["order_key"])
+    batch2 = base.filter(F.col("status") == "O").select(
+        "order_key",
+        (F.col("total_price") * 1.1).alias("total_price"),
+        F.lit("F").alias("status"),
+        "priority",
+    )
+    return scd2.merge(scd2.initial_load(base, spec, D1), batch2, spec, D2)
+
+
+def q59_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _orders_state(spark, sf_dir)
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 2 == 1, F.lit(PIT_D1).cast("date"))
+        .otherwise(F.lit(PIT_D2).cast("date"))
+        .alias("as_of"),
+    )
+    out = scd2.pit_join(facts, state, ["order_key"], "as_of")
+    return out.select(
+        "order_key", "l_linenumber", "as_of", "total_price", "status"
+    )
+
+
+Q59_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS order_key, o_totalprice AS total_price,
+         o_orderstatus AS status, o_orderpriority AS priority
+  FROM orders
+),
+changed AS (
+  SELECT order_key, total_price * 1.1 AS new_price, priority
+  FROM base WHERE status = 'O'
+),
+state AS (
+  SELECT b.order_key, b.total_price, b.status,
+         DATE '{D1}' AS effective_date,
+         CASE WHEN c.order_key IS NOT NULL THEN DATE '{D2}' END AS end_date
+  FROM base b LEFT JOIN changed c ON b.order_key = c.order_key
+  UNION ALL
+  SELECT order_key, new_price, 'F', DATE '{D2}', NULL FROM changed
+),
+facts AS (
+  SELECT l_orderkey AS order_key, l_linenumber,
+         CASE WHEN l_linenumber % 2 = 1 THEN DATE '{PIT_D1}'
+              ELSE DATE '{PIT_D2}' END AS as_of
+  FROM lineitem
+)
+SELECT f.order_key, f.l_linenumber, f.as_of, s.total_price, s.status
+FROM facts f JOIN state s
+  ON f.order_key = s.order_key
+ AND s.effective_date <= f.as_of
+ AND (s.end_date IS NULL OR f.as_of < s.end_date)
+"""
+
+
+QUERIES = {"q10_scd2_orders": q10_scd2_orders, "q59_pit_join": q59_pit_join}
+ORACLES = {"q10_scd2_orders": Q10_SQL, "q59_pit_join": Q59_SQL}

@@ -121,3 +121,30 @@ def test_duplicate_keys_in_batch_deduped(spark):
     s1 = scd2.initial_load(b1, spec, D1)
     assert s1.count() == 1
     assert s1.collect()[0]["age"] == 35, "latest-wins by order_by desc"
+
+
+def test_pit_join_boundary_day_picks_new_version(spark):
+    """On the transition day, expiry is exclusive and effectiveness is
+    inclusive — the new version wins; dates strictly inside a window
+    see that window's version."""
+    state = spark.createDataFrame(
+        [
+            (1, "v1", "2026-01-01", "2026-02-01", False),
+            (1, "v2", "2026-02-01", None, True),
+        ],
+        "k int, attr string, effective_date string, end_date string, is_current boolean",
+    ).selectExpr(
+        "k", "attr",
+        "CAST(effective_date AS DATE) AS effective_date",
+        "CAST(end_date AS DATE) AS end_date",
+        "is_current",
+    )
+    facts = spark.createDataFrame(
+        [(1, "2026-01-15"), (1, "2026-02-01"), (1, "2025-12-31")],
+        "k int, d string",
+    ).selectExpr("k", "CAST(d AS DATE) AS as_of")
+    out = scd2.pit_join(facts, state, ["k"], "as_of")
+    got = {str(r["as_of"]): r["attr"] for r in out.collect()}
+    assert got == {"2026-01-15": "v1", "2026-02-01": "v2"}, (
+        "boundary day -> v2; pre-history fact (2025-12-31) matches nothing"
+    )
