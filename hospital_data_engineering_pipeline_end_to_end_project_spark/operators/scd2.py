@@ -204,6 +204,46 @@ def pit_join(
     return f.join(s, cond).select("f.*", *state_cols)
 
 
+def cdc_feed(state: DataFrame, keys: list[str], date: str) -> DataFrame:
+    """Change-data-capture view of one merge day: what changed on
+    ``date``, as (key, op, before_*, after_*) rows — the feed a
+    downstream consumer (search index, cache, reverse ETL) subscribes
+    to instead of diffing full snapshots.
+
+    Derived purely from the SCD2 metadata: versions *effective* on
+    ``date`` are the after-image, versions *expired* on ``date`` the
+    before-image; a key with both is an ``update``, after-only is an
+    ``insert``, before-only a ``delete`` (not produced by this
+    engine's merge, but the feed supports consuming states that do).
+
+    One shuffle (the key join) over only the rows stamped with that
+    date — at 100 TB the effective/end date predicates prune to the
+    day's delta, never the full history.
+    """
+    entity_cols = [c for c in state.columns if c not in keys and c not in META_COLS]
+    after = state.filter(F.col(EFFECTIVE) == F.lit(date).cast("date")).alias("a")
+    before = state.filter(F.col(END) == F.lit(date).cast("date")).alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+    joined = after.join(before, cond, "full_outer")
+    has_after = F.col(f"a.{EFFECTIVE}").isNotNull()
+    has_before = F.col(f"b.{END}").isNotNull()
+    op = (
+        F.when(has_after & has_before, F.lit("update"))
+        .when(has_after, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+    )
+    out = [
+        *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
+        op.alias("op"),
+    ]
+    for c in entity_cols:
+        out.append(F.col(f"b.{c}").alias(f"before_{c}"))
+        out.append(F.col(f"a.{c}").alias(f"after_{c}"))
+    return joined.select(*out)
+
+
 def validate(state: DataFrame, spec: Scd2Spec) -> dict[str, int]:
     """SCD2 invariant check (SURVEY 5.5): at most one current row per
     key; ``end_date >= effective_date``; expired rows have an end

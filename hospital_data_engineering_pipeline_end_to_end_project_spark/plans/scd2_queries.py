@@ -141,5 +141,68 @@ FROM facts f JOIN state s
 """
 
 
-QUERIES = {"q10_scd2_orders": q10_scd2_orders, "q59_pit_join": q59_pit_join}
-ORACLES = {"q10_scd2_orders": Q10_SQL, "q59_pit_join": Q59_SQL}
+# ---------------------------------------------------------------------------
+# q60 — CDC feed for one merge day: the D2 batch bumps open orders
+# (updates) and lands synthetic new keys (inserts); the feed exposes
+# (key, op, before_*, after_*) without diffing snapshots
+# ---------------------------------------------------------------------------
+
+def q60_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    spec = scd2.Scd2Spec(keys=["order_key"])
+    bumped = base.filter(F.col("status") == "O").select(
+        "order_key",
+        (F.col("total_price") * 1.1).alias("total_price"),
+        F.lit("F").alias("status"),
+        "priority",
+    )
+    # strictly negative synthetic keys (-(k+1): key 0 maps to -1, so no
+    # collision with the non-negative existing key space)
+    fresh = base.filter(F.col("order_key") % 1000 == 0).select(
+        (-(F.col("order_key") + 1)).alias("order_key"),
+        "total_price",
+        F.lit("N").alias("status"),
+        "priority",
+    )
+    batch2 = bumped.unionByName(fresh)
+    state = scd2.merge(scd2.initial_load(base, spec, D1), batch2, spec, D2)
+    return scd2.cdc_feed(state, ["order_key"], D2)
+
+
+Q60_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS order_key, o_totalprice AS total_price,
+         o_orderstatus AS status, o_orderpriority AS priority
+  FROM orders
+)
+SELECT order_key, 'update' AS op,
+       total_price AS before_total_price,
+       total_price * 1.1 AS after_total_price,
+       status AS before_status, 'F' AS after_status,
+       priority AS before_priority, priority AS after_priority
+FROM base WHERE status = 'O'
+UNION ALL
+SELECT -(order_key + 1), 'insert',
+       NULL, total_price,
+       NULL, 'N',
+       NULL, priority
+FROM base WHERE order_key % 1000 = 0
+"""
+
+
+QUERIES = {
+    "q10_scd2_orders": q10_scd2_orders,
+    "q59_pit_join": q59_pit_join,
+    "q60_cdc_orders": q60_cdc_orders,
+}
+ORACLES = {
+    "q10_scd2_orders": Q10_SQL,
+    "q59_pit_join": Q59_SQL,
+    "q60_cdc_orders": Q60_SQL,
+}

@@ -148,3 +148,35 @@ def test_pit_join_boundary_day_picks_new_version(spark):
     assert got == {"2026-01-15": "v1", "2026-02-01": "v2"}, (
         "boundary day -> v2; pre-history fact (2025-12-31) matches nothing"
     )
+
+
+def test_cdc_feed_classifies_all_ops(spark):
+    """insert (after only), update (both sides), delete (before only —
+    consumable even though this engine's merge never emits one); rows
+    from other dates stay out of the feed."""
+    state = spark.createDataFrame(
+        [
+            # key 1: updated on D (v1 expired, v2 effective)
+            (1, "old", "2026-01-01", "2026-02-01", False),
+            (1, "new", "2026-02-01", None, True),
+            # key 2: inserted on D
+            (2, "born", "2026-02-01", None, True),
+            # key 3: expired on D with no successor -> delete
+            (3, "gone", "2026-01-01", "2026-02-01", False),
+            # key 4: untouched on D
+            (4, "idle", "2026-01-01", None, True),
+        ],
+        "k int, attr string, effective_date string, end_date string, is_current boolean",
+    ).selectExpr(
+        "k", "attr",
+        "CAST(effective_date AS DATE) AS effective_date",
+        "CAST(end_date AS DATE) AS end_date",
+        "is_current",
+    )
+    feed = scd2.cdc_feed(state, ["k"], "2026-02-01")
+    got = {r["k"]: (r["op"], r["before_attr"], r["after_attr"]) for r in feed.collect()}
+    assert got == {
+        1: ("update", "old", "new"),
+        2: ("insert", None, "born"),
+        3: ("delete", "gone", None),
+    }
