@@ -135,7 +135,7 @@ def scd2_delta_merge(
     )
     staged = staged_new.withColumn(_MATCH, F.lit(True)).unionByName(to_reinsert)
 
-    match_cond = f"{_MATCH} AND s.{scd2.CURRENT}"
+    match_cond = f"staged.{_MATCH} AND s.{scd2.CURRENT}"
     for k in spec.keys:
         match_cond += f" AND s.{k} <=> staged.{k}"
     changed_sql = " OR ".join(

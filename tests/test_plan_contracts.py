@@ -1,0 +1,58 @@
+"""Physical-plan contracts over the ENTIRE query catalog.
+
+Per-query plan asserts exist where they matter most (broadcast star
+joins, bucketed no-Exchange joins, LSH non-cartesian candidates); this
+sweep is the backstop that keeps every FUTURE query honest: no
+accidental cartesian products or unhinted nested-loop joins anywhere
+in the 60-query surface.
+
+Allow-listed BroadcastNestedLoopJoin occurrences are deliberate
+broadcast cross-joins whose broadcast side is bounded by contract:
+
+- q28_cosine_topk: the query side is a bounded top-k probe set (the
+  corpus-by-corpus cases route through LSH/IVF instead);
+- q54_tfidf_top_terms: a 1-row broadcast scalar (corpus doc count).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+BNLJ_ALLOWED = {"q28_cosine_topk", "q54_tfidf_top_terms"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in registry.queries().items():
+        df = fn(spark, SF)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_products_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"cartesian product in: {offenders}"
+
+
+def test_nested_loop_joins_only_where_bounded(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert offenders == [], (
+        f"unvetted nested-loop join in: {offenders} — either make it an "
+        "equi-join or justify the bounded broadcast side here"
+    )
+
+
+def test_allowed_nested_loops_are_broadcast(plans):
+    # the allow-list must stay what it claims: broadcast, never a
+    # shuffle-based nested loop
+    for n in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" in plans[n] or "CartesianProduct" not in plans[n]
