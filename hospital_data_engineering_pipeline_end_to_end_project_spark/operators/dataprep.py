@@ -228,3 +228,48 @@ def tfidf_top_terms(
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
     )
+
+
+def fraction_bound(fraction: float) -> str | None:
+    """Exclusive md5 hex-prefix upper bound for a sampling fraction,
+    or None for fraction >= 1 (keep everything — a 5-hex-char bound
+    would compare wrong lexicographically against 4-char buckets)."""
+    if fraction >= 1.0:
+        return None
+    n_buckets = 16**SPLIT_PREFIX_LEN
+    return format(int(fraction * n_buckets), f"0{SPLIT_PREFIX_LEN}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (corpus mixing).
+
+    Keeps a row iff its md5-hex bucket falls under the stratum's
+    fraction threshold; strata absent from ``fractions`` are dropped.
+    Membership is a pure function of the id, so the mixture is
+    reproducible across runs/engines and stable under re-sharding —
+    the properties ``df.sampleBy`` (rand-based) cannot give a
+    pretraining pipeline.  Narrow plan: filter + projection, no
+    shuffle, predicate evaluated scan-side.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1,
+        SPLIT_PREFIX_LEN,
+    )
+    keep: Column | None = None
+    for stratum, frac in fractions.items():
+        bound = fraction_bound(frac)
+        cond = F.lit(True) if bound is None else bucket < bound
+        keep = (
+            F.when(F.col(stratum_col) == stratum, cond)
+            if keep is None
+            else keep.when(F.col(stratum_col) == stratum, cond)
+        )
+    keep = keep.otherwise(F.lit(False)) if keep is not None else F.lit(False)
+    return df.withColumn("bucket", bucket).filter(keep)

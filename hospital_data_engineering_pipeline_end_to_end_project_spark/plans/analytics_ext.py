@@ -1,0 +1,319 @@
+"""Extended analytics catalog (q61+): dedup clustering, skew-safe
+aggregation, stratified sampling, exact order statistics, numerically
+exact correlation, unpivot, and grouping sets.
+
+Continues the round-2 theme: every operator is a pure DataFrame plan
+(no Python row path), one shuffle where one is algebraically required,
+and each has a bit-exact DuckDB oracle.  Cross-engine exactness
+tricks reused from earlier catalogs: md5-hex ordering instead of
+``rand()``, DECIMAL(18,6) sums finished by identical IEEE double
+expressions, integral-valued doubles for interpolated percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+    components,
+    dedupe,
+    skew,
+)
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import Q25_SQL
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# q61 — near-dup cluster resolution (connected components over LSH pairs)
+#
+# The stage after q25 (bands) / q31 (pairs): transitive closure of the
+# candidate-pair relation so the pipeline can keep one canonical doc
+# per cluster.  Spark side is iterative min-label propagation (one
+# shuffle per round, O(diameter) rounds); the oracle recomputes the
+# same fixpoint via a recursive CTE (min reachable id per node).
+# ---------------------------------------------------------------------------
+
+
+def q61_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    pairs = dedupe.near_dup_candidates(bands, "doc_id")
+    return components.connected_components(pairs)
+
+
+Q61_SQL = f"""
+WITH RECURSIVE
+bands AS ({Q25_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# q62 — skew-safe two-stage aggregation (salted groupBy)
+#
+# events.event_type is a classic heavy-hitter key (a handful of values
+# over the whole fact table).  The salted two-stage count spreads each
+# hot key over 16 reducers; the result is salt-invariant, so the
+# oracle is the plain GROUP BY.
+# ---------------------------------------------------------------------------
+
+
+def q62_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = skew.salted_groupby_count(e, "event_type", salt_buckets=16)
+    return out.select("event_type", F.col("count").cast("long").alias("n_events"))
+
+
+Q62_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q63 — deterministic stratified sampling (per-language fractions)
+#
+# Down-sampling dominant languages / up-weighting rare ones is a core
+# corpus-mixing op.  Membership is a pure function of the doc id
+# (md5-hex bucket < per-stratum threshold), so the sample is
+# reproducible across runs and engines — never ``rand()``.
+# ---------------------------------------------------------------------------
+
+Q63_FRACTIONS = {"en": 0.25, "zh": 1.0, "es": 0.5, "de": 0.5, "fr": 0.125}
+
+
+def q63_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.stratified_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang", Q63_FRACTIONS
+    )
+
+
+def _q63_case() -> str:
+    whens = []
+    for lang, frac in Q63_FRACTIONS.items():
+        bound = dataprep.fraction_bound(frac)
+        cond = "TRUE" if bound is None else f"bucket < '{bound}'"
+        whens.append(f"WHEN lang = '{lang}' THEN {cond}")
+    return "CASE " + " ".join(whens) + " ELSE FALSE END"
+
+
+Q63_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, {dataprep.SPLIT_PREFIX_LEN})
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b WHERE {_q63_case()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q64 — exact interpolated percentiles per group
+#
+# ``F.percentile`` is the exact (sort-based) aggregate — the sketch
+# variant is q49.  l_quantity is an integral-valued double in [1,50],
+# so the linear interpolation at p in {.25,.5,.75} is exact in IEEE
+# double and matches DuckDB's quantile_cont bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q64_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("l_quantity", 0.25).alias("p25_qty"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.75).alias("p75_qty"),
+    )
+
+
+Q64_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q65 — correlation / covariance, numerically exact cross-engine
+#
+# ``corr()`` built-ins disagree across engines in the last ulps
+# (different accumulation orders), so the plan computes the five
+# power sums exactly in *integer* decimals — quantity in units, price
+# in cents — and finishes with one fixed IEEE double expression.
+# Integer sums matter: a fractional-scale decimal -> double cast is
+# correctly rounded in Spark but double-rounded in DuckDB (int128
+# conversion, then the 10^-s division), which diverges by 1 ulp once
+# the raw value exceeds 2^53; an integer -> double conversion is a
+# single correctly-rounded step in both engines.  corr is
+# scale-invariant, cov just unscales by 100 at the end.
+# ---------------------------------------------------------------------------
+
+
+def q65_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # precision 19 forces DuckDB onto int128 storage so the raw
+    # multiply can't overflow int64
+    x = F.col("l_quantity").cast("decimal(19,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        ((nd * sxy - sx * sy) / (nd * nd) / F.lit(100.0)).alias("cov_qty_price"),
+        (
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+Q65_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(19,0)))
+           AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,0))
+                  * CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(19,0))
+                  * CAST(round(l_extendedprice * 100) AS DECIMAL(19,0)))
+           AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,0))
+                  * CAST(round(l_extendedprice * 100) AS DECIMAL(19,0)))
+           AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0 AS cov_qty_price,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q66 — unpivot (wide -> long melt)
+# ---------------------------------------------------------------------------
+
+
+def q66_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+Q66_SQL = """
+SELECT p_partkey, metric, value
+FROM (
+  SELECT p_partkey, p_retailprice AS retailprice,
+         CAST(p_size AS DOUBLE) AS size
+  FROM part
+) UNPIVOT (value FOR metric IN (retailprice, size))
+"""
+
+
+# ---------------------------------------------------------------------------
+# q67 — grouping sets with explicit subtotal labels
+#
+# The generalization of q17 (rollup) / q33 (cube): an arbitrary list
+# of grouping sets in one pass over the fact table.  Group keys are
+# coalesced to 'ALL' so every row is unambiguous without grouping_id.
+# ---------------------------------------------------------------------------
+
+
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return g.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "sum_price",
+    )
+
+
+Q67_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+QUERIES = {
+    "q61_dup_clusters": q61_dup_clusters,
+    "q62_skew_salted_counts": q62_skew_salted_counts,
+    "q63_stratified_sample": q63_stratified_sample,
+    "q64_group_percentiles": q64_group_percentiles,
+    "q65_corr_stats": q65_corr_stats,
+    "q66_unpivot_part": q66_unpivot_part,
+    "q67_grouping_sets": q67_grouping_sets,
+}
+
+ORACLES = {
+    "q61_dup_clusters": Q61_SQL,
+    "q62_skew_salted_counts": Q62_SQL,
+    "q63_stratified_sample": Q63_SQL,
+    "q64_group_percentiles": Q64_SQL,
+    "q65_corr_stats": Q65_SQL,
+    "q66_unpivot_part": Q66_SQL,
+    "q67_grouping_sets": Q67_SQL,
+}

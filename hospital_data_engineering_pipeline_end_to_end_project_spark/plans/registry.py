@@ -20,7 +20,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     mods = [relational]
-    for name in ("scd2_queries", "llm_ops", "advanced", "entry_extras", "data_prep"):
+    for name in (
+        "scd2_queries",
+        "llm_ops",
+        "advanced",
+        "entry_extras",
+        "data_prep",
+        "analytics_ext",
+    ):
         try:
             mod = __import__(
                 f"hospital_data_engineering_pipeline_end_to_end_project_spark.plans.{name}",

@@ -1,0 +1,68 @@
+"""Connected-components (dedup clustering) unit tests: planted
+topologies with known closures, plus stratified-sample invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components import (
+    cluster_stats,
+    connected_components,
+)
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_two_components_min_label(spark):
+    # chain 1-2-3 and pair 10-11: min id wins per component
+    got = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges_past_one_hop(spark):
+    # a path graph needs O(diameter) rounds — exercises the loop, not
+    # just the first propagation
+    n = 12
+    got = _labels(spark, [(i, i + 1) for i in range(1, n)])
+    assert set(got.values()) == {1} and len(got) == n
+
+
+def test_bridge_merges_cliques(spark):
+    cliq = lambda ids: [(a, b) for a in ids for b in ids if a < b]
+    edges = cliq([1, 2, 3]) + cliq([7, 8, 9]) + [(3, 7)]
+    got = _labels(spark, edges)
+    assert set(got.values()) == {1}
+
+
+def test_cluster_stats_sizes(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    stats = {
+        r["component"]: r["n_members"]
+        for r in cluster_stats(connected_components(df)).collect()
+    }
+    assert stats == {1: 3, 10: 2}
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    rows = [(i, "en" if i % 2 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.25, "zh": 1.0}
+    a = dataprep.stratified_sample(df, "doc_id", "lang", fr)
+    b = dataprep.stratified_sample(df, "doc_id", "lang", fr)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # reproducible
+    kept = a.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    by = {r["lang"]: r["n"] for r in kept}
+    assert by["zh"] == 1000  # fraction >= 1 keeps everything
+    assert 150 <= by["en"] <= 350  # ~25% of 1000, md5-uniform
+
+
+def test_stratified_sample_drops_unlisted_strata(spark):
+    df = spark.createDataFrame([(1, "en"), (2, "xx")], "doc_id long, lang string")
+    out = dataprep.stratified_sample(df, "doc_id", "lang", {"en": 1.0})
+    assert [r["lang"] for r in out.collect()] == ["en"]
