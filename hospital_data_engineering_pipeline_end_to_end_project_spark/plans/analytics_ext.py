@@ -298,6 +298,92 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+# ---------------------------------------------------------------------------
+# q68 — ORC roundtrip (columnar source/sink beyond parquet/csv/json)
+#
+# Same contract as q45's CSV roundtrip: write a projection out in the
+# format under test, read it back, aggregate; the oracle runs on the
+# original parquet, so any value corruption in the roundtrip fails the
+# hash.  ORC is Spark-native (vectorized reader, predicate pushdown).
+# ---------------------------------------------------------------------------
+
+
+def q68_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "documents_orc")
+    d.write.mode("overwrite").orc(tmp)
+    back = spark.read.orc(tmp)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+Q68_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q69 — gap-based session windows (F.session_window, batch form)
+#
+# The declarative sibling of q37's window-function sessionization:
+# Spark's session_window merges events whose [t, t+gap) windows
+# overlap, so a session breaks when the gap to the previous event is
+# >= 30 min (q37's cumsum idiom uses >).  Same operator drives the
+# streaming path (session windows + watermark).  Timestamps go out as
+# epoch seconds BIGINT — exact cross-engine, no timezone rendering.
+# ---------------------------------------------------------------------------
+
+Q69_GAP_S = 1800
+
+
+def q69_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
+        load_events,
+    )
+
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts_utc", f"{Q69_GAP_S} seconds"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("start_sec"),
+            F.unix_timestamp("session_window.end").alias("end_sec"),
+            "n_events",
+        )
+    )
+
+
+Q69_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+),
+m AS (
+  SELECT user_id, sec,
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                >= {Q69_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM m
+)
+SELECT user_id, min(sec) AS start_sec, max(sec) + {Q69_GAP_S} AS end_sec,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -306,6 +392,8 @@ QUERIES = {
     "q65_corr_stats": q65_corr_stats,
     "q66_unpivot_part": q66_unpivot_part,
     "q67_grouping_sets": q67_grouping_sets,
+    "q68_orc_roundtrip": q68_orc_roundtrip,
+    "q69_session_windows": q69_session_windows,
 }
 
 ORACLES = {
@@ -316,4 +404,6 @@ ORACLES = {
     "q65_corr_stats": Q65_SQL,
     "q66_unpivot_part": Q66_SQL,
     "q67_grouping_sets": Q67_SQL,
+    "q68_orc_roundtrip": Q68_SQL,
+    "q69_session_windows": Q69_SQL,
 }
