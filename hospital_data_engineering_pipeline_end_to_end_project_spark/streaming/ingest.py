@@ -134,3 +134,53 @@ def scd2_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a bounded event-time interval.
+
+    The attribution-join shape (impression joined to a click that
+    follows within ``max_delay``).  Both sides carry a watermark and
+    the join condition bounds right-side event time to
+    ``[left.ts, left.ts + max_delay]`` — together these let Spark
+    evict join state deterministically, which is what makes a
+    stream-stream join runnable forever: without the time bound the
+    state grows without limit.
+
+    Output: key, left/right event ids and timestamps, and the delay in
+    seconds.  Works identically on batch DataFrames (the same plan
+    minus state eviction), so tests can oracle it against a batch
+    join.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("k"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("rk"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    joined = l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {max_delay}")),
+    )
+    return joined.select(
+        F.col("k").alias(key),
+        "left_id",
+        "right_id",
+        "left_ts",
+        "right_ts",
+        (F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")).alias(
+            "delay_s"
+        ),
+    )

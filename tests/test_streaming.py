@@ -147,3 +147,63 @@ def test_scd2_sink_versions_across_microbatches(spark, tmp_path):
         "end_before_effective": 0,
         "expired_without_end": 0,
     }
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    _write_batch(
+        imp_dir, "b0.json",
+        [{"event_id": 10, "ts": "2026-01-01T10:00:00", "user_id": 1,
+          "event_type": "imp", "value": 0.0},
+         {"event_id": 11, "ts": "2026-01-01T10:00:00", "user_id": 2,
+          "event_type": "imp", "value": 0.0}],
+    )
+    _write_batch(
+        clk_dir, "b0.json",
+        [  # in-window click (3 min after user 1's impression)
+         {"event_id": 20, "ts": "2026-01-01T10:03:00", "user_id": 1,
+          "event_type": "click", "value": 1.0},
+           # out-of-window click (user 2, 40 min later)
+         {"event_id": 21, "ts": "2026-01-01T10:40:00", "user_id": 2,
+          "event_type": "click", "value": 1.0},
+           # click BEFORE any impression — must not match
+         {"event_id": 22, "ts": "2026-01-01T09:59:00", "user_id": 1,
+          "event_type": "click", "value": 1.0}],
+    )
+    imps = ingest.read_event_stream(spark, imp_dir)
+    clicks = ingest.read_event_stream(spark, clk_dir)
+    joined = ingest.interval_join_streams(imps, clicks, max_delay="10 minutes")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM attrib").collect()
+    finally:
+        q.stop()
+    got = {(r["left_id"], r["right_id"], r["delay_s"]) for r in rows}
+    assert got == {(10, 20, 180)}
+
+    # identical semantics on batch inputs (the stated contract)
+    import pyspark.sql.types as T
+    mk = lambda rows: spark.createDataFrame(
+        [(i, ts, u) for i, ts, u in rows],
+        T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]),
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b = ingest.interval_join_streams(
+        mk([(10, "2026-01-01 10:00:00", 1), (11, "2026-01-01 10:00:00", 2)]),
+        mk([(20, "2026-01-01 10:03:00", 1), (21, "2026-01-01 10:40:00", 2),
+            (22, "2026-01-01 09:59:00", 1)]),
+        max_delay="10 minutes",
+    )
+    assert {(r["left_id"], r["right_id"]) for r in b.collect()} == {(10, 20)}
