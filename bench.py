@@ -44,6 +44,16 @@ HEADLINE = [
     "q36_range_join",
     "q37_sessionize",
     "q38_distinct_counts",
+    # round-2 additions
+    "q61_dup_clusters",
+    "q62_skew_salted_counts",
+    "q63_stratified_sample",
+    "q64_group_percentiles",
+    "q65_corr_stats",
+    "q66_unpivot_part",
+    "q67_grouping_sets",
+    "q68_orc_roundtrip",
+    "q69_session_windows",
 ]
 
 

@@ -48,13 +48,19 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # truncate the (possibly expensive) edge-producing lineage ONCE;
+        # nodes/labels below must derive from the checkpointed plan or
+        # their own checkpoints would recompute it
+        .localCheckpoint(eager=True)
     )
     # closed neighborhood: every node is its own neighbor, so labels
     # can only decrease and a fixpoint is well defined
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node"))
-    sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
