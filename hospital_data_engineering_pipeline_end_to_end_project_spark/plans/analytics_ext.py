@@ -384,6 +384,200 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# ---------------------------------------------------------------------------
+# q70 — end-to-end corpus dedup (keep one canonical doc per cluster)
+#
+# The consumer view of q61: every document survives except non-canonical
+# members of a near-dup cluster (canonical = min doc_id, q61's
+# component label).  The drop set is tiny relative to the corpus, so
+# the anti-join broadcasts — the corpus side never shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q70_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    labels = components.connected_components(
+        dedupe.near_dup_candidates(bands, "doc_id")
+    )
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+Q70_SQL = f"""
+WITH RECURSIVE
+bands AS ({Q25_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q71 — per-class embedding centroids (exploded layout)
+#
+# The vector analog of a grouped mean: explode the 64-dim vectors to
+# (label, dim, element) and aggregate per cell — one shuffle keyed on
+# (label, dim), map-side combined, so it scales to any corpus and any
+# dimension count without a Python path.  Elements are summed as
+# DECIMAL(19,9) (order-independent, raw magnitude stays < 2^53 so the
+# final int->double conversion is a single correctly-rounded step —
+# same reasoning as q65).
+# ---------------------------------------------------------------------------
+
+
+def q71_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cell = e.select(
+        "label", F.posexplode("embedding").alias("dim", "el")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("el").cast("decimal(19,9)").alias("el"),
+    )
+    agg = cell.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("el").alias("s"),
+    )
+    return agg.select(
+        "label",
+        "dim",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("centroid"),
+    )
+
+
+Q71_SQL = """
+WITH cell AS (
+  SELECT label,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+         -- widen to DOUBLE before the decimal cast: DuckDB's direct
+         -- float->decimal scales in float arithmetic and misrounds
+         -- the 9th decimal; Spark rounds the exact value
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(19,9)) AS el
+  FROM embeddings
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(el) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS centroid
+FROM cell GROUP BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# q72 — analytic window-function suite
+#
+# Breadth coverage of the ranking/offset window family in one plan:
+# row_number, lag, ntile, percent_rank, cume_dist over a per-customer
+# order history.  The (date, key) sort is unique, so every function is
+# deterministic; percent_rank/cume_dist are single IEEE divisions of
+# integer counts — identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q72_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+Q72_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INT) AS rn,
+       lag(o_totalprice) OVER w AS prev_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q73 — time-series gap fill (monthly resample with zero-fill)
+#
+# The hypertable-rollup idiom: aggregate to month grain, then
+# densify each user's [first, last] month range via sequence+explode
+# so downstream models see explicit zeros instead of missing rows.
+# The month domain is generated from data bounds — no driver-side
+# loop, no calendar table collect.
+# ---------------------------------------------------------------------------
+
+
+def q73_gap_fill_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
+        load_events,
+    )
+
+    e = load_events(spark, sf_dir)
+    midx = (F.year("ts_utc") * 12 + F.month("ts_utc") - 1).cast("long")
+    per = e.groupBy("user_id", midx.alias("midx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    bounds = per.groupBy("user_id").agg(
+        F.min("midx").alias("lo"), F.max("midx").alias("hi")
+    )
+    dense = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("midx")
+    )
+    return (
+        dense.join(per, ["user_id", "midx"], "left")
+        .select(
+            "user_id",
+            (F.col("midx") / 12).cast("long").alias("year"),
+            (F.col("midx") % 12 + 1).cast("long").alias("month"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+Q73_SQL = """
+WITH per AS (
+  SELECT user_id,
+         CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS midx,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, midx
+),
+bounds AS (
+  SELECT user_id, min(midx) AS lo, max(midx) AS hi FROM per GROUP BY user_id
+),
+dense AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS midx FROM bounds
+)
+SELECT dense.user_id, midx // 12 AS year, midx % 12 + 1 AS month,
+       coalesce(n_events, 0) AS n_events
+FROM dense LEFT JOIN per USING (user_id, midx)
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -394,6 +588,10 @@ QUERIES = {
     "q67_grouping_sets": q67_grouping_sets,
     "q68_orc_roundtrip": q68_orc_roundtrip,
     "q69_session_windows": q69_session_windows,
+    "q70_dedup_canonical": q70_dedup_canonical,
+    "q71_embedding_centroids": q71_embedding_centroids,
+    "q72_window_suite": q72_window_suite,
+    "q73_gap_fill_months": q73_gap_fill_months,
 }
 
 ORACLES = {
@@ -406,4 +604,8 @@ ORACLES = {
     "q67_grouping_sets": Q67_SQL,
     "q68_orc_roundtrip": Q68_SQL,
     "q69_session_windows": Q69_SQL,
+    "q70_dedup_canonical": Q70_SQL,
+    "q71_embedding_centroids": Q71_SQL,
+    "q72_window_suite": Q72_SQL,
+    "q73_gap_fill_months": Q73_SQL,
 }
