@@ -56,3 +56,32 @@ def test_allowed_nested_loops_are_broadcast(plans):
     # shuffle-based nested loop
     for n in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" in plans[n] or "CartesianProduct" not in plans[n]
+
+
+def test_stratified_sample_no_shuffle(plans):
+    # q63 is a narrow filter+projection: any Exchange means the
+    # sampling predicate stopped being scan-side
+    assert "Exchange" not in plans["q63_stratified_sample"]
+
+
+def test_dedup_canonical_broadcasts_drop_set(plans):
+    # q70's anti-join side (non-canonical cluster members) is tiny by
+    # construction; the corpus side must not shuffle for it
+    p = plans["q70_dedup_canonical"]
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_embedding_centroids_single_shuffle(plans):
+    # explode + one keyed aggregation: exactly one Exchange (the
+    # (label, dim) groupBy); a second would mean the partial agg
+    # stopped map-side combining
+    assert plans["q71_embedding_centroids"].count("Exchange hashpartitioning") == 1
+
+
+def test_window_suite_single_sort_exchange(plans):
+    # all five window functions share one (partition, order) spec so
+    # the plan must evaluate them in a single Window operator over a
+    # single shuffle+sort
+    p = plans["q72_window_suite"]
+    assert p.count("Exchange hashpartitioning") == 1
