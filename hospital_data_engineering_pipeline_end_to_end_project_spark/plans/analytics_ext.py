@@ -578,6 +578,214 @@ FROM dense LEFT JOIN per USING (user_id, midx)
 """
 
 
+# ---------------------------------------------------------------------------
+# q74 — blocked fuzzy matching (entity resolution by edit distance)
+#
+# All-pairs edit distance is quadratic, so candidates are blocked on
+# the join key (brand) and pruned by a length band before levenshtein
+# runs — the standard entity-resolution shape: the self-join shuffles
+# on the block key only, and per-block fan-out is what you size.
+# Levenshtein is unit-cost edit distance in both engines.
+# ---------------------------------------------------------------------------
+
+Q74_MAX_DIST = 3
+
+
+def q74_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        # length band: |len(x)-len(y)| > d implies dist > d; prunes
+        # before the expensive metric
+        & (
+            F.abs(F.length("a.p_name") - F.length("b.p_name")) <= Q74_MAX_DIST
+        ),
+    )
+    return (
+        cand.select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_brand").alias("brand"),
+            F.levenshtein("a.p_name", "b.p_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= Q74_MAX_DIST)
+        .filter(F.col("dist") > 0)  # identical names are exact dups (q20's job)
+    )
+
+
+Q74_SQL = f"""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand AS brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND abs(len(a.p_name) - len(b.p_name)) <= {Q74_MAX_DIST}
+WHERE levenshtein(a.p_name, b.p_name) <= {Q74_MAX_DIST}
+  AND levenshtein(a.p_name, b.p_name) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q75 — rolling 30-day revenue per customer (RANGE frame window)
+#
+# The time-range sibling of q13's ROWS frame: the frame is defined in
+# event-time units (days), so peers on the same day aggregate
+# together regardless of row order.  Sums go through DECIMAL so the
+# running aggregation is order-independent.
+# ---------------------------------------------------------------------------
+
+
+def q75_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            day.alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .withColumn(
+            "rolling_30d", F.sum("price").over(w).cast("double")
+        )
+        .drop("price")
+    )
+
+
+Q75_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# q76 — fixed-width histogram (single-pass binning)
+# ---------------------------------------------------------------------------
+
+Q76_WIDTH = 30000.0
+
+
+def q76_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / Q76_WIDTH).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+Q76_SQL = f"""
+SELECT CAST(floor(o_totalprice / {Q76_WIDTH}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q77 — percent-of-total (revenue share per nation)
+#
+# The grand total rides in as a broadcast 1-row scalar (same idiom as
+# tf-idf's corpus size) instead of a window-over-() — which would
+# funnel every row through one partition to compute a single number.
+# ---------------------------------------------------------------------------
+
+
+def q77_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+Q77_SQL = """
+WITH rev AS (
+  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+t AS (SELECT sum(rev) AS total FROM rev)
+SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM rev, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q78 — dynamic pivot (values discovered from data)
+#
+# q18 pivots a declared value list; here ``pivot()`` runs its bounded
+# distinct-scan first (two-phase plan).  Fine at scale because the
+# pivot column is low-cardinality by contract — that scan is a
+# map-side-combined distinct, and the result is a driver-held column
+# list, not data.
+# ---------------------------------------------------------------------------
+
+
+def q78_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type")  # no value list: discovered dynamically
+        .count()
+    )
+    # stable output contract: null -> 0, pivoted columns to long
+    pivoted = [c for c in out.columns if c != "user_id"]
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in sorted(pivoted)],
+    )
+
+
+def _q78_oracle() -> str:
+    import duckdb
+
+    types = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT event_type FROM read_parquet("
+            "'/root/testdata/sf0.01/events.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS \"{t}\""
+        for t in types
+    )
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -592,6 +800,11 @@ QUERIES = {
     "q71_embedding_centroids": q71_embedding_centroids,
     "q72_window_suite": q72_window_suite,
     "q73_gap_fill_months": q73_gap_fill_months,
+    "q74_fuzzy_name_pairs": q74_fuzzy_name_pairs,
+    "q75_rolling_revenue": q75_rolling_revenue,
+    "q76_price_histogram": q76_price_histogram,
+    "q77_revenue_share": q77_revenue_share,
+    "q78_dynamic_pivot": q78_dynamic_pivot,
 }
 
 ORACLES = {
@@ -608,4 +821,11 @@ ORACLES = {
     "q71_embedding_centroids": Q71_SQL,
     "q72_window_suite": Q72_SQL,
     "q73_gap_fill_months": Q73_SQL,
+    "q74_fuzzy_name_pairs": Q74_SQL,
+    "q75_rolling_revenue": Q75_SQL,
+    "q76_price_histogram": Q76_SQL,
+    "q77_revenue_share": Q77_SQL,
+    # q78's oracle enumerates the pivot domain (the Spark side stays
+    # dynamic); built once at import from the gate-scale data
+    "q78_dynamic_pivot": _q78_oracle(),
 }

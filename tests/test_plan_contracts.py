@@ -22,7 +22,12 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import re
 
 SF = "/root/testdata/sf0.001"
 
-BNLJ_ALLOWED = {"q28_cosine_topk", "q54_tfidf_top_terms"}
+BNLJ_ALLOWED = {
+    "q28_cosine_topk",
+    "q54_tfidf_top_terms",
+    # 1-row broadcast scalar (grand total), same idiom as q54
+    "q77_revenue_share",
+}
 
 
 @pytest.fixture(scope="module")
