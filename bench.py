@@ -54,6 +54,16 @@ HEADLINE = [
     "q67_grouping_sets",
     "q68_orc_roundtrip",
     "q69_session_windows",
+    # q70 is q61's pipeline plus an anti-join — measuring both would
+    # double-count the minhash stage, so only q61 is headline
+    "q71_embedding_centroids",
+    "q72_window_suite",
+    "q73_gap_fill_months",
+    "q74_fuzzy_name_pairs",
+    "q75_rolling_revenue",
+    "q76_price_histogram",
+    "q77_revenue_share",
+    "q78_dynamic_pivot",
 ]
 
 

@@ -581,39 +581,27 @@ FROM dense LEFT JOIN per USING (user_id, midx)
 # ---------------------------------------------------------------------------
 # q74 — blocked fuzzy matching (entity resolution by edit distance)
 #
-# All-pairs edit distance is quadratic, so candidates are blocked on
-# the join key (brand) and pruned by a length band before levenshtein
-# runs — the standard entity-resolution shape: the self-join shuffles
-# on the block key only, and per-block fan-out is what you size.
-# Levenshtein is unit-cost edit distance in both engines.
+# All-pairs edit distance is quadratic, so the operator blocks on the
+# join key (brand), prunes by a length band, and — the load-bearing
+# trick — computes distances once per distinct (block, value) pair
+# before joining back to rows (see ``operators/fuzzy.py``: 0.5 M
+# instead of 32 M levenshtein calls at sf0.1).  Levenshtein is
+# unit-cost edit distance in both engines.
 # ---------------------------------------------------------------------------
 
 Q74_MAX_DIST = 3
 
 
 def q74_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+    )
+
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-        # length band: |len(x)-len(y)| > d implies dist > d; prunes
-        # before the expensive metric
-        & (
-            F.abs(F.length("a.p_name") - F.length("b.p_name")) <= Q74_MAX_DIST
-        ),
+    out = blocked_levenshtein_pairs(
+        p, "p_partkey", "p_brand", "p_name", Q74_MAX_DIST
     )
-    return (
-        cand.select(
-            F.col("a.p_partkey").alias("id_a"),
-            F.col("b.p_partkey").alias("id_b"),
-            F.col("a.p_brand").alias("brand"),
-            F.levenshtein("a.p_name", "b.p_name").alias("dist"),
-        )
-        .filter(F.col("dist") <= Q74_MAX_DIST)
-        .filter(F.col("dist") > 0)  # identical names are exact dups (q20's job)
-    )
+    return out.withColumnRenamed("block", "brand")
 
 
 Q74_SQL = f"""
