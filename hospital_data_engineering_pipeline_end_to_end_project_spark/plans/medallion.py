@@ -49,6 +49,8 @@ class EntitySpec:
     keys: list[str]
     transform: Callable[[DataFrame], DataFrame]
     order_by: list[str] = field(default_factory=list)
+    #: money-valued columns, castable to DECIMAL(12,2) in money mode
+    money_cols: tuple[str, ...] = ()
 
     @property
     def scd2(self) -> scd2.Scd2Spec:
@@ -159,13 +161,13 @@ ENTITIES: dict[str, EntitySpec] = {
     ),
     "procedures": EntitySpec(
         "procedures", "procedures_raw.json", "ndjson", schemas.PROCEDURES_RAW,
-        ["procedure_id"], _procedures,
+        ["procedure_id"], _procedures, money_cols=("cost",),
     ),
     # composite key: one SCD2 version stream per bill line
     # (Silver Layer.py:230-234)
     "billing": EntitySpec(
         "billing", "billing_raw.json", "ndjson", schemas.BILLING_RAW,
-        ["billing_id", "service"], _billing,
+        ["billing_id", "service"], _billing, money_cols=("amount", "total"),
     ),
 }
 
@@ -254,8 +256,14 @@ def run_silver_entity(
     store: SilverStore,
     spec: EntitySpec,
     processing_date: str,
+    money_mode: bool = False,
 ) -> dict[str, int]:
     """Bronze -> cleanse -> dedupe -> SCD2 merge for one entity.
+
+    ``money_mode=True`` casts the spec's declared money columns to
+    DECIMAL(12,2) after the cleanse chain (SURVEY 7.0: exact,
+    associative currency arithmetic instead of the reference's
+    doubles; doubles remain the default for reference parity).
 
     Mirrors the reference's per-entity flow (SURVEY 3.2) with metrics
     taken via ``observe``-free counts on the written state (the
@@ -271,6 +279,9 @@ def run_silver_entity(
     clean_in = bronze.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
     batch = spec.transform(clean_in)
+    if money_mode:
+        for c in spec.money_cols:
+            batch = batch.withColumn(c, F.col(c).cast("decimal(12,2)"))
     batch = batch.dropDuplicates()  # exact dupe rows (Silver Layer.py:175)
     batch = cleanse.require_keys(batch, spec.keys)
 
@@ -292,9 +303,12 @@ def run_silver(
     warehouse: str,
     processing_date: str,
     state_format: str = "parquet",
+    money_mode: bool = False,
 ) -> dict[str, dict[str, int]]:
     store = SilverStore(spark, warehouse, state_format=state_format)
     return {
-        name: run_silver_entity(spark, raw_dir, store, spec, processing_date)
+        name: run_silver_entity(
+            spark, raw_dir, store, spec, processing_date, money_mode=money_mode
+        )
         for name, spec in ENTITIES.items()
     }

@@ -154,3 +154,22 @@ def test_date_dim_covers_all_fact_dates(spark, pipeline):
         .count()
     )
     assert missing == 0
+
+
+def test_money_mode_casts_currency_to_decimal(spark, tmp_path):
+    # SURVEY 7.0: optional DECIMAL(12,2) money mode (doubles stay the
+    # default for reference parity)
+    raw, wh = str(tmp_path / "raw"), str(tmp_path / "wh")
+    datagen.generate(raw, seed=11, n_patients=20, n_doctors=5,
+                     n_admissions=30, n_vitals=30, n_procedures=30,
+                     n_billing=30)
+    out = medallion.run_silver(spark, raw, wh, "2026-02-01", money_mode=True)
+    assert out["billing"]["rows"] > 0
+    store = medallion.SilverStore(spark, wh)
+    bill = store.read("billing")
+    types = dict(bill.dtypes)
+    assert types["amount"] == "decimal(12,2)"
+    assert types["total"] == "decimal(12,2)"
+    assert dict(store.read("procedures").dtypes)["cost"] == "decimal(12,2)"
+    # non-money entities untouched
+    assert dict(store.read("patients").dtypes)["age"] == "int"
