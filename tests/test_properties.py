@@ -94,3 +94,47 @@ def test_scd2_invariants_under_random_batches(spark, batches):
         r["k"] for r in state.filter(F.col("is_current")).collect()
     }
     assert current_keys == seen_keys
+
+
+# -- connected components vs union-find oracle -------------------------
+
+edge = st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(
+    lambda e: e[0] != e[1]
+)
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    # canonical representative = min node id in the component
+    comps: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comps[r] = min(comps.get(r, n), n)
+    return {n: comps[find(n)] for n in parent}
+
+
+@SLOW
+@given(st.lists(edge, min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
