@@ -61,3 +61,33 @@ def write_partitioned(
         w.format("delta").option("overwriteSchema", "true").save(path)
         return
     w.parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout (the OSS analog of
+    ``OPTIMIZE ... ZORDER BY`` for a single sort dimension).
+
+    ``repartitionByRange`` gives each output file a disjoint value
+    range of ``cluster_cols`` and ``sortWithinPartitions`` orders rows
+    inside, so every parquet row group carries tight min/max stats on
+    the cluster key.  A selective predicate on that key then skips
+    whole files/row groups at scan time — the data-skipping lever that
+    matters once a table is too big to re-read: partition pruning
+    handles the coarse (low-cardinality) dimension, clustering handles
+    the fine one.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_cols]
+    ranged = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
