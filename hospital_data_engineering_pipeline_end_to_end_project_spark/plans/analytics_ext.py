@@ -774,6 +774,111 @@ def _q78_oracle() -> str:
     return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
 
 
+# ---------------------------------------------------------------------------
+# q79 — corpus-prep pipeline (the composed flagship)
+#
+# The stages earlier queries prove in isolation, chained the way a
+# pretraining corpus actually flows: quality gate (token count) ->
+# near-dup removal (q61/q70 clustering, canonical survivor) ->
+# deterministic split assignment (q50 buckets) -> per-(split, lang)
+# accounting.  One narrow filter, the LSH/CC stage, a broadcast
+# anti-join, and a zero-shuffle split — nothing quadratic, nothing
+# driver-side.
+# ---------------------------------------------------------------------------
+
+Q79_MIN_TOKENS = 30
+
+
+def q79_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import (
+        text as TX,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        TX.token_count("text") >= Q79_MIN_TOKENS
+    )
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    labels = components.connected_components(
+        dedupe.near_dup_candidates(bands, "doc_id")
+    )
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = d.join(F.broadcast(drop), "doc_id", "left_anti")
+    split = dataprep.hash_split(kept.select("doc_id", "lang"), "doc_id")
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def _q79_split_case() -> str:
+    branches = []
+    for name, bound in dataprep.split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    ):
+        if bound is None:
+            branches.append(f"ELSE '{name}'")
+        else:
+            branches.append(f"WHEN bucket < '{bound}' THEN '{name}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+Q79_SQL = f"""
+WITH RECURSIVE
+quality AS (
+  SELECT * FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
+          >= {Q79_MIN_TOKENS}
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM quality
+),
+sh AS (
+  SELECT doc_id,
+         [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
+  FROM toks WHERE len(t) >= 5
+),
+sigs AS (
+  SELECT doc_id,
+         [list_aggregate([md5(CAST(j AS VARCHAR) || '|' || s) FOR s IN sh],
+                         'min') FOR j IN range(8)] AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, band_id,
+         md5(CAST(band_id AS VARCHAR) || '|' || sig[2*band_id + 1] || '|'
+             || sig[2*band_id + 2]) AS band_hash
+  FROM sigs, (SELECT unnest(range(4)) AS band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+kept AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                {dataprep.SPLIT_PREFIX_LEN}) AS bucket
+  FROM quality
+  WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+)
+SELECT {_q79_split_case()} AS split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM kept GROUP BY split, lang
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -793,6 +898,7 @@ QUERIES = {
     "q76_price_histogram": q76_price_histogram,
     "q77_revenue_share": q77_revenue_share,
     "q78_dynamic_pivot": q78_dynamic_pivot,
+    "q79_corpus_prep_pipeline": q79_corpus_prep_pipeline,
 }
 
 ORACLES = {
@@ -816,4 +922,5 @@ ORACLES = {
     # q78's oracle enumerates the pivot domain (the Spark side stays
     # dynamic); built once at import from the gate-scale data
     "q78_dynamic_pivot": _q78_oracle(),
+    "q79_corpus_prep_pipeline": Q79_SQL,
 }
