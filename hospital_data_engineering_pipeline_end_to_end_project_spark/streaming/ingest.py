@@ -184,3 +184,29 @@ def interval_join_streams(
             "delay_s"
         ),
     )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session aggregation on a stream (gap-merged windows).
+
+    The streaming form of the q69 batch operator — same
+    ``session_window`` expression, so batch and stream share
+    semantics.  A session closes (and its state evicts) once the
+    watermark passes session end + gap; append mode then emits exactly
+    one row per session.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -207,3 +207,48 @@ def test_stream_stream_interval_join(spark, tmp_path):
         max_delay="10 minutes",
     )
     assert {(r["left_id"], r["right_id"]) for r in b.collect()} == {(10, 20)}
+
+
+def test_streaming_session_windows_merge_and_close(spark, tmp_path):
+    src = str(tmp_path / "sess_events")
+    os.makedirs(src)
+    # user 1: two events 10 min apart (one session), then a 2-hour jump
+    # (new session); the late final event advances the watermark so the
+    # earlier sessions close and append-mode emits them
+    _write_batch(
+        src, "b0.json",
+        [{"event_id": 1, "ts": "2026-01-01T10:00:00", "user_id": 1,
+          "event_type": "click", "value": 1.0},
+         {"event_id": 2, "ts": "2026-01-01T10:10:00", "user_id": 1,
+          "event_type": "click", "value": 1.0},
+         {"event_id": 3, "ts": "2026-01-01T12:30:00", "user_id": 1,
+          "event_type": "view", "value": 1.0}],
+    )
+    _write_batch(
+        src, "b1.json",
+        [{"event_id": 4, "ts": "2026-01-01T18:00:00", "user_id": 2,
+          "event_type": "click", "value": 1.0}],
+    )
+    stream = ingest.read_event_stream(spark, src, max_files_per_trigger=1)
+    sessions = ingest.session_event_counts(stream, gap="30 minutes",
+                                           watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions").collect()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"])
+        for r in rows
+    }
+    # both user-1 sessions closed once the watermark passed; the
+    # merged first session spans 10:00 -> 10:10+gap
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:40:00", 2) in got
+    assert (1, "2026-01-01 12:30:00", "2026-01-01 13:00:00", 1) in got
