@@ -52,6 +52,22 @@ def keep_first_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: affine universal-hash family for one-hash MinHash: member hash j is
+#: ``(A[j]*h + B[j]) mod P`` over the md5-derived base value.  P is the
+#: largest 32-bit prime; A/B are odd primes < 2^30 so ``A*h`` stays
+#: under 2^62 — no overflow in either engine's signed 64-bit multiply
+#: (DuckDB errors on BIGINT overflow rather than wrapping).
+MINHASH_P = 4294967291
+MINHASH_A = (
+    1000000007, 998244353, 754974721, 167772161,
+    469762049, 1004535809, 715827883, 536870909,
+)
+MINHASH_B = (
+    972663749, 386489309, 911382323, 787433101,
+    655360001, 592951213, 354879467, 131071211,
+)
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str,
@@ -63,21 +79,37 @@ def minhash_bands(
     """(id, band_id, band_hash) — the LSH index.
 
     Explode-aggregate formulation: shingles are exploded once and each
-    (doc, shingle) row computes the ``num_hashes`` keyed hashes
-    exactly once; the signature is ``num_hashes`` map-side-combined
-    ``min`` aggregates in ONE groupBy.  (The array-expression
+    (doc, shingle) row is hashed ONCE with md5; the ``num_hashes``
+    member hashes are affine universal hashes of that base value
+    (``(a_j*h + b_j) mod P``, the standard one-hash MinHash family) —
+    integer multiply/add instead of ``num_hashes`` md5 passes over the
+    shingle string, and the signature becomes ``num_hashes``
+    map-side-combined LONG ``min`` aggregates in ONE groupBy (long
+    mins also beat 32-char hex-string mins).  (The array-expression
     formulation recomputes the shingle array per signature entry after
-    Catalyst's CollapseProject — 8x the md5 work; at corpus scale the
-    explode+partial-agg shape is also what bounds memory per row.)
+    Catalyst's CollapseProject; at corpus scale the explode+partial-agg
+    shape is also what bounds memory per row.)
     Docs too short to shingle get no bands (cannot near-dup-match).
     """
     rows_per_band = num_hashes // bands
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes > {len(MINHASH_A)} not parameterized")
     exploded = df.select(
         F.col(id_col), F.explode(TX.shingles(text_col, shingle_n)).alias("s")
     )
-    sigs = exploded.groupBy(id_col).agg(
+    # 60 bits of the md5, reduced mod P; conv()'s decimal string fits
+    # a long.  Every op here exists verbatim in the DuckDB oracle.
+    base = (
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    hashed = exploded.select(id_col, base.alias("h"))
+    sigs = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"sig{j}")
+            F.min(
+                (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]))
+                % MINHASH_P
+            ).alias(f"sig{j}")
             for j in range(num_hashes)
         ]
     )
@@ -86,7 +118,10 @@ def minhash_bands(
             F.concat_ws(
                 "|",
                 F.lit(str(b)),
-                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+                *[
+                    F.col(f"sig{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         ).alias(f"band{b}")
         for b in range(bands)

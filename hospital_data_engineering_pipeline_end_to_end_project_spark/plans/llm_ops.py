@@ -182,6 +182,22 @@ def q25_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("band_id", F.col("band_id").cast("long"))
 
 
+def _minhash_sql_consts() -> tuple[str, str, int]:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.dedupe import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    return (
+        "[" + ", ".join(map(str, MINHASH_A)) + "]",
+        "[" + ", ".join(map(str, MINHASH_B)) + "]",
+        MINHASH_P,
+    )
+
+
+_MA, _MB, _MP = _minhash_sql_consts()
+
 Q25_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {TOKS_SQL} AS t FROM documents
@@ -190,14 +206,22 @@ sh AS (
   SELECT doc_id, [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
   FROM toks WHERE len(t) >= 5
 ),
+hv AS (
+  -- one md5 per shingle; 60 bits parsed as 0x-hex, reduced mod P
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MP}
+          FOR s IN list_distinct(sh)] AS hs
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
-         [list_aggregate([md5(CAST(j AS VARCHAR) || '|' || s) FOR s IN sh], 'min')
-          FOR j IN range(8)] AS sig
-  FROM sh
+         [list_aggregate([({_MA}[j+1] * h + {_MB}[j+1]) % {_MP} FOR h IN hs],
+                         'min') FOR j IN range(8)] AS sig
+  FROM hv
 )
 SELECT doc_id, band_id,
-       md5(CAST(band_id AS VARCHAR) || '|' || sig[2*band_id + 1] || '|' || sig[2*band_id + 2]) AS band_hash
+       md5(CAST(band_id AS VARCHAR) || '|' || CAST(sig[2*band_id + 1] AS VARCHAR)
+           || '|' || CAST(sig[2*band_id + 2] AS VARCHAR)) AS band_hash
 FROM sigs, (SELECT unnest(range(4)) AS band_id)
 """
 
