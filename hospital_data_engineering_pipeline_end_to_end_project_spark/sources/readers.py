@@ -125,3 +125,17 @@ def read_ndjson(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every benchmark table as a temp view for ad-hoc
+    ``spark.sql`` — the notebook-style entry point a reference user
+    expects.  ``events`` registers with its usable timestamp columns
+    (``ts_sec``/``ts_utc``) alongside the raw nanos.  Views are lazy:
+    registration scans nothing."""
+    for name in TPCH_TABLES:
+        df = load_events(spark, sf_dir) if name == "events" else load_table(
+            spark, sf_dir, name
+        )
+        df.createOrReplaceTempView(name)
+    return list(TPCH_TABLES)

@@ -88,3 +88,25 @@ def test_ndjson_default_reads_every_line(spark, tmp_path):
     assert df.count() == 2
     assert df.filter(F.col(CORRUPT_COL).isNotNull()).count() == 0
     df.unpersist()
+
+
+def test_register_views_sql_surface(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
+        TPCH_TABLES,
+        register_views,
+    )
+    from tests.conftest import SF_SMOKE
+
+    names = register_views(spark, SF_SMOKE)
+    assert set(names) == set(TPCH_TABLES)
+    got = spark.sql(
+        """
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC LIMIT 3
+        """
+    ).collect()
+    assert len(got) == 3 and all(r["n"] > 0 for r in got)
+    # events view exposes the converted timestamp columns
+    cols = set(spark.table("events").columns)
+    assert {"ts", "ts_sec", "ts_utc"} <= cols
