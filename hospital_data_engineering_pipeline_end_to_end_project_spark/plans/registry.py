@@ -19,6 +19,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
+    # import errors must surface, not shrink the catalog: a silently
+    # dropped module would erase a whole query family from the driver's
+    # correctness gate (every optional dependency — delta-spark, media
+    # codecs — is already guarded inside its own module)
     mods = [relational]
     for name in (
         "scd2_queries",
@@ -28,14 +32,12 @@ def _modules():
         "data_prep",
         "analytics_ext",
     ):
-        try:
-            mod = __import__(
+        mods.append(
+            __import__(
                 f"hospital_data_engineering_pipeline_end_to_end_project_spark.plans.{name}",
                 fromlist=[name],
             )
-            mods.append(mod)
-        except ImportError:
-            pass
+        )
     return mods
 
 
