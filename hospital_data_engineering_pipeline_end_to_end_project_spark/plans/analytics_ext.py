@@ -879,6 +879,80 @@ FROM kept GROUP BY split, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q80 — explicitly salted join (the AQE-can't-help case)
+#
+# ``skew.salted_join`` replicates the dimension once per salt bucket
+# and joins on (key, salt), spreading each hot key over 8 tasks.  The
+# result set is salt-invariant, so the oracle is the plain equi-join.
+# AQE's skew rule only splits post-shuffle partitions of a
+# SortMergeJoin; mid-plan skew introduced by upstream operators (or a
+# broadcast-ineligible build side) is what this operator is for.
+# ---------------------------------------------------------------------------
+
+
+def q80_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = skew.salted_join(e, c, "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+Q80_SQL = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q81 — bag-semantics set operations (exceptAll / intersectAll)
+#
+# q32 covers the DISTINCT set algebra; this is the multiset variant —
+# the one that answers "how many MORE times did X happen in 1996" —
+# where duplicates carry meaning and `subtract` would be wrong.
+# ---------------------------------------------------------------------------
+
+
+def q81_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    a = o.filter(y == 1996).select("o_custkey")
+    b = o.filter(y == 1997).select("o_custkey")
+    surplus = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    common = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    return surplus.union(common).groupBy("op", "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("multiplicity")
+    )
+
+
+Q81_SQL = """
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+     surplus AS (
+       SELECT o_custkey, 'except_all' AS op
+       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+     ),
+     common AS (
+       SELECT o_custkey, 'intersect_all' AS op
+       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+     )
+SELECT op, o_custkey, CAST(count(*) AS BIGINT) AS multiplicity
+FROM (SELECT * FROM surplus UNION ALL SELECT * FROM common)
+GROUP BY op, o_custkey
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -899,6 +973,8 @@ QUERIES = {
     "q77_revenue_share": q77_revenue_share,
     "q78_dynamic_pivot": q78_dynamic_pivot,
     "q79_corpus_prep_pipeline": q79_corpus_prep_pipeline,
+    "q80_salted_join_agg": q80_salted_join_agg,
+    "q81_bag_set_ops": q81_bag_set_ops,
 }
 
 ORACLES = {
@@ -923,4 +999,6 @@ ORACLES = {
     # dynamic); built once at import from the gate-scale data
     "q78_dynamic_pivot": _q78_oracle(),
     "q79_corpus_prep_pipeline": Q79_SQL,
+    "q80_salted_join_agg": Q80_SQL,
+    "q81_bag_set_ops": Q81_SQL,
 }
