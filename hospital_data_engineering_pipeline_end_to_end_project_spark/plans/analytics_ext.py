@@ -953,6 +953,57 @@ GROUP BY op, o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q82 — outer explode (null-preserving flatten)
+#
+# ``posexplode_outer`` keeps rows whose array is empty (docs too short
+# to shingle) with NULL position/value — the difference between "no
+# shingles" silently vanishing from a flatten and being accountable
+# downstream.  The oracle mirrors with a LEFT JOIN LATERAL unnest.
+# ---------------------------------------------------------------------------
+
+
+def q82_outer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import (
+        text as TX,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", TX.shingles("text", 40).alias("sh"))
+    flat = sh.select(
+        "doc_id", F.posexplode_outer("sh").alias("pos", "shingle")
+    )
+    return flat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("shingle").cast("long").alias("n_shingles"),
+        F.min("pos").cast("long").alias("min_pos"),
+    )
+
+
+Q82_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 40
+              THEN [array_to_string(t[i+1:i+40], ' ')
+                    FOR i IN range(len(t) - 39)]
+              ELSE [] END AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents)
+),
+flat AS (
+  SELECT s.doc_id, u.pos, u.shingle
+  FROM sh s LEFT JOIN LATERAL (
+    SELECT unnest(range(len(s.sh))) AS pos, unnest(s.sh) AS shingle
+  ) u ON TRUE
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(shingle) AS BIGINT) AS n_shingles,
+       CAST(min(pos) AS BIGINT) AS min_pos
+FROM flat GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -975,6 +1026,7 @@ QUERIES = {
     "q79_corpus_prep_pipeline": q79_corpus_prep_pipeline,
     "q80_salted_join_agg": q80_salted_join_agg,
     "q81_bag_set_ops": q81_bag_set_ops,
+    "q82_outer_explode": q82_outer_explode,
 }
 
 ORACLES = {
@@ -1001,4 +1053,5 @@ ORACLES = {
     "q79_corpus_prep_pipeline": Q79_SQL,
     "q80_salted_join_agg": Q80_SQL,
     "q81_bag_set_ops": Q81_SQL,
+    "q82_outer_explode": Q82_SQL,
 }
