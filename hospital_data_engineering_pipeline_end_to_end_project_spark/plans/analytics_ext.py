@@ -757,21 +757,12 @@ def q78_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q78_oracle() -> str:
-    import duckdb
-
-    types = [
-        r[0]
-        for r in duckdb.sql(
-            "SELECT DISTINCT event_type FROM read_parquet("
-            "'/root/testdata/sf0.01/events.parquet') ORDER BY 1"
-        ).fetchall()
-    ]
-    cols = ",\n       ".join(
-        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS \"{t}\""
-        for t in types
-    )
-    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+# DuckDB's native dynamic PIVOT discovers the column domain from the
+# data under test — the same two-phase plan Spark's ``pivot()`` runs —
+# so the oracle needs no import-time I/O and no pinned scale dir, and
+# tracks whatever sf_dir the gate evaluates.  count(*) zero-fills
+# missing (user, type) combos, matching the Spark side's coalesce(0).
+Q78_SQL = "PIVOT events ON event_type USING count(*) GROUP BY user_id"
 
 
 # ---------------------------------------------------------------------------
@@ -825,6 +816,10 @@ def _q79_split_case() -> str:
     return "CASE " + " ".join(branches) + " END"
 
 
+# the bands CTE is Q25_SQL verbatim, retargeted at the quality-filtered
+# subset — interpolating (as Q61_SQL/Q70_SQL do) rather than inlining a
+# copy keeps this oracle tracking the one MinHash scheme the Spark side
+# (operators/dedupe.minhash_bands) actually implements
 Q79_SQL = f"""
 WITH RECURSIVE
 quality AS (
@@ -832,27 +827,7 @@ quality AS (
   WHERE len(list_filter(string_split(text, ' '), x -> x <> ''))
           >= {Q79_MIN_TOKENS}
 ),
-toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM quality
-),
-sh AS (
-  SELECT doc_id,
-         [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
-  FROM toks WHERE len(t) >= 5
-),
-sigs AS (
-  SELECT doc_id,
-         [list_aggregate([md5(CAST(j AS VARCHAR) || '|' || s) FOR s IN sh],
-                         'min') FOR j IN range(8)] AS sig
-  FROM sh
-),
-bands AS (
-  SELECT doc_id, band_id,
-         md5(CAST(band_id AS VARCHAR) || '|' || sig[2*band_id + 1] || '|'
-             || sig[2*band_id + 2]) AS band_hash
-  FROM sigs, (SELECT unnest(range(4)) AS band_id)
-),
+bands AS ({Q25_SQL.replace("FROM documents", "FROM quality")}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bands a JOIN bands b
@@ -1047,9 +1022,7 @@ ORACLES = {
     "q75_rolling_revenue": Q75_SQL,
     "q76_price_histogram": Q76_SQL,
     "q77_revenue_share": Q77_SQL,
-    # q78's oracle enumerates the pivot domain (the Spark side stays
-    # dynamic); built once at import from the gate-scale data
-    "q78_dynamic_pivot": _q78_oracle(),
+    "q78_dynamic_pivot": Q78_SQL,
     "q79_corpus_prep_pipeline": Q79_SQL,
     "q80_salted_join_agg": Q80_SQL,
     "q81_bag_set_ops": Q81_SQL,
