@@ -40,6 +40,16 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     names = list(weights)
     for name in names[:-1]:
         acc += weights[name] / total
+        if acc >= 1.0:
+            # cumulative fraction hit 1.0 early (trailing zero weights
+            # or FP rounding): this split absorbs the whole bucket
+            # space, so it becomes the catch-all and the empty
+            # remainder is dropped.  Formatting 1.0 would yield the
+            # 5-char hex '10000', which compares lexicographically
+            # BELOW most 4-char buckets and silently misassigns rows
+            # (fraction_bound guards the same edge for sampling).
+            out.append((name, None))
+            return out
         bound = format(int(acc * n_buckets), f"0{SPLIT_PREFIX_LEN}x")
         out.append((name, bound))
     out.append((names[-1], None))

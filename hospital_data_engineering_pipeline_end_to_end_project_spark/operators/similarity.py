@@ -35,12 +35,30 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_scale: int = 6,
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Ranking uses the *rounded* cosine plus the neighbor id as a total
     tiebreak, making the result set deterministic.
+
+    The query side is unconditionally broadcast (that is the whole
+    design: the corpus never shuffles), so it must be small.
+    ``max_queries`` enforces that contract with a bounded probe —
+    ``limit(n+1).count()`` stops scanning once the limit is hit — and
+    raises an actionable error instead of letting an oversized query
+    set OOM the driver/executors mid-broadcast.  Callers that have
+    already bounded the query side can pass ``max_queries=None``.
     """
+    if max_queries is not None:
+        probe = queries.limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"cosine_topk broadcasts the query side, but it has "
+                f">{max_queries} rows; pre-filter the queries, raise "
+                f"max_queries explicitly, or use the LSH/IVF paths "
+                f"(lsh_bucket_topk / ivf_topk) for corpus-scale input"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
     )

@@ -50,9 +50,14 @@ def compact_table(
     Unpartitioned: ``repartition(ceil(bytes / target))``.
     Partitioned: ``repartition(*partition_cols)`` (one file per hive
     partition — callers with huge single partitions should compact
-    those separately with a larger target).  The rewrite publishes via
-    write-to-temp + atomic rename, so readers never observe a partial
-    table.  Returns before/after file counts and bytes.
+    those separately with a larger target).  The rewrite lands in a
+    temp dir and publishes via two sequential renames (path -> .old,
+    tmp -> path).  Readers never observe a *partial* table, but the
+    pair is not atomic: a concurrent reader in the instant between the
+    renames sees no table at all — the same brief window ``SilverStore``
+    documents.  If the second rename fails, the original directory is
+    restored from .old rather than left stranded.  Returns
+    before/after file counts and bytes.
     """
     bytes_before, files_before = _dir_stats(path)
     df = spark.read.parquet(path)
@@ -67,7 +72,11 @@ def compact_table(
     writer.parquet(tmp)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     os.replace(path, old)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except BaseException:
+        os.replace(old, path)  # roll back — never leave the path missing
+        raise
     shutil.rmtree(old)
     bytes_after, files_after = _dir_stats(path)
     return {

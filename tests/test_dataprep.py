@@ -185,3 +185,23 @@ def test_pii_scrub_planted(spark):
 def test_q50_weights_cover_default():
     names = [n for n, _ in dataprep.split_thresholds(DP.SPLIT_WEIGHTS)]
     assert names == ["train", "val", "test"]
+
+
+def test_split_thresholds_full_cumulative_clamps():
+    # a cumulative fraction reaching 1.0 mid-list must become the
+    # catch-all (None), never the 5-char hex '10000' that compares
+    # below 4-char buckets; the empty remainder is dropped
+    th = dataprep.split_thresholds({"a": 0.5, "b": 0.5, "c": 0.0})
+    assert th == [("a", "8000"), ("b", None)]
+    for _, bound in dataprep.split_thresholds({"x": 1.0, "y": 0.0}):
+        assert bound is None or len(bound) == dataprep.SPLIT_PREFIX_LEN
+
+
+def test_hash_split_degenerate_weights(spark):
+    d = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = dataprep.hash_split(d, "doc_id", {"a": 0.5, "b": 0.5, "c": 0.0})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("c", 0) == 0
+    assert counts.get("a", 0) + counts.get("b", 0) == 200
+    assert 60 <= counts.get("a", 0) <= 140, "a must keep ~half, not 1/16"

@@ -93,6 +93,17 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert approx.count() > 0
 
 
+def test_cosine_topk_oversized_query_guard(spark):
+    e = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="broadcasts the query side"):
+        similarity.cosine_topk(e, e, k=1, max_queries=10)
+    # bounded probe: a query set under the cap still works
+    assert similarity.cosine_topk(e.limit(5), e, k=1, max_queries=10).count() == 5
+
+
 def test_near_dup_pairs_recall_and_plan(spark):
     """q31's LSH+verify path: high recall vs the brute-force oracle at
     its tuned threshold, and a bucketed equi-join plan — never a
