@@ -88,18 +88,28 @@ def main() -> None:
     # are query time, not session bootstrap
     qs["q01_pricing_summary"](spark, "/root/testdata/sf0.001").count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # min of N runs per query (default 2): the sandbox is co-tenant,
+    # and a single run folds scheduler noise into the artifact — r03's
+    # six phantom 2x "regressions" all vanished on an idle re-run.
+    # The min is the defensible per-query number; both runs' raw
+    # timings are kept in "runs" so noise stays visible.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(ts) for name, ts in runs.items()}
 
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "per_query": f"min_of_{n_runs}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -49,7 +49,20 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-#: registry for real decoders (PIL / ffmpeg / soundfile), absent here
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decoded_len", T.LongType(), True),
+    ]
+)
+
+#: mime -> decoder registry.  Real image/audio codecs (PIL / ffmpeg /
+#: soundfile) are absent from this container and would be registered
+#: here by the deployment; text/plain is registered below as the one
+#: codec that needs no external library, so the registry path runs
+#: for real in every environment.
 _DECODERS: dict[str, Callable[[bytes], object]] = {}
 
 
@@ -57,15 +70,67 @@ def register_decoder(mime: str, fn: Callable[[bytes], object]) -> None:
     _DECODERS[mime] = fn
 
 
+def registered_decoders() -> dict[str, Callable[[bytes], object]]:
+    """Snapshot of the registry (what :func:`decoded_stats` captures
+    into its UDF closure)."""
+    return dict(_DECODERS)
+
+
 def decode_media(payload: bytes, mime: str):
-    """Decode one media payload.  STUB: no codec libraries ship in
-    this container; register one with :func:`register_decoder`."""
+    """Decode one media payload.  Codecs beyond text/plain are absent
+    in this container; register one with :func:`register_decoder`."""
     if mime not in _DECODERS:
         raise NotImplementedError(
             f"no decoder registered for {mime!r}; image/audio libs are "
             "not available in this environment"
         )
     return _DECODERS[mime](payload)
+
+
+register_decoder(
+    "text/plain", lambda b: b.decode("utf-8", errors="replace")
+)
+
+
+def decoded_stats(
+    media: DataFrame,
+    decoders: dict[str, Callable[[bytes], object]] | None = None,
+) -> DataFrame:
+    """Arrow-batched decode over the payload column.
+
+    The decoder mapping is snapshotted at PLAN-BUILD time and shipped
+    inside the UDF closure: module-level registry state does not exist
+    on executors (each worker re-imports this module with an empty
+    dict plus the defaults), so relying on driver-side registration
+    alone would silently decode nothing on a real cluster.  Rows whose
+    mime has no decoder yield ``decode_ok = false`` instead of failing
+    the batch — on 100 TB of mixed media a single unknown mime must
+    not kill the stage.
+    """
+    snapshot = dict(_DECODERS) if decoders is None else dict(decoders)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, dlen = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                fn = snapshot.get(meta["mime"])
+                if fn is None or payload is None:
+                    ok.append(False)
+                    dlen.append(None)
+                else:
+                    decoded = fn(bytes(payload))
+                    ok.append(True)
+                    dlen.append(len(decoded) if hasattr(decoded, "__len__") else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "decode_ok": ok,
+                    "decoded_len": pd.array(dlen, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

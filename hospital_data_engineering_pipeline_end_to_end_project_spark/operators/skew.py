@@ -13,6 +13,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt_buckets: int) -> F.Column:
+    """Deterministic per-row salt in [0, salt_buckets): md5 over the
+    full row content (the repo-wide md5-bucket idiom, vs ``F.rand``
+    whose draw depends on partition layout).  Rows of one hot KEY
+    still spread — the hash covers every column, not just the key —
+    while the physical plan becomes reproducible run-to-run.
+    Byte-identical duplicate rows co-bucket; for counting that only
+    means their partials merge a stage early."""
+    payload = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in df.columns]
+    )
+    return F.pmod(
+        F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long"),
+        F.lit(salt_buckets),
+    ).cast("int")
+
+
 def salted_groupby_count(
     df: DataFrame, key: str, salt_buckets: int = 16
 ) -> DataFrame:
@@ -22,9 +39,7 @@ def salted_groupby_count(
     classic partial-aggregation shape, written explicitly for
     aggregates where Catalyst's map-side combine is insufficient
     (e.g. after an explode that re-skews)."""
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("__salt", _row_salt(df, salt_buckets))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("count"))
 
@@ -45,9 +60,7 @@ def salted_join(
     skew split isn't applicable (e.g. the skew is introduced
     mid-plan).  Output columns = skewed's + other's (key deduped).
     """
-    salted = skewed.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    salted = skewed.withColumn("__salt", _row_salt(skewed, salt_buckets))
     replicated = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

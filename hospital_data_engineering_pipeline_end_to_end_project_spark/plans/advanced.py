@@ -16,13 +16,12 @@ from pyspark.sql import functions as F
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
 from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.relational import dsum, _sql_dsum
-from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table, ts_us_col
 
 
 def _events_us(spark, sf_dir):
-    return load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("ts_us", ts_us_col(e))
 
 
 # ---------------------------------------------------------------------------

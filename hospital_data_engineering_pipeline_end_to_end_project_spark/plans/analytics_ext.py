@@ -309,11 +309,10 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 def q68_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    tmp = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "documents_orc")
+    tmp = scratch_path("q68", "documents_orc")
     d.write.mode("overwrite").orc(tmp)
     back = spark.read.orc(tmp)
     return back.groupBy("lang").agg(
@@ -979,6 +978,98 @@ FROM flat GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q83 — cluster-size accounting (cluster_stats + the singletons contract)
+#
+# connected_components only labels nodes that occur in the edge list
+# (components.py documents that callers union in singletons); this
+# query exercises that contract end-to-end: CC labels over the LSH
+# candidate pairs, isolated documents unioned in as their own
+# 1-member component (broadcast anti-join — the corpus never
+# shuffles), then components.cluster_stats for the per-cluster size.
+# ---------------------------------------------------------------------------
+
+
+def q83_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    labels = components.connected_components(
+        dedupe.near_dup_candidates(bands, "doc_id")
+    )
+    singletons = (
+        d.select(F.col("doc_id").alias("node"))
+        .join(F.broadcast(labels.select("node")), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return components.cluster_stats(labels.unionByName(singletons))
+
+
+Q83_SQL = f"""
+WITH RECURSIVE
+bands AS ({Q25_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+),
+cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+all_labels AS (
+  SELECT node, component FROM cc
+  UNION ALL
+  SELECT doc_id AS node, doc_id AS component FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM cc)
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM all_labels GROUP BY component
+"""
+
+
+# ---------------------------------------------------------------------------
+# q84 — registered-decoder decode over the binary media pipeline
+#
+# Exercises the decoder REGISTRY end-to-end (multimodal.decoded_stats):
+# documents re-encoded as binary media payloads, decoded by the
+# registered text/plain codec inside Arrow-batched mapInPandas, then
+# aggregated.  The decoder snapshot ships in the UDF closure — the
+# design a real cluster needs, since module-level registration on the
+# driver does not exist on executors.  Oracle: a utf-8 replace-decode
+# of valid utf-8 text is the text itself, so decoded_len must equal
+# length(text) exactly.
+# ---------------------------------------------------------------------------
+
+
+def q84_decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decoded_stats(multimodal.documents_as_media(d))
+    return decoded.groupBy("mime", "decode_ok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("decoded_len").cast("long").alias("total_decoded_len"),
+        F.min("decoded_len").cast("long").alias("min_decoded_len"),
+        F.max("decoded_len").cast("long").alias("max_decoded_len"),
+    )
+
+
+Q84_SQL = """
+SELECT 'text/plain' AS mime, TRUE AS decode_ok,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(length(text)) AS BIGINT) AS total_decoded_len,
+       CAST(min(length(text)) AS BIGINT) AS min_decoded_len,
+       CAST(max(length(text)) AS BIGINT) AS max_decoded_len
+FROM documents
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1002,6 +1093,7 @@ QUERIES = {
     "q80_salted_join_agg": q80_salted_join_agg,
     "q81_bag_set_ops": q81_bag_set_ops,
     "q82_outer_explode": q82_outer_explode,
+    "q83_cluster_sizes": q83_cluster_sizes,
 }
 
 ORACLES = {
@@ -1027,4 +1119,5 @@ ORACLES = {
     "q80_salted_join_agg": Q80_SQL,
     "q81_bag_set_ops": Q81_SQL,
     "q82_outer_explode": Q82_SQL,
+    "q83_cluster_sizes": Q83_SQL,
 }

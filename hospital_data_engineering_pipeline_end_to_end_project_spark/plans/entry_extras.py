@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
 
 
@@ -71,7 +72,7 @@ def q40_hospital_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import medallion, star
 
     raw = ensure_q40_fixture()
-    wh = os.path.join(tempfile.mkdtemp(prefix="hospital_e2e_"), "wh")
+    wh = scratch_path("q40", "wh")
     medallion.run_silver(spark, raw, wh, "2026-01-15")
     star.run_gold(spark, wh)
     mart = spark.read.parquet(os.path.join(wh, "gold", "agg_revenue_month"))
@@ -275,7 +276,7 @@ def q45_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    tmp = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "events_csv")
+    tmp = scratch_path("q45", "events_csv")
     e.write.mode("overwrite").option("header", True).csv(tmp)
     schema = T.StructType(
         [

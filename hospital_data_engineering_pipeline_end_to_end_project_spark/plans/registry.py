@@ -23,14 +23,24 @@ def _modules():
     # dropped module would erase a whole query family from the driver's
     # correctness gate (every optional dependency — delta-spark, media
     # codecs — is already guarded inside its own module)
-    mods = [relational]
+    #
+    # ORDER MATTERS: the driver's correctness gate records only the
+    # first 50 entries of queries() in registration order.  Rounds 1-4
+    # attested the relational/scd2/llm_ops/advanced families (all
+    # hash-green in CORRECTNESS_r0{1,3,4}); round 5 rotates the
+    # never-gated families (analytics_ext, data_prep, entry_extras'
+    # q44/q45) to the front so they finally receive official rows.
+    # Every query keeps its oracle regardless of position — the full
+    # 83-query catalog is attested end-to-end by
+    # tests/test_oracle_parity.py in every pytest run.
+    mods = []
     for name in (
+        "analytics_ext",
+        "data_prep",
+        "entry_extras",
         "scd2_queries",
         "llm_ops",
         "advanced",
-        "entry_extras",
-        "data_prep",
-        "analytics_ext",
     ):
         mods.append(
             __import__(
@@ -38,6 +48,7 @@ def _modules():
                 fromlist=[name],
             )
         )
+    mods.append(relational)
     return mods
 
 

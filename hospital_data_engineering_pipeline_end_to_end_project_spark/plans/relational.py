@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
     load_events,
     load_table,
+    ts_us_col,
 )
 
 DEC = "decimal(18,6)"
@@ -244,11 +245,9 @@ FROM lineitem
 # ---------------------------------------------------------------------------
 
 def q06_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DuckDB reads the NANOS parquet timestamp at microsecond precision,
-    # so both engines order and emit microseconds for exact parity.
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    # both engines order and emit epoch microseconds for exact parity
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("ts_us", ts_us_col(e))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -448,9 +447,8 @@ GROUP BY CAST(date_trunc('month', ts) AS DATE), event_type
 # ---------------------------------------------------------------------------
 
 def q13_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("ts_us", ts_us_col(e))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return (
         e.filter(F.col("user_id") < 40)

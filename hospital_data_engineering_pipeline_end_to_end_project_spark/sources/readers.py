@@ -46,10 +46,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Defensively enables nanos-as-long: the caller may hand us a plain
     SparkSession (the grading driver builds its own), and without this
     runtime-settable conf any read of events.parquet (INT64
-    TIMESTAMP(NANOS)) throws PARQUET_TYPE_ILLEGAL.
+    TIMESTAMP(NANOS), the generator's original schema) throws
+    PARQUET_TYPE_ILLEGAL.  Also pins the session timezone to UTC so
+    TIMESTAMP_NTZ -> TIMESTAMP casts (see :func:`ts_us_col`) agree
+    with duckdb's naive-timestamp-is-UTC ``epoch_us`` semantics
+    regardless of how the caller built the session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_us_col(df: DataFrame, ts_col: str = "ts") -> "F.Column":
+    """Epoch-microseconds Column for an event timestamp, whatever
+    physical type the data generator used.
+
+    The testdata generator has shipped ``events.ts`` both as INT64
+    TIMESTAMP(NANOS) (surfaced as epoch-nanos LongType under
+    ``nanosAsLong``) and as TIMESTAMP(MICROS) (surfaced as
+    TIMESTAMP_NTZ).  Both paths are exact integer arithmetic — never
+    a double division, whose 2^53 exact-integer range epoch-nanos
+    (~1.7e18) exceeds.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype == "bigint":  # legacy nanos-as-long
+        return F.expr(f"{ts_col} DIV 1000")
+    # timestamp_ntz: the cast interprets wall time in the session tz,
+    # which load_table pins to UTC — exactly duckdb's epoch_us(ts)
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -57,19 +83,21 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with its nanosecond timestamp made usable.
+    """Events table with its timestamp made usable in every schema the
+    generator has shipped (epoch-nanos LongType or TIMESTAMP_NTZ —
+    see :func:`ts_us_col`).
 
-    ``ts`` arrives as epoch-nanos LongType (see session factory note).
-    Adds ``ts_sec`` (exact integer seconds via ``DIV``) and ``ts_utc``
-    (second-truncated TimestampType) while keeping ``ts`` for exact
-    ordering/compare.  Never divide the raw nanos as a double: values
-    ~1.7e18 exceed double's exact-integer range.
+    Adds ``ts_us`` (exact epoch micros), ``ts_sec`` (exact integer
+    seconds) and ``ts_utc`` (second-truncated TimestampType) while
+    keeping ``ts`` for exact ordering/compare.
     """
     from pyspark.sql import functions as F
 
     e = load_table(spark, sf_dir, "events")
-    return e.withColumn("ts_sec", F.expr("ts DIV 1000000000")).withColumn(
-        "ts_utc", F.timestamp_seconds(F.col("ts_sec"))
+    return (
+        e.withColumn("ts_us", ts_us_col(e))
+        .withColumn("ts_sec", F.expr("ts_us DIV 1000000"))
+        .withColumn("ts_utc", F.timestamp_seconds(F.col("ts_sec")))
     )
 
 

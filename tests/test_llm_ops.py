@@ -166,3 +166,38 @@ def test_quantization_roundtrip_fidelity(spark):
         .collect()[0][0]
     )
     assert worst > 0.995, f"dequantized cosine dropped to {worst}"
+
+
+def test_decoded_stats_registry_closure(spark, docs):
+    media = multimodal.documents_as_media(
+        docs.withColumn("source", F.lit("test"))
+    )
+    # default registry: text/plain decodes; replace-decode of valid
+    # utf-8 text is the text itself, so decoded_len == len(text)
+    rows = {r["media_id"]: r for r in multimodal.decoded_stats(media).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert all(r["decode_ok"] for r in rows.values())
+    assert {i: r["decoded_len"] for i, r in rows.items()} == {
+        i: len(t) for i, t in texts.items()
+    }
+
+    # unknown mime -> decode_ok=false, never a stage failure
+    exotic = media.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.col("meta.source").alias("source"),
+            F.col("meta.byte_len").alias("byte_len"),
+        ),
+    )
+    bad = multimodal.decoded_stats(exotic).collect()
+    assert all(not r["decode_ok"] and r["decoded_len"] is None for r in bad)
+
+    # explicit decoder mapping overrides the registry snapshot
+    halved = multimodal.decoded_stats(
+        exotic, decoders={"video/mp4": lambda b: b[: len(b) // 2]}
+    ).collect()
+    assert all(r["decode_ok"] for r in halved)
+    assert {r["media_id"]: r["decoded_len"] for r in halved} == {
+        i: len(t.encode()) // 2 for i, t in texts.items()
+    }
