@@ -1094,6 +1094,7 @@ QUERIES = {
     "q81_bag_set_ops": q81_bag_set_ops,
     "q82_outer_explode": q82_outer_explode,
     "q83_cluster_sizes": q83_cluster_sizes,
+    "q84_decoded_media": q84_decoded_media,
 }
 
 ORACLES = {
@@ -1120,4 +1121,5 @@ ORACLES = {
     "q81_bag_set_ops": Q81_SQL,
     "q82_outer_explode": Q82_SQL,
     "q83_cluster_sizes": Q83_SQL,
+    "q84_decoded_media": Q84_SQL,
 }

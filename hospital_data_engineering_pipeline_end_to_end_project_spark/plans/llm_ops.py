@@ -637,9 +637,9 @@ QUERIES = {
     "q58_quantize_embeddings": q58_quantize_embeddings,
     "q46_top_words_per_lang": q46_top_words_per_lang,
     "q47_json_extract": q47_json_extract,
-    # q29 first: llm_ops sits just inside the tail of the driver
-    # gate's 50-row window under the round-5 catalog rotation, and
-    # q29's replayed oracle is new this round — it must land a row
+    # q29 stays early: its replayed oracle landed an official row in
+    # r05 from this slot; q48/q49 follow it (oracles new in round 6,
+    # inside the gate window under the round-6 rotation)
     "q29_ann_lsh": q29_ann_lsh,
     "q48_ivf_topk": q48_ivf_topk,
     "q49_sketch_stats": q49_sketch_stats,
