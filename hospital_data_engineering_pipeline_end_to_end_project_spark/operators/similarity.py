@@ -195,6 +195,17 @@ def build_ivf_centroids(
     argmin over K) + one distributed update (posexplode + mean per
     (cluster, dim)).  Only the K x dim centroid matrix ever reaches
     the driver — bounded regardless of corpus size.
+
+    Cross-engine exactness: the updated coordinate is the mean SNAPPED
+    TO A DYADIC GRID — ``floor(avg * 1024 + 0.5) / 1024``.  A
+    distributed mean is order-dependent in its last ulps (partial sums
+    merge in partition order), so two engines computing "the same"
+    mean can disagree by ~1e-12; snapping to multiples of 2^-10
+    absorbs that while staying bit-exact (power-of-two scaling and the
+    final division are exact in binary FP — unlike decimal ``round``,
+    whose double result is engine-specific).  The ~5e-4 quantization
+    is irrelevant for a coarse quantizer, and it makes the whole
+    IVF pipeline (q48) replayable by the DuckDB oracle.
     """
     centroids = [
         [float(x) for x in r["v"]]
@@ -210,7 +221,7 @@ def build_ivf_centroids(
                 "cluster", F.posexplode(V.as_double(vec_col)).alias("dim", "x")
             )
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg((F.floor(F.avg("x") * 1024.0 + 0.5) / 1024.0).alias("m"))
             .collect()
         )
         new = {c: list(cent) for c, cent in enumerate(centroids)}

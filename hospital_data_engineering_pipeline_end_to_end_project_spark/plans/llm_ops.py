@@ -557,17 +557,113 @@ def q49_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q48 — IVF approximate nearest neighbors (rows-only: centroids come
-# from distributed k-means, not SQL-regenerable; recall is tested
-# against q28 in tests/test_llm_ops.py)
+# q48 — IVF approximate nearest neighbors.  Like q29/q31, the oracle
+# REPLAYS the whole construction in DuckDB — but here the quantizer is
+# data-dependent, so the SQL re-derives it from scratch as chained
+# CTEs: seeds = the K lowest-id vectors, then two unrolled Lloyd
+# iterations (argmin assign -> per-(cluster,dim) mean), then the final
+# assign/probe/top-k.  Two things make this cross-engine exact:
+# distances are sequential list folds (bit-identical to Spark's
+# aggregate(zip_with(...))), and centroid means are snapped to a
+# dyadic grid (floor(avg*1024+0.5)/1024 — see
+# operators/similarity.py:build_ivf_centroids), which absorbs the
+# order-dependent last-ulp wobble of a distributed mean.  Recall vs
+# the exact q28 baseline is tested in tests/test_llm_ops.py.
 # ---------------------------------------------------------------------------
+
+Q48_CLUSTERS, Q48_NPROBE, Q48_K, Q48_ITERS, Q48_DIM = 8, 2, 5, 2, 64
+
 
 def q48_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = similarity.ivf_topk(
-        e, id_col="vec_id", vec_col="embedding", k=5, n_clusters=8, nprobe=2
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=Q48_K,
+        n_clusters=Q48_CLUSTERS,
+        nprobe=Q48_NPROBE,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q48_dist(vec: str, cent: str) -> str:
+    """Squared L2 distance as the same sequential fold Spark runs:
+    per-dim exact subtraction, then list_dot_product's in-order
+    multiply-accumulate."""
+    diffs = (
+        f"list_transform(range(1, {Q48_DIM + 1}),"
+        f" i -> ({vec})[i] - ({cent})[i])"
+    )
+    return f"list_dot_product({diffs}, {diffs})"
+
+
+def _q48_sql() -> str:
+    def ranked(cent_cte: str) -> str:
+        return (
+            "SELECT v.vec_id, v.dv, cl.c, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {_q48_dist('v.dv', 'cl.cent')},"
+            f" cl.c) AS rn FROM v CROSS JOIN {cent_cte} cl"
+        )
+
+    # one Lloyd iteration: assign to cN-1, mean per (cluster, dim)
+    # snapped to the dyadic grid, empty clusters keep their previous
+    # coordinates (the LEFT JOIN + coalesce)
+    iters = []
+    for it in range(1, Q48_ITERS + 1):
+        prev_l, prev_r = f"c{it - 1}l", f"c{it - 1}"
+        iters.append(
+            f"""r{it} AS ({ranked(prev_l)}),
+a{it} AS (SELECT vec_id, dv, c AS cluster FROM r{it} WHERE rn = 1),
+u{it} AS (
+  SELECT a.cluster, i.i AS dim,
+         floor(avg(a.dv[i.i]) * 1024 + 0.5) / 1024 AS m
+  FROM a{it} a CROSS JOIN idx i GROUP BY a.cluster, i.i
+),
+c{it} AS (
+  SELECT s.c, s.dim, coalesce(u.m, s.val) AS val
+  FROM c{it - 1} s LEFT JOIN u{it} u
+    ON u.cluster = s.c AND u.dim = s.dim
+),
+c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c{it} GROUP BY c)"""
+        )
+    iter_sql = ",\n".join(iters)
+    cos = (
+        "list_dot_product(q.dv, c.dv) / (sqrt(list_dot_product(q.dv, q.dv))"
+        " * sqrt(list_dot_product(c.dv, c.dv)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, dv AS cent
+  FROM v ORDER BY vec_id LIMIT {Q48_CLUSTERS}
+),
+idx AS (SELECT unnest(range(1, {Q48_DIM + 1})) AS i),
+c0 AS (SELECT s.c, i.i AS dim, s.cent[i.i] AS val FROM seeds s CROSS JOIN idx i),
+c0l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c0 GROUP BY c),
+{iter_sql},
+rf AS ({ranked(f"c{Q48_ITERS}l")}),
+assigned AS (SELECT vec_id, dv, c AS cluster FROM rf WHERE rn = 1),
+probes AS (SELECT vec_id, c AS probe_cluster FROM rf WHERE rn <= {Q48_NPROBE}),
+q AS (
+  SELECT p.vec_id, a.dv, p.probe_cluster
+  FROM probes p JOIN assigned a USING (vec_id)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM q JOIN assigned c
+    ON q.probe_cluster = c.cluster AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {Q48_K}
+"""
+
+
+Q48_SQL = _q48_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -661,7 +757,7 @@ ORACLES = {
     "q46_top_words_per_lang": Q46_SQL,
     "q47_json_extract": Q47_SQL,
     "q29_ann_lsh": Q29_SQL,
-    # q48_ivf_topk intentionally omitted (rows-only)
+    "q48_ivf_topk": Q48_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,
     "q23_lang_id": Q23_SQL,
