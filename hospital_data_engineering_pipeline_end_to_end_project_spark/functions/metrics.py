@@ -12,6 +12,74 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: md5 hash fractions use the first 13 hex chars = 52 bits, so the
+#: integer is exactly representable in a double and the division by
+#: 2^52 is exact — the fraction is bit-identical on any IEEE engine
+_HASH_BITS = 52
+_HASH_DENOM = float(1 << _HASH_BITS)
+
+
+def hash_fraction(col) -> "F.Column":
+    """Uniform [0,1) fraction from md5 of a column's string form.
+
+    Deterministic and engine-replayable (DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 13) AS BIGINT) / 2^52``) — the
+    building block for KMV sketches and hash-based sampling, where
+    ``rand()`` would be non-reproducible and engine-specific.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hex13 = F.substring(F.md5(c.cast("string")), 1, _HASH_BITS // 4)
+    return F.conv(hex13, 16, 10).cast("long") / F.lit(_HASH_DENOM)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimate per group.
+
+    The estimator is the classic bottom-k sketch: hash every distinct
+    value to a uniform fraction, keep the k smallest, and estimate
+    ``DV ~= (k-1) / h_(k)`` (k-th smallest fraction); groups with
+    fewer than k distinct values report the exact count (the sketch
+    IS the full value set there).  Relative std error ~= 1/sqrt(k-2).
+
+    Unlike HLL, every step is deterministic integer/dyadic arithmetic,
+    so the estimate is bit-identical across engines and SQL-replayable
+    — an *oracle-checkable* approximate distinct count.
+
+    Plan shape: distinct (one shuffle, map-side partial), then a
+    per-group sort window to find h_(k).  A production deployment at
+    100 TB would fold the bottom-k heap into a custom Aggregator to
+    stay single-shuffle/fixed-memory; the estimator (and result) is
+    identical — this formulation trades one extra exchange for
+    staying in pure Column expressions.
+
+    Returns ``group_cols + [approx_distinct]``.
+    """
+    dh = df.select(*group_cols, val_col).distinct().withColumn(
+        "h", hash_fraction(val_col)
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = dh.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        )
+        .select(
+            *group_cols,
+            F.when(F.col("nd") < k, F.col("nd"))
+            .otherwise(F.floor((k - 1) / F.col("hk")))
+            .cast("long")
+            .alias("approx_distinct"),
+        )
+    )
 
 
 def observed_write(

@@ -8,19 +8,21 @@ plumbing — each as a driver-checkable query over the ``documents`` /
 operator is SQL-expressible (all md5-derived hashing, so both engines
 compute identical values).
 
-q29 (LSH ANN) and q31 (embedding near-dups) are approximate operators
-with *replayed deterministic oracles*: their seeded hyperplanes are
-interpolated into the DuckDB SQL as literals, so the bucketing —
-and therefore the full approximate result — hash-checks cross-engine.
-Only q48 (IVF: iterative k-means) and q49 (sketches) remain
-rows-only; q29's recall vs the exact q28 is additionally tested in
-``tests/test_llm_ops.py``.
+Every approximate operator here carries a *deterministic replayed
+oracle* — none settles for the weaker rows-only check: q29/q31
+interpolate their seeded hyperplanes into the DuckDB SQL as literals;
+q48 re-derives its k-means quantizer in chained CTEs (dyadic-snapped
+means); q49's sketches are md5-KMV + hash-sampled discrete quantiles
+instead of engine-specific HLL/KLL.  Recall/accuracy vs the exact
+counterparts (q28, q38/q39) is additionally tolerance-tested in
+``tests/test_llm_ops.py`` / ``tests/test_metrics.py``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
@@ -537,23 +539,117 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
-# q49 — sketch-based approximate aggregates (rows-only: HLL and KLL
-# sketch estimates are engine-specific by construction; the exact
-# counterparts are oracle-checked as q38/q39).  At 100 TB these are
-# the single-pass fixed-memory versions of distinct-count/quantiles.
+# q49 — DETERMINISTIC sketch-based approximate aggregates.  Round 5
+# shipped this as HLL (approx_count_distinct) + KLL
+# (percentile_approx), which are engine-specific by construction and
+# could only ever get a rows-only check.  Round 6 swaps in sketches
+# with the same role (fixed-size state, tunable error, one logical
+# pass) whose estimates are bit-identical across engines:
+#
+# - distinct count: md5-KMV bottom-k (functions/metrics.kmv_distinct)
+#   — DV ~= (k-1)/h_(k), rse ~= 1/sqrt(k-2);
+# - quantiles: discrete percentile over a deterministic md5 row
+#   sample (the hex-prefix idiom from operators/dataprep) — classic
+#   sample-quantile sketch, error O(1/sqrt(sample)).
+#
+# The exact counterparts remain oracle-checked as q38/q39; estimator
+# accuracy vs exact is tested in tests/test_metrics.py.
 # ---------------------------------------------------------------------------
 
+Q49_KMV_K = 256
+#: lexicographic bound on a 4-hex-char md5 prefix: '4000'/'10000' = 25%
+Q49_SAMPLE_BOUND, Q49_SAMPLE_FRACTION = "4000", 0.25
+
+
 def q49_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import kmv_distinct
+
     l = load_table(spark, sf_dir, "lineitem")
-    pct = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        # scalar columns, not array<double>: the driver's rows-only
-        # canonicalizer sorts rows and cannot hash list-valued cells
-        pct.getItem(0).alias("approx_p50"),
-        pct.getItem(1).alias("approx_p95"),
-        F.count(F.lit(1)).alias("n_rows"),
+    kmv = kmv_distinct(l, ["l_returnflag"], "l_partkey", k=Q49_KMV_K).withColumnRenamed(
+        "approx_distinct", "approx_parts"
     )
+    rowh = F.substring(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    samp = l.filter(rowh < Q49_SAMPLE_BOUND)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = samp.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+    )
+    # discrete (no-interpolation) quantile: the ceil(q*n)-th order
+    # statistic — an actual data value, so exact cross-engine; q*n is
+    # a double product on both sides (oracle uses e-notation literals
+    # to keep DuckDB out of DECIMAL arithmetic)
+    qs = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("l_extendedprice"))
+        ).alias("approx_p50"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")), F.col("l_extendedprice"))
+        ).alias("approx_p95"),
+    )
+    counts = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return kmv.join(qs, "l_returnflag").join(counts, "l_returnflag")
+
+
+Q49_SQL = f"""
+WITH dh AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+hashed AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)) AS BIGINT)
+           / 4503599627370496e0 AS h
+  FROM dh
+),
+ranked AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashed
+),
+kmv AS (
+  SELECT l_returnflag,
+         CAST(CASE WHEN count(*) < {Q49_KMV_K} THEN count(*)
+              ELSE floor({Q49_KMV_K - 1} / max(CASE WHEN rn = {Q49_KMV_K} THEN h END))
+              END AS BIGINT) AS approx_parts
+  FROM ranked GROUP BY l_returnflag
+),
+samp AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ',' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 4) < '{Q49_SAMPLE_BOUND}'
+),
+r2 AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM samp
+),
+qs AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = ceil(5e-1 * n) THEN l_extendedprice END) AS approx_p50,
+         max(CASE WHEN rn = ceil(9.5e-1 * n) THEN l_extendedprice END) AS approx_p95
+  FROM r2 GROUP BY l_returnflag
+),
+counts AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, approx_parts, approx_p50, approx_p95, n_rows
+FROM kmv JOIN qs USING (l_returnflag) JOIN counts USING (l_returnflag)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -768,5 +864,5 @@ ORACLES = {
     "q28_cosine_topk": Q28_SQL,
     "q30_multimodal_features": Q30_SQL,
     "q31_embedding_near_dups": Q31_SQL,
-    # q49_sketch_stats intentionally omitted (rows-only check)
+    "q49_sketch_stats": Q49_SQL,
 }

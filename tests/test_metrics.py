@@ -34,6 +34,28 @@ def test_sketch_accuracy_vs_exact(spark):
     }
     for flag, ex in exact.items():
         approx = sketch[flag]["approx_parts"]
+        # md5-KMV, k=256: at smoke scale distinct-per-group < k, so the
+        # sketch degenerates to the exact count by construction; the
+        # estimator branch is exercised separately below
         assert abs(approx - ex["n_parts"]) / ex["n_parts"] < 0.05, (
-            f"{flag}: HLL estimate {approx} vs exact {ex['n_parts']}"
+            f"{flag}: KMV estimate {approx} vs exact {ex['n_parts']}"
         )
+
+
+def test_kmv_estimator_branch(spark):
+    """Force the (k-1)/h_k estimator with a small k and check it lands
+    within a few relative std errors (rse ~= 1/sqrt(k-2))."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import kmv_distinct
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    exact = l.select("l_partkey").distinct().count()
+    k = 64
+    est = kmv_distinct(
+        l.withColumn("g", F.lit(1)), ["g"], "l_partkey", k=k
+    ).collect()[0]["approx_distinct"]
+    rse = 1.0 / (k - 2) ** 0.5
+    assert exact > k, "fixture must exercise the estimator branch"
+    assert abs(est - exact) / exact < 5 * rse, f"KMV {est} vs exact {exact}"
