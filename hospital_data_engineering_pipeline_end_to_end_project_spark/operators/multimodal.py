@@ -92,6 +92,30 @@ register_decoder(
 )
 
 
+def wav_pcm_decoder(b: bytes) -> bytes:
+    """Minimal RIFF/WAVE chunk walker (stdlib-only): returns the raw
+    PCM bytes of the ``data`` chunk.  A real deployment registers
+    soundfile/ffmpeg here; this proves the registry handles a binary,
+    non-UTF-8 mime end-to-end.  Malformed payloads raise — which
+    :func:`decoded_stats` maps to ``decode_ok = false`` instead of a
+    stage failure."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        size = struct.unpack_from("<I", b, off + 4)[0]
+        if cid == b"data":
+            return b[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+register_decoder("audio/wav", wav_pcm_decoder)
+
+
 def decoded_stats(
     media: DataFrame,
     decoders: dict[str, Callable[[bytes], object]] | None = None,
@@ -103,9 +127,10 @@ def decoded_stats(
     on executors (each worker re-imports this module with an empty
     dict plus the defaults), so relying on driver-side registration
     alone would silently decode nothing on a real cluster.  Rows whose
-    mime has no decoder yield ``decode_ok = false`` instead of failing
-    the batch — on 100 TB of mixed media a single unknown mime must
-    not kill the stage.
+    mime has no decoder — or whose payload makes its decoder raise —
+    yield ``decode_ok = false`` instead of failing the batch: on
+    100 TB of mixed media a single unknown mime or corrupt payload
+    must not kill the stage.
     """
     snapshot = dict(_DECODERS) if decoders is None else dict(decoders)
 
@@ -117,8 +142,13 @@ def decoded_stats(
                 if fn is None or payload is None:
                     ok.append(False)
                     dlen.append(None)
-                else:
+                    continue
+                try:
                     decoded = fn(bytes(payload))
+                except Exception:
+                    ok.append(False)
+                    dlen.append(None)
+                else:
                     ok.append(True)
                     dlen.append(len(decoded) if hasattr(decoded, "__len__") else None)
             yield pd.DataFrame(

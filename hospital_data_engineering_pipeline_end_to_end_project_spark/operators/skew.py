@@ -14,15 +14,24 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(df: DataFrame, salt_buckets: int) -> F.Column:
-    """Deterministic per-row salt in [0, salt_buckets): md5 over the
-    full row content (the repo-wide md5-bucket idiom, vs ``F.rand``
-    whose draw depends on partition layout).  Rows of one hot KEY
-    still spread — the hash covers every column, not just the key —
-    while the physical plan becomes reproducible run-to-run.
-    Byte-identical duplicate rows co-bucket; for counting that only
-    means their partials merge a stage early."""
+    """Per-row salt in [0, salt_buckets): md5 over the full row
+    content PLUS a per-row ordinal (``monotonically_increasing_id``).
+
+    Content alone is not enough: the canonical skew scenario is a hot
+    key whose rows are mass-duplicated byte-for-byte, and a pure
+    content hash sends every copy to the same bucket — the hot
+    partition quietly returns.  Mixing in the row ordinal spreads
+    identical rows uniformly.  The ordinal depends on the physical
+    partition layout, so the salt is stable within a run but not
+    across repartitionings — fine here, because every caller's result
+    is salt-invariant (partials are re-aggregated / the join key is
+    restored); md5 over (content, ordinal) is kept rather than plain
+    ``F.rand`` so a run is at least replayable from a fixed input
+    layout."""
     payload = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in df.columns]
+        "\x1f",
+        F.monotonically_increasing_id().cast("string"),
+        *[F.col(c).cast("string") for c in df.columns],
     )
     return F.pmod(
         F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long"),

@@ -201,3 +201,38 @@ def test_decoded_stats_registry_closure(spark, docs):
     assert {r["media_id"]: r["decoded_len"] for r in halved} == {
         i: len(t.encode()) // 2 for i, t in texts.items()
     }
+
+
+def test_decoded_stats_wav_and_decoder_exceptions(spark):
+    """A binary (non-UTF-8) mime runs through the registry for real,
+    and a payload that makes its decoder raise yields decode_ok=false
+    while good rows in the same Arrow batch still decode."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 0, 1000, -1000, 0))
+    good = buf.getvalue()
+    corrupt = b"RIFF\x00\x00\x00\x00WAVE"  # valid magic, no data chunk
+    not_wav = b"\x89PNG\r\n"
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt)), (3, bytearray(not_wav))],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit("t").alias("source"),
+            F.length("payload").cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+    got = {r["media_id"]: r for r in multimodal.decoded_stats(rows).collect()}
+    assert got[1]["decode_ok"] and got[1]["decoded_len"] == 8  # 4 frames x int16
+    assert not got[2]["decode_ok"] and got[2]["decoded_len"] is None
+    assert not got[3]["decode_ok"] and got[3]["decoded_len"] is None

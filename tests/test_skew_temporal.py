@@ -36,6 +36,22 @@ def test_salted_groupby_count(spark):
     assert got == {1: 1000, 2: 3}
 
 
+def test_row_salt_spreads_byte_identical_duplicates(spark):
+    """The canonical skew case: one hot key mass-duplicated
+    byte-for-byte.  A content-only hash would co-bucket every copy
+    (the hot partition returns); the ordinal-mixed salt must spread
+    them across (nearly) all buckets."""
+    df = spark.createDataFrame([(1, "same")] * 2000, "k long, v string")
+    buckets = 16
+    n = (
+        df.withColumn("s", skew._row_salt(df, buckets))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n >= buckets - 2, f"duplicates collapsed to {n}/{buckets} salt buckets"
+
+
 def test_asof_join_backward_semantics(spark):
     quotes = spark.createDataFrame(
         [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)],
