@@ -2,9 +2,10 @@
 
 q40 runs the actual reference-parity engine (seeded raw generation ->
 Bronze -> Silver SCD2 -> Gold mart) and returns the revenue mart —
-rows-only for the driver (its inputs are generated, not the
-pre-registered views), deterministic by construction (seed + injected
-processing_date), and hash-stable across runs.
+fully hash-checked: its inputs are generated, not the pre-registered
+views, so ``PREPARE`` materializes the deterministic raw fixture
+first and ``Q40_SQL`` replays the whole billing medallion pipeline
+over it in DuckDB.
 
 q41 exercises the catalog surface (CREATE DATABASE / saveAsTable /
 spark.table / CTAS — SURVEY S8-S10).  q42 exercises the
