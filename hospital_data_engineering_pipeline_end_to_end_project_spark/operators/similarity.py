@@ -231,24 +231,42 @@ def build_ivf_centroids(
     return centroids
 
 
+def _centroid_dists(v, centroids: list[list[float]]):
+    """array<double> of squared L2 distances from ``v`` to each
+    centroid: the K x dim centroid matrix enters the plan ONCE as a
+    2-D array literal, and each distance is the same sequential
+    zip_with/aggregate fold the oracles replay."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.transform(
+        cents,
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def assign_ivf_cluster(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
     """Add a ``cluster`` column: argmin squared-distance to the
-    (broadcast-literal) centroids.  Ties break to the lower cluster id."""
+    (broadcast-literal) centroids.  Ties break to the lower cluster id
+    (``array_position`` returns the FIRST index of the min).
+
+    Scale note: an earlier version chained
+    ``when(d < best_d, ...).otherwise(best_d)`` per centroid — that
+    nests each partial result twice per step, an expression tree
+    EXPONENTIAL in K (driver OOM around K ~ 80, found by
+    ``scale_check.py``).  The array form is linear in K x dim and
+    survives production cluster counts (K ~ sqrt(n))."""
     v = V.as_double(vec_col)
-    best_c = F.lit(0)
-    best_d = None
-    for c, cent in enumerate(centroids):
-        p = F.array(*[F.lit(x) for x in cent])
-        diff = F.zip_with(v, p, lambda a, b: (a - b) * (a - b))
-        d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-        if best_d is None:
-            best_d = d
-        else:
-            best_c = F.when(d < best_d, F.lit(c)).otherwise(best_c)
-            best_d = F.when(d < best_d, d).otherwise(best_d)
-    return df.withColumn("cluster", best_c)
+    d = _centroid_dists(v, centroids)
+    return df.withColumn(
+        "cluster", (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    )
 
 
 def ivf_topk(
@@ -270,17 +288,15 @@ def ivf_topk(
     )
 
     # per-row probe list: nprobe nearest centroids by squared distance
-    v = F.col("v")
-    dist_structs = []
-    for c, cent in enumerate(centroids):
-        p = F.array(*[F.lit(x) for x in cent])
-        d = F.aggregate(
-            F.zip_with(v, p, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dist_structs.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
-    probes = F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)
+    # (same linear-in-K array form as assign_ivf_cluster — pair each
+    # distance with its cluster id and struct-sort, ties to lower id)
+    dists = _centroid_dists(F.col("v"), centroids)
+    structs = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+    )
+    probes = F.slice(F.array_sort(structs), 1, nprobe)
     queries = assigned.withColumn(
         "probe_cluster", F.explode(F.transform(probes, lambda s: s["c"]))
     )

@@ -19,9 +19,10 @@ The 10x corpus preserves the distribution that matters:
   into giant cross-copy components.  Cluster size stays O(1), count
   grows O(n): the shape a real 10x crawl has.
 
-Usage: ``python scale_check.py [copies]`` (default 10).  Prints one
-JSON line; paste the ratios into BASELINE.md.  Data goes to a
-pid-scoped scratch dir (removed at exit), never into /root/testdata.
+Usage: ``python scale_check.py [copies] [docs|ann|all]`` (default
+10, all).  Prints one JSON line; paste the ratios into BASELINE.md.
+Data goes to a pid-scoped scratch dir (removed at exit), never into
+/root/testdata.
 """
 
 from __future__ import annotations
@@ -60,6 +61,86 @@ def make_scaled_documents(src_dir: str, dst_dir: str, copies: int) -> None:
     )
 
 
+def make_scaled_embeddings(src_dir: str, dst_dir: str, copies: int) -> None:
+    """10x ``embeddings``: copy c rotates each vector's dims by c
+    positions (np.roll) — every within-copy pairwise cosine is
+    preserved EXACTLY (rotation is a permutation), while cross-copy
+    pairs decorrelate, so neighborhood structure multiplies ~10x
+    instead of collapsing onto the originals."""
+    import numpy as np
+
+    base = pd.read_parquet(os.path.join(src_dir, "embeddings.parquet"))
+    out = []
+    for c in range(copies):
+        cp = base.copy()
+        cp["vec_id"] = cp["vec_id"] + c * 10_000_000
+        if c > 0:
+            cp["embedding"] = cp["embedding"].map(
+                lambda v: np.roll(np.asarray(v), c).tolist()
+            )
+        out.append(cp)
+    os.makedirs(dst_dir, exist_ok=True)
+    pd.concat(out, ignore_index=True).to_parquet(
+        os.path.join(dst_dir, "embeddings.parquet"), index=False
+    )
+
+
+def time_ann_family(spark, sf_dir: str, scaled_dir: str, copies: int) -> dict:
+    """The ANN operators scale by RE-TUNING with corpus size, not by
+    running fixed parameters on more data (with fixed buckets, LSH
+    candidate volume is ~n^2/2^planes — quadratic):
+
+    - LSH: planes ~ log2(n / target_bucket) keeps bucket occupancy
+      constant, so candidate volume grows ~linearly; extra tables buy
+      back the per-pair recall lost to the added planes.
+    - IVF: n_clusters proportional to n keeps candidates-per-query
+      (n * nprobe / n_clusters) constant.
+
+    This measures both at base-tuned vs 10x-tuned settings, so the
+    growth ratio reflects the documented operating curve.
+    """
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import similarity
+
+    def run(fn, runs: int = 2) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    base_e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    big_e = spark.read.parquet(os.path.join(scaled_dir, "embeddings.parquet"))
+    extra_planes = max(1, int(round(__import__("math").log2(copies))))
+    out = {
+        "lsh_base": run(
+            lambda: similarity.lsh_bucket_topk(
+                base_e, k=5, n_planes=8, n_tables=4
+            )
+        ),
+        # +log2(copies) planes holds occupancy; tables x2 compensates
+        # the per-pair recall the extra planes cost
+        "lsh_scaled_tuned": run(
+            lambda: similarity.lsh_bucket_topk(
+                big_e, k=5, n_planes=8 + extra_planes, n_tables=8
+            )
+        ),
+        "ivf_base": run(
+            lambda: similarity.ivf_topk(base_e, k=5, n_clusters=8, nprobe=2)
+        ),
+        "ivf_scaled_tuned": run(
+            lambda: similarity.ivf_topk(
+                big_e, k=5, n_clusters=8 * copies, nprobe=2
+            )
+        ),
+    }
+    out["lsh_growth"] = round(out["lsh_scaled_tuned"] / out["lsh_base"], 2)
+    out["ivf_growth"] = round(out["ivf_scaled_tuned"] / out["ivf_base"], 2)
+    return out
+
+
 def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
     from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import registry
 
@@ -77,12 +158,16 @@ def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    family = sys.argv[2] if len(sys.argv) > 2 else "all"
     from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
     from hospital_data_engineering_pipeline_end_to_end_project_spark.session import get_spark
 
     scaled_dir = scratch_path("scale_check", "documents.parquet")
     scaled_dir = os.path.dirname(scaled_dir)
-    make_scaled_documents(SF_DIR, scaled_dir, copies)
+    if family in ("docs", "all"):
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+    if family in ("ann", "all"):
+        make_scaled_embeddings(SF_DIR, scaled_dir, copies)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -91,21 +176,18 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    base = time_queries(spark, SF_DIR)
-    scaled = time_queries(spark, scaled_dir)
-    print(
-        json.dumps(
-            {
-                "sf_dir": SF_DIR,
-                "copies": copies,
-                "base_sec": base,
-                "scaled_sec": scaled,
-                "growth_ratio": {
-                    q: round(scaled[q] / base[q], 2) for q in QUERIES
-                },
-            }
-        )
-    )
+    out: dict = {"sf_dir": SF_DIR, "copies": copies}
+    if family in ("docs", "all"):
+        base = time_queries(spark, SF_DIR)
+        scaled = time_queries(spark, scaled_dir)
+        out["base_sec"] = base
+        out["scaled_sec"] = scaled
+        out["growth_ratio"] = {
+            q: round(scaled[q] / base[q], 2) for q in QUERIES
+        }
+    if family in ("ann", "all"):
+        out["ann_family"] = time_ann_family(spark, SF_DIR, scaled_dir, copies)
+    print(json.dumps(out))
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
 
