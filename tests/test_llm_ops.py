@@ -134,6 +134,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_assign_scales_to_many_clusters(spark):
+    """Regression for the round-6 scale bug: the argmin used to chain
+    when(d < best_d, ...) per centroid, nesting each partial result
+    twice per step — exponential in K, driver OOM near K~80.  The
+    array-literal form must plan and execute a K=128 assignment in
+    bounded time (production IVF wants K ~ sqrt(n))."""
+    import time as _time
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    cents = [
+        [float((i * 31 + j) % 17) / 17.0 for j in range(64)] for i in range(128)
+    ]
+    t0 = _time.monotonic()
+    got = similarity.assign_ivf_cluster(e, cents).select("cluster").collect()
+    assert _time.monotonic() - t0 < 60, "K=128 assignment should be seconds"
+    assert all(0 <= r["cluster"] < 128 for r in got) and len(got) == 64
+
+
 def test_multimodal_stub_and_plumbing(spark, docs):
     media = multimodal.documents_as_media(
         docs.withColumn("source", F.lit("test"))
