@@ -138,3 +138,31 @@ def test_connected_components_matches_union_find(spark, edges):
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == _union_find(edges)
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=40),
+    st.sampled_from([4, 16, 256]),
+)
+def test_kmv_exact_branch_and_bounds(spark, values, k):
+    """KMV invariants for arbitrary inputs: below k distinct values the
+    sketch IS the exact count; above, the estimate is positive and the
+    result is a pure function of the distinct value set (duplicates
+    never move it)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import kmv_distinct
+
+    df = spark.createDataFrame([(v,) for v in values], "x long").withColumn(
+        "g", F.lit(1)
+    )
+    est = kmv_distinct(df, ["g"], "x", k=k).collect()[0]["approx_distinct"]
+    exact = len(set(values))
+    if exact < k:
+        assert est == exact
+    else:
+        assert est > 0
+    dup = spark.createDataFrame(
+        [(v,) for v in values * 2], "x long"
+    ).withColumn("g", F.lit(1))
+    est_dup = kmv_distinct(dup, ["g"], "x", k=k).collect()[0]["approx_distinct"]
+    assert est_dup == est
