@@ -15,6 +15,16 @@ Two paths:
 Hyperplanes are generated from a seeded PRNG at plan-build time and
 embedded as literal arrays — every run and every engine sees the same
 planes.
+
+Scoring uses PRE-NORMALIZED vectors: each vector is unit-scaled once
+per row (``_with_unit``), so the per-candidate-pair work is a single
+dot product instead of dot + two norms.  Per-pair norms triple the
+fold work on the hot path (candidate pairs >> rows, and higher-order
+function folds don't participate in whole-stage codegen) — measured
+2.5x slower at 3M pairs.  Cross-engine exactness is preserved: the
+normalization (one correctly-rounded division per element of
+identical operands) and the dot fold are replayed identically by the
+DuckDB oracles, so the hash checks still pass.
 """
 
 from __future__ import annotations
@@ -26,6 +36,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
+
+
+def _with_unit(df: DataFrame, vec_col, out_col: str) -> DataFrame:
+    """Append a unit-normalized double copy of ``vec_col``.
+
+    The norm is materialized as a column first so its fold runs once
+    per ROW — inlining ``norm(v)`` inside the transform lambda would
+    re-evaluate it per ELEMENT on the interpreted HOF path."""
+    v = V.as_double(vec_col) if isinstance(vec_col, str) else vec_col
+    return (
+        df.withColumn("__norm", V.norm(v))
+        .withColumn(out_col, F.transform(v, lambda x: x / F.col("__norm")))
+        .drop("__norm")
+    )
 
 
 def cosine_topk(
@@ -59,12 +83,16 @@ def cosine_topk(
                 f"max_queries explicitly, or use the LSH/IVF paths "
                 f"(lsh_bucket_topk / ivf_topk) for corpus-scale input"
             )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), V.as_double(vec_col).alias("cv")
-    )
+    q = _with_unit(
+        queries.select(F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")),
+        F.col("qv"),
+        "qnv",
+    ).drop("qv")
+    c = _with_unit(
+        corpus.select(F.col(id_col).alias("neighbor_id"), V.as_double(vec_col).alias("cv")),
+        F.col("cv"),
+        "cnv",
+    ).drop("cv")
     # broadcast the query side: it is the small, pre-filtered side by
     # contract (corpus x corpus callers use the LSH/IVF paths), so the
     # corpus never shuffles — each corpus partition streams past the
@@ -75,7 +103,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), round_scale).alias("cos_sim"),
+            F.round(V.dot(F.col("qnv"), F.col("cnv")), round_scale).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -119,9 +147,17 @@ def _multi_table_buckets(
     n_planes: int,
     n_tables: int,
 ) -> DataFrame:
-    """(id, v, table_id, bucket) — one row per (vector, table): sign-bit
-    bucket from an independent seeded plane set per table."""
-    base = df.select(F.col(id_col), V.as_double(vec_col).alias("v"))
+    """(id, nv, table_id, bucket) — one row per (vector, table):
+    sign-bit bucket from an independent seeded plane set per table.
+    ``nv`` is the unit-normalized vector: buckets are computed from it
+    (positive scaling preserves the mathematical sign, and the oracle
+    replays the same normalized sign test bit-for-bit), and downstream
+    scoring is then a bare dot product per candidate pair."""
+    base = _with_unit(
+        df.select(F.col(id_col), V.as_double(vec_col).alias("v")),
+        F.col("v"),
+        "nv",
+    ).drop("v")
     buckets = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=20260813 + 7919 * t)
@@ -129,12 +165,12 @@ def _multi_table_buckets(
         for j, plane in enumerate(planes):
             p = F.array(*[F.lit(x) for x in plane])
             b = b + F.when(
-                V.dot(F.col("v"), p) > 0, F.lit(1 << j)
+                V.dot(F.col("nv"), p) > 0, F.lit(1 << j)
             ).otherwise(F.lit(0))
         buckets.append(b.alias(f"b{t}"))
-    return base.select(F.col(id_col), F.col("v"), *buckets).select(
+    return base.select(F.col(id_col), F.col("nv"), *buckets).select(
         F.col(id_col),
-        F.col("v"),
+        F.col("nv"),
         F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
             "table_id", "bucket"
         ),
@@ -171,7 +207,7 @@ def lsh_bucket_topk(
         .select(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"c.{id_col}").alias("neighbor_id"),
-            F.round(V.cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+            F.round(V.dot(F.col("a.nv"), F.col("c.nv")), 6).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -283,8 +319,16 @@ def ivf_topk(
     scales with corpus/n_clusters x nprobe — the inverted-file
     trade (recall vs probed fraction), complementary to LSH."""
     centroids = build_ivf_centroids(df, vec_col, id_col, n_clusters)
-    assigned = assign_ivf_cluster(df, centroids, vec_col).select(
-        F.col(id_col), F.col("cluster"), V.as_double(vec_col).alias("v")
+    # quantizer geometry (assign + probes) runs on the RAW vectors —
+    # that is what the centroids were trained on; the unit copy is
+    # only for pair scoring, and raw/unit columns are pruned so each
+    # join side ships exactly one vector per row
+    assigned = _with_unit(
+        assign_ivf_cluster(df, centroids, vec_col).select(
+            F.col(id_col), F.col("cluster"), V.as_double(vec_col).alias("v")
+        ),
+        F.col("v"),
+        "nv",
     )
 
     # per-row probe list: nprobe nearest centroids by squared distance
@@ -299,17 +343,17 @@ def ivf_topk(
     probes = F.slice(F.array_sort(structs), 1, nprobe)
     queries = assigned.withColumn(
         "probe_cluster", F.explode(F.transform(probes, lambda s: s["c"]))
-    )
+    ).select(F.col(id_col), F.col("probe_cluster"), F.col("nv"))
 
     cand = queries.alias("q").join(
-        assigned.alias("c"),
+        assigned.select(F.col(id_col), F.col("cluster"), F.col("nv")).alias("c"),
         (F.col("q.probe_cluster") == F.col("c.cluster"))
         & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
     )
     scored = cand.select(
         F.col(f"q.{id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        F.round(V.cosine(F.col("q.v"), F.col("c.v")), 6).alias("cos_sim"),
+        F.round(V.dot(F.col("q.nv"), F.col("c.nv")), 6).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -360,7 +404,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(V.dot(F.col("a.nv"), F.col("b.nv")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
@@ -374,15 +418,25 @@ def brute_force_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Exact all-pairs threshold join — O(|V|^2) cartesian; retained
-    only as the test oracle for ``embedding_near_dup_pairs``."""
-    a = df.select(F.col(id_col).alias("id_a"), V.as_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), V.as_double(vec_col).alias("vb"))
+    only as the test oracle for ``embedding_near_dup_pairs`` (same
+    pre-normalized scoring formula, so boundary pairs round the same
+    way on both sides of the recall comparison)."""
+    a = _with_unit(
+        df.select(F.col(id_col).alias("id_a"), V.as_double(vec_col).alias("va")),
+        F.col("va"),
+        "na",
+    ).drop("va")
+    b = _with_unit(
+        df.select(F.col(id_col).alias("id_b"), V.as_double(vec_col).alias("vb")),
+        F.col("vb"),
+        "nb",
+    ).drop("vb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(V.dot(F.col("na"), F.col("nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

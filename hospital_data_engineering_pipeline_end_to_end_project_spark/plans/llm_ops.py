@@ -311,17 +311,26 @@ def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-Q28_SQL = """
+#: unit-normalize a DOUBLE[] column — replays Spark's _with_unit
+#: exactly (one correctly-rounded division per element by the same
+#: sequential-fold norm), so pair scoring is a bare dot product on
+#: both engines
+_UNIT = "[x / sqrt(list_dot_product({v}, {v})) FOR x IN {v}]"
+
+Q28_SQL = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20
+  SELECT vec_id AS query_id,
+         {_UNIT.format(v='embedding::DOUBLE[]')} AS qnv
+  FROM embeddings WHERE vec_id < 20
 ),
 c AS (
-  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+  SELECT vec_id AS neighbor_id,
+         {_UNIT.format(v='embedding::DOUBLE[]')} AS cnv
+  FROM embeddings
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         round(list_dot_product(qv, cv)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+         round(list_dot_product(qnv, cnv), 6) AS cos_sim
   FROM q, c WHERE query_id <> neighbor_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -358,7 +367,9 @@ def q29_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_tabled_sql(n_planes: int, n_tables: int) -> str:
     """UNION-ALL SQL replaying ``similarity._multi_table_buckets``
-    plane-for-plane (same seeds, same bit order).  DuckDB's
+    plane-for-plane (same seeds, same bit order) over the CTE ``v``
+    whose ``dv`` is the unit-normalized vector — matching the Spark
+    side, which buckets and scores on the normalized copy.  DuckDB's
     ``list_dot_product`` is a sequential fold, bit-identical to
     Spark's ``aggregate(zip_with(...))`` fold, so the sign tests —
     and therefore the buckets — agree exactly across engines."""
@@ -376,17 +387,20 @@ def _lsh_tabled_sql(n_planes: int, n_tables: int) -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+#: normalized-vector CTE shared by the LSH oracles
+_V_UNIT_CTE = (
+    "rawv AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),\n"
+    f"v AS (SELECT vec_id, {_UNIT.format(v='dv')} AS dv FROM rawv)"
+)
+
+
 def _q29_sql() -> str:
-    cos = (
-        "list_dot_product(a.dv, b.dv) / (sqrt(list_dot_product(a.dv, a.dv))"
-        " * sqrt(list_dot_product(b.dv, b.dv)))"
-    )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+WITH {_V_UNIT_CTE},
 tabled AS ({_lsh_tabled_sql(Q29_PLANES, Q29_TABLES)}),
 cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round({cos}, 6) AS cos_sim
+         round(list_dot_product(a.dv, b.dv), 6) AS cos_sim
   FROM tabled a JOIN tabled b
     ON a.table_id = b.table_id AND a.bucket = b.bucket
    AND a.vec_id <> b.vec_id
@@ -455,15 +469,12 @@ def _q31_sql() -> str:
     therefore the buckets) agree exactly across engines.
     """
     tabled = _lsh_tabled_sql(Q31_PLANES, Q31_TABLES)
-    cos = (
-        "list_dot_product(a.dv, b.dv) / (sqrt(list_dot_product(a.dv, a.dv))"
-        " * sqrt(list_dot_product(b.dv, b.dv)))"
-    )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+WITH {_V_UNIT_CTE},
 tabled AS ({tabled}),
 cand AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.dv, b.dv), 6) AS cos_sim
   FROM tabled a JOIN tabled b
     ON a.table_id = b.table_id AND a.bucket = b.bucket
    AND a.vec_id < b.vec_id
@@ -724,12 +735,9 @@ c{it} AS (
 c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c{it} GROUP BY c)"""
         )
     iter_sql = ",\n".join(iters)
-    cos = (
-        "list_dot_product(q.dv, c.dv) / (sqrt(list_dot_product(q.dv, q.dv))"
-        " * sqrt(list_dot_product(c.dv, c.dv)))"
-    )
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+nv AS (SELECT vec_id, {_UNIT.format(v='dv')} AS nv FROM v),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, dv AS cent
   FROM v ORDER BY vec_id LIMIT {Q48_CLUSTERS}
@@ -739,17 +747,15 @@ c0 AS (SELECT s.c, i.i AS dim, s.cent[i.i] AS val FROM seeds s CROSS JOIN idx i)
 c0l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c0 GROUP BY c),
 {iter_sql},
 rf AS ({ranked(f"c{Q48_ITERS}l")}),
-assigned AS (SELECT vec_id, dv, c AS cluster FROM rf WHERE rn = 1),
+assigned AS (SELECT vec_id, c AS cluster FROM rf WHERE rn = 1),
 probes AS (SELECT vec_id, c AS probe_cluster FROM rf WHERE rn <= {Q48_NPROBE}),
-q AS (
-  SELECT p.vec_id, a.dv, p.probe_cluster
-  FROM probes p JOIN assigned a USING (vec_id)
-),
 cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round({cos}, 6) AS cos_sim
-  FROM q JOIN assigned c
-    ON q.probe_cluster = c.cluster AND q.vec_id <> c.vec_id
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qn.nv, cn.nv), 6) AS cos_sim
+  FROM probes p
+  JOIN assigned c ON p.probe_cluster = c.cluster AND p.vec_id <> c.vec_id
+  JOIN nv qn ON qn.vec_id = p.vec_id
+  JOIN nv cn ON cn.vec_id = c.vec_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (
