@@ -139,25 +139,63 @@ def with_lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+#: With an OR-construction, a true near-dup pair co-buckets in most of
+#: the n_tables tables, so its score would be recomputed ~t times and
+#: the bucket-join output would carry 2 x dim doubles per duplicate.
+#: Deduping the ids-only pair list first and re-joining the unit
+#: vectors costs two extra shuffles — a win once duplication is high
+#: enough (measured crossover ~8 tables at sf0.1: q31 [24 tables]
+#: 83s -> 12s, q29 [4 tables] would lose 4.2s -> 6.4s).
+_DEDUP_BEFORE_SCORE_MIN_TABLES = 8
+
+
+def _score_unique_pairs(
+    pairs: DataFrame, base: DataFrame, id_col: str, left: str, right: str
+) -> DataFrame:
+    """Attach unit vectors to an ids-only unique pair list and score
+    each pair once: (left, right) -> (left, right, cos_sim)."""
+    return (
+        pairs.join(
+            base.select(F.col(id_col).alias(left), F.col("nv").alias("__ln")),
+            left,
+        )
+        .join(
+            base.select(F.col(id_col).alias(right), F.col("nv").alias("__rn")),
+            right,
+        )
+        .select(
+            left,
+            right,
+            F.round(V.dot(F.col("__ln"), F.col("__rn")), 6).alias("cos_sim"),
+        )
+    )
+
+
+def _unit_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, nv) — one row per vector with its unit-normalized copy;
+    the shared input of the bucketing explode and the post-dedup
+    scoring re-join."""
+    return _with_unit(
+        df.select(F.col(id_col), V.as_double(vec_col).alias("v")),
+        F.col("v"),
+        "nv",
+    ).drop("v")
+
+
 def _multi_table_buckets(
-    df: DataFrame,
+    base: DataFrame,
     id_col: str,
-    vec_col: str,
     dim: int,
     n_planes: int,
     n_tables: int,
 ) -> DataFrame:
     """(id, nv, table_id, bucket) — one row per (vector, table):
-    sign-bit bucket from an independent seeded plane set per table.
-    ``nv`` is the unit-normalized vector: buckets are computed from it
-    (positive scaling preserves the mathematical sign, and the oracle
-    replays the same normalized sign test bit-for-bit), and downstream
-    scoring is then a bare dot product per candidate pair."""
-    base = _with_unit(
-        df.select(F.col(id_col), V.as_double(vec_col).alias("v")),
-        F.col("v"),
-        "nv",
-    ).drop("v")
+    sign-bit bucket from an independent seeded plane set per table,
+    over a ``_unit_base`` frame.  Buckets are computed from the
+    normalized vector (positive scaling preserves the mathematical
+    sign, and the oracle replays the same normalized sign test
+    bit-for-bit), so downstream scoring is a bare dot product per
+    candidate pair."""
     buckets = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=20260813 + 7919 * t)
@@ -195,22 +233,36 @@ def lsh_bucket_topk(
     candidate pair set, then ranks — comparisons and shuffle volume
     scale with bucket occupancy, not corpus^2.
     """
-    tabled = _multi_table_buckets(df, id_col, vec_col, dim, n_planes, n_tables)
+    base = _unit_base(df, id_col, vec_col)
+    tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
     a, c = tabled.alias("a"), tabled.alias("c")
-    candidates = (
-        a.join(
-            c,
-            (F.col("a.table_id") == F.col("c.table_id"))
-            & (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"c.{id_col}").alias("neighbor_id"),
-            F.round(V.dot(F.col("a.nv"), F.col("c.nv")), 6).alias("cos_sim"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    join_cond = (
+        (F.col("a.table_id") == F.col("c.table_id"))
+        & (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))
     )
+    if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
+        pairs = (
+            a.join(c, join_cond)
+            .select(
+                F.col(f"a.{id_col}").alias("query_id"),
+                F.col(f"c.{id_col}").alias("neighbor_id"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        candidates = _score_unique_pairs(
+            pairs, base, id_col, "query_id", "neighbor_id"
+        )
+    else:
+        candidates = (
+            a.join(c, join_cond)
+            .select(
+                F.col(f"a.{id_col}").alias("query_id"),
+                F.col(f"c.{id_col}").alias("neighbor_id"),
+                F.round(V.dot(F.col("a.nv"), F.col("c.nv")), 6).alias("cos_sim"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return candidates.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -392,15 +444,27 @@ def embedding_near_dup_pairs(
     ``brute_force_near_dup_pairs`` is the exact oracle for recall
     tests.
     """
-    tabled = _multi_table_buckets(df, id_col, vec_col, dim, n_planes, n_tables)
+    base = _unit_base(df, id_col, vec_col)
+    tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
     a, b = tabled.alias("a"), tabled.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    join_cond = (
+        (F.col("a.table_id") == F.col("b.table_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
+        pairs = (
+            a.join(b, join_cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
+        scored = _score_unique_pairs(pairs, base, id_col, "id_a", "id_b")
+        return scored.filter(F.col("cos_sim") >= threshold)
+    return (
+        a.join(b, join_cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
