@@ -25,23 +25,25 @@ def _modules():
     # codecs — is already guarded inside its own module)
     #
     # ORDER MATTERS: the driver's correctness gate records only the
-    # first 50 entries of queries() in registration order.  Round 5
-    # gated the analytics_ext/data_prep/entry_extras families (all
-    # hash-green in CORRECTNESS_r05); round 6 rotates the
-    # relational/scd2/llm_ops/advanced families back to the front so
-    # they regain a fresh official row — and because q48/q49 (newly
-    # oracled this round) live in llm_ops, the changed-this-round
-    # queries sit inside the gate window.  Every query keeps its
-    # oracle regardless of position — the full catalog is attested
-    # end-to-end by tests/test_oracle_parity.py in every pytest run.
-    mods = [relational]
+    # first 50 entries of queries() in registration order.  Round 6
+    # gated relational/scd2/llm_ops/advanced; round 7 rotates
+    # entry_extras/data_prep/analytics_ext (q43–q45, q50–q57,
+    # q61–q84 — last officially attested in r05, and the round-6
+    # similarity/dedupe rework touches code shared by q61/q70/q71/
+    # q79) to the front for fresh official rows.  Changed-this-round
+    # queries that live elsewhere (q27 SimHash widening, q48 IVF
+    # sample-training) are pinned into the window via _GATE_FRONT.
+    # Every query keeps its oracle regardless of position — the full
+    # catalog is attested end-to-end by tests/test_oracle_parity.py
+    # in every pytest run.
+    mods = []
     for name in (
-        "scd2_queries",
-        "llm_ops",
-        "advanced",
         "entry_extras",
         "data_prep",
         "analytics_ext",
+        "llm_ops",
+        "scd2_queries",
+        "advanced",
     ):
         mods.append(
             __import__(
@@ -49,15 +51,17 @@ def _modules():
                 fromlist=[name],
             )
         )
+    mods.append(relational)
     return mods
 
 
 #: Queries pinned to the FRONT of the catalog regardless of module
 #: order, so they land inside the driver's 50-entry gate window.
-#: q84 is new in round 6 (its module, analytics_ext, rotates to the
-#: back this round after its r05 green sweep) — pinning gives it the
-#: official CORRECTNESS row a new query needs.
-_GATE_FRONT = ("q84_decoded_media",)
+#: Round 7: q27 (SimHash widened to 64-bit) and q48 (IVF quantizer
+#: sample-training) change this round but live in llm_ops, which sits
+#: partially outside the first 50 after the rotation — pinning
+#: guarantees their fresh official rows.
+_GATE_FRONT = ("q27_simhash", "q48_ivf_topk")
 
 
 def _front_ordered(d: dict) -> dict:
