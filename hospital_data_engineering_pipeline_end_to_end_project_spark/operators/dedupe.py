@@ -301,13 +301,35 @@ def hamming16(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """SimHash via explode + 16 conditional sums in one groupBy —
-    identical math to :func:`simhash16` but each token is md5-hashed
-    once (the Column-expression form re-evaluates the hash array per
-    bit after projection collapsing) and the per-bit balances combine
-    map-side.  Returns (id_col, simhash:long).  Preferred at corpus
-    scale; ``simhash16`` remains for inline Column composition."""
+#: Two's-complement value of a set bit 63 in a signed 64-bit long —
+#: ``1 << 63`` itself overflows, so the top SimHash bit contributes
+#: the (negative) min-long instead; XOR/bit_count hamming math is
+#: unaffected by the signed interpretation.
+_TOP_BIT_63 = -(1 << 63)
+
+
+def simhash_agg(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash via explode + ``bits`` conditional sums in one groupBy.
+
+    For bit ``i``: nibble = hex digit ``i DIV 4`` of md5(token), bit =
+    ``(nibble >> (i mod 4)) & 1``; the simhash bit is set when the
+    (+1/-1) balance over all tokens is strictly positive.  Each token
+    is md5-hashed ONCE (the Column-expression form :func:`simhash16`
+    re-evaluates the hash array per bit after projection collapsing)
+    and the per-bit balances combine map-side, so the shuffle carries
+    ``bits`` small ints per document.  Returns (id_col, simhash:long).
+
+    Default width is 64 (16 of md5's 32 hex chars): 16-bit fingerprints
+    birthday-collide around ~10^4 documents, far below corpus scale,
+    while 64 bits distinguishes ~10^9 docs and still fits one long —
+    hamming distance stays a single ``bit_count(a ^ b)``.  Bit 63 maps
+    to the sign bit of the long (two's complement); the DuckDB oracle
+    replays the identical signed arithmetic.
+    """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash width must be 1..64, got {bits}")
     hx = df.select(
         F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
     ).select(F.col(id_col), F.md5("tok").alias("h"))
@@ -321,8 +343,17 @@ def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias(f"b{i}")
 
-    bals = hx.groupBy(id_col).agg(*[bit_balance(i) for i in range(16)])
-    sim = F.lit(0)
-    for i in range(16):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    bals = hx.groupBy(id_col).agg(*[bit_balance(i) for i in range(bits)])
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = _TOP_BIT_63 if i == 63 else (1 << i)
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(weight)).otherwise(
+            F.lit(0).cast("long")
+        )
     return bals.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit compatibility wrapper over :func:`simhash_agg` (same
+    bit layout as the inline :func:`simhash16`)."""
+    return simhash_agg(df, id_col, text_col, bits=16)

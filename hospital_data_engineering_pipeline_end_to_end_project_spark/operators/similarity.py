@@ -269,15 +269,38 @@ def lsh_bucket_topk(
     )
 
 
+#: Training-sample size per centroid: Lloyd runs on at most
+#: ``256 * k`` rows (standard IVF practice — faiss trains its coarse
+#: quantizer on a bounded sample for the same reason).  Without this
+#: cap, every Lloyd iteration assigns all n rows to all K centroids;
+#: at the documented operating curve K ~ sqrt(n) that training term is
+#: O(n^1.5 * dim) per iteration and dominated the measured 13.1x
+#: growth at 10x data (BASELINE.md ANN table, round 6).  With the cap,
+#: training is O(256 * K^2 * dim) ~ O(256 * n * dim) — linear — plus
+#: one O(n) sample-selection scan.
+IVF_TRAIN_PER_CLUSTER = 256
+
+
 def build_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iterations: int = 2,
+    train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
 ) -> list[list[float]]:
-    """Deterministic IVF coarse quantizer: Lloyd's k-means with the K
-    lowest-id vectors as seeds.
+    """Deterministic IVF coarse quantizer: Lloyd's k-means trained on
+    a bounded deterministic sample.
+
+    The sample is the ``train_per_cluster * k`` rows with the LOWEST
+    ``md5(id)`` — a content-derived uniform draw that is independent
+    of partitioning and replayable by any engine (same idiom as the
+    md5-bucket splits in ``operators/dataprep.py``).  Selection is one
+    TakeOrdered pass (per-partition top-cap heaps, never a full sort);
+    the sample is localCheckpoint-ed so each Lloyd iteration re-scans
+    cap rows, not the corpus.  Seeds are the first K sample rows in
+    the same (md5, id) order.  The full corpus is only ever assigned
+    ONCE, by the caller, after training (``ivf_topk``).
 
     Each iteration is one distributed assign (broadcast centroids,
     argmin over K) + one distributed update (posexplode + mean per
@@ -289,25 +312,34 @@ def build_ivf_centroids(
     distributed mean is order-dependent in its last ulps (partial sums
     merge in partition order), so two engines computing "the same"
     mean can disagree by ~1e-12; snapping to multiples of 2^-10
-    absorbs that while staying bit-exact (power-of-two scaling and the
-    final division are exact in binary FP — unlike decimal ``round``,
-    whose double result is engine-specific).  The ~5e-4 quantization
-    is irrelevant for a coarse quantizer, and it makes the whole
-    IVF pipeline (q48) replayable by the DuckDB oracle.
+    absorbs that wobble — except in the measure-zero case where
+    ``avg * 1024 + 0.5`` lands within an ulp of an integer, where a
+    last-ulp difference can still flip the floor (accepted residual
+    risk; a guaranteed-deterministic mean would need a fixed summation
+    order).  Snapping stays bit-exact in binary FP (power-of-two
+    scaling and the final division are exact — unlike decimal
+    ``round``, whose double result is engine-specific).  The ~5e-4
+    quantization is irrelevant for a coarse quantizer, and it makes
+    the whole IVF pipeline (q48) replayable by the DuckDB oracle,
+    which re-derives the identical sample with
+    ``ORDER BY md5(id), id LIMIT cap``.
     """
+    cap = train_per_cluster * k
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    sample = (
+        df.select(F.col(id_col), V.as_double(vec_col).alias("__tv"))
+        .orderBy(*order)
+        .limit(cap)
+        .localCheckpoint()
+    )
     centroids = [
-        [float(x) for x in r["v"]]
-        for r in df.orderBy(id_col)
-        .limit(k)
-        .select(V.as_double(vec_col).alias("v"))
-        .collect()
+        [float(x) for x in r["__tv"]]
+        for r in sample.orderBy(*order).limit(k).collect()
     ]
     for _ in range(iterations):
-        assigned = assign_ivf_cluster(df, centroids, vec_col)
+        assigned = assign_ivf_cluster(sample, centroids, "__tv")
         rows = (
-            assigned.select(
-                "cluster", F.posexplode(V.as_double(vec_col)).alias("dim", "x")
-            )
+            assigned.select("cluster", F.posexplode("__tv").alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg((F.floor(F.avg("x") * 1024.0 + 0.5) / 1024.0).alias("m"))
             .collect()
@@ -364,13 +396,16 @@ def ivf_topk(
     k: int = 5,
     n_clusters: int = 8,
     nprobe: int = 2,
+    train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: corpus is partitioned by a
     coarse quantizer; each query ranks candidates only in the
     ``nprobe`` clusters nearest to its own vector.  Candidate volume
     scales with corpus/n_clusters x nprobe — the inverted-file
     trade (recall vs probed fraction), complementary to LSH."""
-    centroids = build_ivf_centroids(df, vec_col, id_col, n_clusters)
+    centroids = build_ivf_centroids(
+        df, vec_col, id_col, n_clusters, train_per_cluster=train_per_cluster
+    )
     # quantizer geometry (assign + probes) runs on the RAW vectors —
     # that is what the centroids were trained on; the unit copy is
     # only for pair scoring, and raw/unit columns are pruned so each

@@ -275,12 +275,15 @@ FROM inter
 
 
 # ---------------------------------------------------------------------------
-# q27 — SimHash document fingerprints (16-bit, md5-nibble derived)
+# q27 — SimHash document fingerprints (64-bit, md5-nibble derived).
+# Bit 63 is the long's sign bit: the oracle adds the min-BIGINT
+# two's-complement constant instead of the overflowing 1 << 63,
+# mirroring operators/dedupe.py:_TOP_BIT_63.
 # ---------------------------------------------------------------------------
 
 def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dedupe.simhash16_agg(d, "doc_id", "text")
+    return dedupe.simhash_agg(d, "doc_id", "text", bits=64)
 
 
 Q27_SQL = f"""
@@ -291,10 +294,14 @@ bits AS (
   SELECT doc_id, b.i AS bit,
          SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, (b.i // 4) + 1, 1)) - 1)
                         & (1 << (b.i % 4))) <> 0 THEN 1 ELSE -1 END) AS bal
-  FROM h, (SELECT unnest(range(16)) AS i) b
+  FROM h, (SELECT unnest(range(64)) AS i) b
   GROUP BY doc_id, b.i
 )
-SELECT doc_id, CAST(SUM(CASE WHEN bal > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST(SUM(CASE WHEN bal > 0
+                     THEN CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                               ELSE (1::BIGINT << bit) END
+                     ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -667,18 +674,26 @@ FROM kmv JOIN qs USING (l_returnflag) JOIN counts USING (l_returnflag)
 # q48 — IVF approximate nearest neighbors.  Like q29/q31, the oracle
 # REPLAYS the whole construction in DuckDB — but here the quantizer is
 # data-dependent, so the SQL re-derives it from scratch as chained
-# CTEs: seeds = the K lowest-id vectors, then two unrolled Lloyd
-# iterations (argmin assign -> per-(cluster,dim) mean), then the final
-# assign/probe/top-k.  Two things make this cross-engine exact:
-# distances are sequential list folds (bit-identical to Spark's
-# aggregate(zip_with(...))), and centroid means are snapped to a
-# dyadic grid (floor(avg*1024+0.5)/1024 — see
+# CTEs: a bounded md5-ordered training sample (sv), seeds = the K
+# lowest-md5 sample rows, then two unrolled Lloyd iterations over the
+# SAMPLE (argmin assign -> per-(cluster,dim) mean), then the final
+# full-corpus assign/probe/top-k.  Training on the bounded sample
+# (256 rows per centroid — operators/similarity.py:
+# IVF_TRAIN_PER_CLUSTER) is what keeps quantizer training linear at
+# corpus scale; the oracle selects the identical sample via
+# ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT cap.  Two
+# things make the replay cross-engine exact: distances are sequential
+# list folds (bit-identical to Spark's aggregate(zip_with(...))), and
+# centroid means are snapped to a dyadic grid
+# (floor(avg*1024+0.5)/1024 — see
 # operators/similarity.py:build_ivf_centroids), which absorbs the
 # order-dependent last-ulp wobble of a distributed mean.  Recall vs
 # the exact q28 baseline is tested in tests/test_llm_ops.py.
 # ---------------------------------------------------------------------------
 
 Q48_CLUSTERS, Q48_NPROBE, Q48_K, Q48_ITERS, Q48_DIM = 8, 2, 5, 2, 64
+Q48_TRAIN_CAP = similarity.IVF_TRAIN_PER_CLUSTER * Q48_CLUSTERS
+_Q48_ORD = "md5(CAST(vec_id AS VARCHAR)), vec_id"
 
 
 def q48_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,21 +721,22 @@ def _q48_dist(vec: str, cent: str) -> str:
 
 
 def _q48_sql() -> str:
-    def ranked(cent_cte: str) -> str:
+    def ranked(cent_cte: str, src: str = "v") -> str:
         return (
             "SELECT v.vec_id, v.dv, cl.c, row_number() OVER ("
             f"PARTITION BY v.vec_id ORDER BY {_q48_dist('v.dv', 'cl.cent')},"
-            f" cl.c) AS rn FROM v CROSS JOIN {cent_cte} cl"
+            f" cl.c) AS rn FROM {src} v CROSS JOIN {cent_cte} cl"
         )
 
-    # one Lloyd iteration: assign to cN-1, mean per (cluster, dim)
-    # snapped to the dyadic grid, empty clusters keep their previous
-    # coordinates (the LEFT JOIN + coalesce)
+    # one Lloyd iteration over the TRAINING SAMPLE sv: assign to cN-1,
+    # mean per (cluster, dim) snapped to the dyadic grid, empty
+    # clusters keep their previous coordinates (the LEFT JOIN +
+    # coalesce)
     iters = []
     for it in range(1, Q48_ITERS + 1):
         prev_l, prev_r = f"c{it - 1}l", f"c{it - 1}"
         iters.append(
-            f"""r{it} AS ({ranked(prev_l)}),
+            f"""r{it} AS ({ranked(prev_l, src="sv")}),
 a{it} AS (SELECT vec_id, dv, c AS cluster FROM r{it} WHERE rn = 1),
 u{it} AS (
   SELECT a.cluster, i.i AS dim,
@@ -738,9 +754,10 @@ c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c{it} GROUP BY c)"""
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
 nv AS (SELECT vec_id, {_UNIT.format(v='dv')} AS nv FROM v),
+sv AS (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q48_TRAIN_CAP}),
 seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, dv AS cent
-  FROM v ORDER BY vec_id LIMIT {Q48_CLUSTERS}
+  SELECT row_number() OVER (ORDER BY {_Q48_ORD}) - 1 AS c, dv AS cent
+  FROM sv ORDER BY {_Q48_ORD} LIMIT {Q48_CLUSTERS}
 ),
 idx AS (SELECT unnest(range(1, {Q48_DIM + 1})) AS i),
 c0 AS (SELECT s.c, i.i AS dim, s.cent[i.i] AS val FROM seeds s CROSS JOIN idx i),

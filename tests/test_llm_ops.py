@@ -76,6 +76,40 @@ def test_simhash_hamming_locality(spark, docs):
     assert d_near < d_far, f"near dist {d_near} should be < far dist {d_far}"
 
 
+def test_simhash64_hamming_locality(spark, docs):
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedupe.simhash_agg(docs, "doc_id", "text", bits=64).collect()
+    }
+    # signed-long xor: mask to 64 bits before popcount
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_near = ham(sh[1], sh[2])
+    d_far = ham(sh[1], sh[3])
+    assert sh[1] == sh[4], "exact copies share the fingerprint"
+    assert d_near < d_far, f"near dist {d_near} should be < far dist {d_far}"
+    # unrelated 64-bit fingerprints should disagree on roughly half
+    # the bits — require well over the near-dup distance
+    assert d_far >= 16
+
+
+def test_simhash_agg_matches_inline_16(spark, docs):
+    # the explode-agg form at bits=16 must reproduce the inline
+    # Column form bit-for-bit (same md5-nibble layout)
+    inline = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", dedupe.simhash16("text").alias("h")
+        ).collect()
+    }
+    agg = {
+        r["doc_id"]: r["simhash"]
+        for r in dedupe.simhash16_agg(docs, "doc_id", "text").collect()
+    }
+    assert inline == agg
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = similarity.cosine_topk(e, e, k=3)
