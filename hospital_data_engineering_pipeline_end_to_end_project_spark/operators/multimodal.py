@@ -108,12 +108,91 @@ def wav_pcm_decoder(b: bytes) -> bytes:
         cid = b[off : off + 4]
         size = struct.unpack_from("<I", b, off + 4)[0]
         if cid == b"data":
+            if off + 8 + size > len(b):
+                # a silent clamp would report decode_ok with a wrong
+                # decoded_len; truncated payloads must take the
+                # corrupt-payload branch
+                raise ValueError("data chunk exceeds payload (truncated)")
             return b[off + 8 : off + 8 + size]
         off += 8 + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk")
 
 
 register_decoder("audio/wav", wav_pcm_decoder)
+
+
+def png_header_decoder(b: bytes) -> dict:
+    """Stdlib-only PNG header parse: validates the 8-byte signature
+    and the mandatory first IHDR chunk, returns
+    ``{"width", "height", "bit_depth", "color_type"}`` (PNG spec:
+    IHDR is always the first chunk; width/height are 4-byte
+    big-endian).  Truncated or non-PNG payloads raise — mapped to
+    ``decode_ok = false`` by the batch wrappers."""
+    import struct
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    length, ctype = struct.unpack_from(">I4s", b, 8)
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("first chunk is not a valid IHDR")
+    width, height, bit_depth, color_type = struct.unpack_from(">IIBB", b, 16)
+    if width == 0 or height == 0:
+        raise ValueError("zero PNG dimension")
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+    }
+
+
+#: JPEG start-of-frame markers that carry dimensions (SOF0-SOF15 minus
+#: the non-frame DHT/DAC/RST gaps C4, C8, CC).
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_sof_decoder(b: bytes) -> dict:
+    """Stdlib-only JPEG SOF parse: walks the marker-segment chain from
+    SOI to the first start-of-frame marker and returns
+    ``{"width", "height", "precision", "n_components"}`` (dimensions
+    are 2-byte big-endian inside the SOF segment).  Truncated chains
+    or missing SOF raise."""
+    import struct
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    off = 2
+    while off + 4 <= len(b):
+        if b[off] != 0xFF:
+            raise ValueError("broken JPEG marker chain")
+        marker = b[off + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        seg_len = struct.unpack_from(">H", b, off + 2)[0]
+        if seg_len < 2 or off + 2 + seg_len > len(b):
+            raise ValueError("JPEG segment exceeds payload (truncated)")
+        if marker in _JPEG_SOF_MARKERS:
+            if seg_len < 8:
+                raise ValueError("SOF segment too short")
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", b, off + 4
+            )
+            if width == 0 or height == 0:
+                raise ValueError("zero JPEG dimension")
+            return {
+                "width": width,
+                "height": height,
+                "precision": precision,
+                "n_components": n_comp,
+            }
+        off += 2 + seg_len
+    raise ValueError("no SOF marker")
+
+
+register_decoder("image/png", png_header_decoder)
+register_decoder("image/jpeg", jpeg_sof_decoder)
 
 
 def decoded_stats(
@@ -161,6 +240,141 @@ def decoded_stats(
             )
 
     return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+    ]
+)
+
+
+def image_dims(
+    media: DataFrame,
+    decoders: dict[str, Callable[[bytes], object]] | None = None,
+) -> DataFrame:
+    """Arrow-batched image-dimension extraction: run each payload's
+    registered decoder and surface ``width``/``height`` when the
+    decoded object carries them (the PNG/JPEG header decoders return
+    dicts).  Same closure-snapshot and per-row failure contract as
+    :func:`decoded_stats` — an unknown mime or corrupt payload yields
+    ``decode_ok = false``, never a stage failure."""
+    snapshot = dict(_DECODERS) if decoders is None else dict(decoders)
+
+    def _dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, ws, hs = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                fn = snapshot.get(meta["mime"])
+                if fn is None or payload is None:
+                    ok.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                try:
+                    decoded = fn(bytes(payload))
+                except Exception:
+                    ok.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    ok.append(True)
+                    get = decoded.get if isinstance(decoded, dict) else lambda _k: None
+                    ws.append(get("width"))
+                    hs.append(get("height"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "decode_ok": ok,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_dims, schema=IMAGE_DIMS_SCHEMA)
+
+
+def _be_hex(col, n_hex: int):
+    """Big-endian fixed-width hex string of a non-negative integral
+    Column — ``unhex``-ready (n_hex/2 bytes)."""
+    return F.lpad(F.hex(col), n_hex, "0")
+
+
+def synthesize_image_media(
+    df: DataFrame,
+    id_col: str,
+    corrupt_every: int = 7,
+) -> DataFrame:
+    """Deterministic REAL image payloads from an id column, built
+    entirely with Column expressions (hex/lpad/unhex/crc32 — JVM-side,
+    no Python in the synthesis path).
+
+    Even ids become a valid PNG (signature + IHDR chunk with a correct
+    CRC32 + IEND); odd ids a valid baseline JPEG (SOI + APP0/JFIF +
+    SOF0 + EOI).  Dimensions derive from the id
+    (``width = id % 300 + 1``, ``height = id * 7 % 200 + 1``) so an
+    oracle can predict what a correct header parse must return —
+    exercising the stdlib decoders against ground truth.  Every
+    ``corrupt_every``-th id ships only the first 16 payload bytes: a
+    truncated header that a correct decoder must REJECT
+    (``decode_ok = false``).
+
+    The real codec work (pixel decode, resize, frame-sample) would
+    slot into the same registry; headers are what's verifiable with
+    stdlib only."""
+    idc = F.col(id_col).cast("long")
+    w = (idc % 300 + 1).cast("long")
+    h = (idc * 7 % 200 + 1).cast("long")
+
+    # PNG: sig(8) | IHDR len=13 | "IHDR" w h 8-bit RGBA, CRC32 over
+    # type+data | empty IEND
+    ihdr_body = F.unhex(
+        F.concat(F.lit("49484452"), _be_hex(w, 8), _be_hex(h, 8), F.lit("0806000000"))
+    )
+    png = F.concat(
+        F.unhex(F.lit("89504e470d0a1a0a0000000d")),
+        ihdr_body,
+        F.unhex(_be_hex(F.crc32(ihdr_body), 8)),
+        F.unhex(F.lit("0000000049454e44ae426082")),
+    )
+    # JPEG: SOI | APP0/JFIF (16-byte segment) | SOF0: len 17,
+    # precision 8, h, w, 3 components (YCbCr 4:2:0-ish) | EOI
+    jpeg = F.unhex(
+        F.concat(
+            F.lit("ffd8" "ffe0" "0010" "4a46494600" "0101" "00" "0001" "0001" "0000"),
+            F.lit("ffc0" "0011" "08"),
+            _be_hex(h, 4),
+            _be_hex(w, 4),
+            F.lit("03" "012200" "021101" "031101"),
+            F.lit("ffd9"),
+        )
+    )
+    mime = F.when(idc % 2 == 0, F.lit("image/png")).otherwise(F.lit("image/jpeg"))
+    base = df.select(
+        idc.alias("media_id"),
+        F.when(idc % 2 == 0, png).otherwise(jpeg).alias("__pl"),
+        mime.alias("__mime"),
+    )
+    payload = F.col("__pl")
+    if corrupt_every:
+        payload = F.when(
+            F.col("media_id") % corrupt_every == 0,
+            F.expr("substring(__pl, 1, 16)"),
+        ).otherwise(payload)
+    return base.select(
+        "media_id",
+        payload.alias("payload"),
+        F.struct(
+            F.col("__mime").alias("mime"),
+            F.lit("synthetic").alias("source"),
+            F.length(payload).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -1070,6 +1070,40 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q85 — REAL binary header decode: stdlib PNG IHDR / JPEG SOF parsers
+#
+# Synthesizes genuine PNG/JPEG payloads per document id with pure
+# Column expressions (hex/unhex/crc32 — the PNG carries a spec-correct
+# IHDR CRC), dimensions derived from the id; every 7th payload is
+# truncated to 16 bytes.  The registered stdlib decoders
+# (multimodal.png_header_decoder / jpeg_sof_decoder) then byte-parse
+# the headers inside Arrow-batched mapInPandas.  The oracle predicts
+# each row from the id formulas — if a parser misreads so much as an
+# endian byte, the hash check fails; if it accepts a truncated
+# header, decode_ok diverges.  This is the non-trivial exercise of
+# the decoder registry (q84 covers the text/plain path).
+# ---------------------------------------------------------------------------
+
+
+def q85_image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(d, "doc_id")
+    return multimodal.image_dims(media)
+
+
+Q85_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+       (doc_id % 7) <> 0 AS decode_ok,
+       CASE WHEN (doc_id % 7) <> 0 THEN CAST(doc_id % 300 + 1 AS BIGINT) END AS width,
+       CASE WHEN (doc_id % 7) <> 0 THEN CAST((doc_id * 7) % 200 + 1 AS BIGINT) END AS height
+FROM documents
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1095,6 +1129,7 @@ QUERIES = {
     "q82_outer_explode": q82_outer_explode,
     "q83_cluster_sizes": q83_cluster_sizes,
     "q84_decoded_media": q84_decoded_media,
+    "q85_image_header_decode": q85_image_header_decode,
 }
 
 ORACLES = {
@@ -1122,4 +1157,5 @@ ORACLES = {
     "q82_outer_explode": Q82_SQL,
     "q83_cluster_sizes": Q83_SQL,
     "q84_decoded_media": Q84_SQL,
+    "q85_image_header_decode": Q85_SQL,
 }

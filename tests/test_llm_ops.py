@@ -195,10 +195,70 @@ def test_multimodal_stub_and_plumbing(spark, docs):
     assert feats[1]["byte_len"] == len(BASE.encode())
     assert feats[1]["content_md5"] == feats[4]["content_md5"]
 
+    # image/png and image/jpeg now ship real stdlib header decoders;
+    # use a genuinely unregistered mime for the NotImplementedError
+    # contract, and restore the registry after overriding
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"xxx", "image/png")
-    multimodal.register_decoder("image/png", lambda b: ("decoded", len(b)))
-    assert multimodal.decode_media(b"xxx", "image/png") == ("decoded", 3)
+        multimodal.decode_media(b"xxx", "image/tiff")
+    before = multimodal.registered_decoders()
+    try:
+        multimodal.register_decoder("image/tiff", lambda b: ("decoded", len(b)))
+        assert multimodal.decode_media(b"xxx", "image/tiff") == ("decoded", 3)
+    finally:
+        multimodal._DECODERS.clear()
+        multimodal._DECODERS.update(before)
+
+
+def test_png_jpeg_header_decoders(spark):
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthesize_image_media(ids, "doc_id", corrupt_every=0)
+    rows = {r["media_id"]: r for r in multimodal.image_dims(media).collect()}
+    assert len(rows) == 40
+    for i, r in rows.items():
+        assert r["decode_ok"], f"id {i} should decode"
+        assert r["width"] == i % 300 + 1
+        assert r["height"] == i * 7 % 200 + 1
+        assert r["mime"] == ("image/png" if i % 2 == 0 else "image/jpeg")
+
+    # direct byte-level checks on the parsers
+    png = bytes(
+        media.filter(F.col("media_id") == 2).collect()[0]["payload"]
+    )
+    d = multimodal.png_header_decoder(png)
+    assert (d["width"], d["height"], d["bit_depth"], d["color_type"]) == (3, 15, 8, 6)
+    jpg = bytes(
+        media.filter(F.col("media_id") == 3).collect()[0]["payload"]
+    )
+    d = multimodal.jpeg_sof_decoder(jpg)
+    assert (d["width"], d["height"], d["precision"], d["n_components"]) == (4, 22, 8, 3)
+
+    # truncated headers must be rejected, not mis-parsed
+    with pytest.raises(ValueError):
+        multimodal.png_header_decoder(png[:16])
+    with pytest.raises(ValueError):
+        multimodal.jpeg_sof_decoder(jpg[:16])
+    with pytest.raises(ValueError):
+        multimodal.png_header_decoder(jpg)  # wrong container
+    with pytest.raises(ValueError):
+        multimodal.jpeg_sof_decoder(png)
+
+
+def test_wav_decoder_rejects_truncated_data_chunk():
+    import struct
+
+    pcm = bytes(range(16))
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    assert multimodal.wav_pcm_decoder(wav) == pcm
+    # declared size exceeds remaining payload -> must raise, not clamp
+    lying = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"data" + struct.pack("<I", len(pcm) + 8) + pcm
+    )
+    with pytest.raises(ValueError):
+        multimodal.wav_pcm_decoder(lying)
 
 
 def test_quantization_roundtrip_fidelity(spark):
