@@ -13,11 +13,14 @@ neighborhood; rounds repeat until a fixpoint.  Convergence takes
 O(diameter) rounds — near-dup graphs are unions of small
 quasi-cliques, so the diameter is tiny (2-4) even at corpus scale.
 
-Scale shape per round: one shuffle (groupBy node) over the edge
-list; labels are re-derived, never collected.  The driver-side loop
-only ever pulls back a single aggregate (the number of labels that
-changed), and `localCheckpoint` truncates the growing lineage so
-round N's plan does not replay rounds 1..N-1.
+Scale shape per round: one join + one groupBy-min over the
+self-loop-augmented edge list (the closed neighborhood lives in the
+edge frame, so no second join folds the node's own label back in);
+labels are re-derived, never collected.  The driver-side loop only
+ever pulls back a single scalar — the exact sum of labels, which is
+strictly decreasing until the fixpoint — and that probe job doubles
+as the materialization of the round's lazy `localCheckpoint`, so
+each round costs exactly one Spark job and lineage never grows.
 """
 
 from __future__ import annotations
@@ -44,54 +47,60 @@ def connected_components(
     diameter — for near-dup graphs that indicates a bug upstream, not
     a bigger graph).
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # CLOSED neighborhood (symmetrized edges + self-loops) built in
+    # ONE pass over the edge plan: a branch-per-direction union
+    # (select(u,v) ∪ select(v,u) ∪ nodes) would evaluate the —
+    # possibly expensive — edge-producing pipeline once per branch
+    # (q61 feeds the whole LSH banding self-join in here).  With
+    # (u, u) edges in the frame, one join + one groupBy-min per round
+    # computes min(own label, neighbor labels) directly — the pre-r7
+    # shape needed a second (left) join per round to fold the node's
+    # own label back in.  localCheckpoint truncates the edge lineage
+    # ONCE; everything below derives from the checkpointed frame.
+    closed = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                    F.struct(F.col(src).alias("u"), F.col(src).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(dst).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
-        # truncate the (possibly expensive) edge-producing lineage ONCE;
-        # nodes/labels below must derive from the checkpointed plan or
-        # their own checkpoints would recompute it
         .localCheckpoint(eager=True)
     )
-    # closed neighborhood: every node is its own neighbor, so labels
-    # can only decrease and a fixpoint is well defined
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+    labels = closed.filter(F.col("u") == F.col("v")).select(
+        F.col("u").alias("node"), F.col("u").alias("component")
     )
 
+    # fixpoint probe: labels only ever DECREASE (min over a closed
+    # neighborhood), so sum(component) is strictly decreasing until
+    # the fixpoint — a stable sum means no label moved.  The probe is
+    # a scalar agg on the new labels (no join against the previous
+    # round), and the SAME job materializes the round's lazy
+    # checkpoint: exactly one Spark job per round.
+    prev_sum: int | None = None
+    converged_empty = False
     for i in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
+        labels = (
+            closed.join(labels, F.col("v") == F.col("node"))
             .groupBy("u")
-            .agg(F.min("component").alias("nbr_min"))
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("u", "node")
+            .localCheckpoint(eager=False)
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
-                    "__changed"
-                ),
-            )
-        ).localCheckpoint(eager=True)
-        labels = updated.drop("__changed")
-        # fixpoint probe every 2nd round only: propagation is
-        # idempotent past convergence, so skipping a probe risks at
-        # most one redundant (cheap) round, while probing costs a
-        # driver-visible collect job each time — at near-dup graph
-        # diameters (2-4) this halves the scheduling overhead
-        if i % 2 == 1 or i == max_iter - 1:
-            n_changed = updated.agg(
-                F.sum(F.col("__changed").cast("long")).alias("c")
-            ).collect()[0]["c"]
-            if not n_changed:
-                return labels
+        # decimal(38,0) sum: exact at any node count / id magnitude, so
+        # a wrapped long sum can never alias two distinct label states
+        cur = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur == prev_sum and (cur is not None or converged_empty):
+            return labels
+        converged_empty = cur is None
+        prev_sum = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

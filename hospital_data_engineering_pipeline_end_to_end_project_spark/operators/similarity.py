@@ -270,15 +270,19 @@ def lsh_bucket_topk(
 
 
 #: Training-sample size per centroid: Lloyd runs on at most
-#: ``256 * k`` rows (standard IVF practice — faiss trains its coarse
-#: quantizer on a bounded sample for the same reason).  Without this
-#: cap, every Lloyd iteration assigns all n rows to all K centroids;
-#: at the documented operating curve K ~ sqrt(n) that training term is
-#: O(n^1.5 * dim) per iteration and dominated the measured 13.1x
-#: growth at 10x data (BASELINE.md ANN table, round 6).  With the cap,
-#: training is O(256 * K^2 * dim) ~ O(256 * n * dim) — linear — plus
-#: one O(n) sample-selection scan.
-IVF_TRAIN_PER_CLUSTER = 256
+#: ``64 * k`` rows (bounded-sample training is standard IVF practice —
+#: faiss caps points-per-centroid when training its coarse quantizer,
+#: and a coarse quantizer only needs enough points per cell for stable
+#: means, not the full corpus).  Without a cap, every Lloyd iteration
+#: assigns all n rows to all K centroids; at the all-pairs operating
+#: curve K ∝ n (scale_check.py) that training term is O(n^2 * dim)
+#: per iteration and dominated the measured 13.1x growth at 10x data
+#: (round 6).  With the cap, training cost tracks the centroid count
+#: (64 * K^2 * dim per iteration) and measured 10x growth is ~10x;
+#: 64/centroid keeps training under ~10% of the probe+score cost at
+#: the documented curve while staying comfortably above the ~39
+#: points/centroid floor faiss warns at.
+IVF_TRAIN_PER_CLUSTER = 64
 
 
 def build_ivf_centroids(
@@ -406,42 +410,59 @@ def ivf_topk(
     centroids = build_ivf_centroids(
         df, vec_col, id_col, n_clusters, train_per_cluster=train_per_cluster
     )
-    # quantizer geometry (assign + probes) runs on the RAW vectors —
-    # that is what the centroids were trained on; the unit copy is
-    # only for pair scoring, and raw/unit columns are pruned so each
-    # join side ships exactly one vector per row
-    assigned = _with_unit(
-        assign_ivf_cluster(df, centroids, vec_col).select(
-            F.col(id_col), F.col("cluster"), V.as_double(vec_col).alias("v")
-        ),
-        F.col("v"),
-        "nv",
-    )
-
-    # per-row probe list: nprobe nearest centroids by squared distance
-    # (same linear-in-K array form as assign_ivf_cluster — pair each
-    # distance with its cluster id and struct-sort, ties to lower id)
+    # IVF INDEX BUILD, materialized once: per row, the nprobe nearest
+    # centroids by squared distance over the RAW vector (what the
+    # centroids were trained on) — probe 1 IS the assignment, so one
+    # n x K distance pass yields both the inverted-file cell and the
+    # probe list (the pre-r7 plan ran the pass twice: an argmin for
+    # the assign and a sort for the probes).  Ties go to the lower
+    # cluster id (struct sort on (d, c)), matching
+    # assign_ivf_cluster's array_position semantics and the oracle's
+    # ORDER BY dist, c.  localCheckpoint is the index materialization
+    # every IVF system performs — build once, probe many; without it
+    # the corpus and query branches of the self-join would each
+    # recompute the distance pass.
     dists = _centroid_dists(F.col("v"), centroids)
     structs = F.zip_with(
         dists,
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda d, c: F.struct(d.alias("d"), c.alias("c")),
     )
-    probes = F.slice(F.array_sort(structs), 1, nprobe)
-    queries = assigned.withColumn(
-        "probe_cluster", F.explode(F.transform(probes, lambda s: s["c"]))
-    ).select(F.col(id_col), F.col("probe_cluster"), F.col("nv"))
+    probes = F.transform(
+        F.slice(F.array_sort(structs), 1, nprobe), lambda s: s["c"].cast("int")
+    )
+    index = (
+        _with_unit(
+            df.select(F.col(id_col), V.as_double(vec_col).alias("v")),
+            F.col("v"),
+            "nv",
+        )
+        .select(F.col(id_col), probes.alias("__probes"), F.col("nv"))
+        .localCheckpoint()
+    )
+    queries = index.select(
+        F.col(id_col), F.explode("__probes").alias("probe_cluster"), F.col("nv")
+    )
+    corpus = index.select(
+        F.col(id_col),
+        F.col("__probes")[0].alias("cluster"),
+        F.col("nv"),
+    )
 
     cand = queries.alias("q").join(
-        assigned.select(F.col(id_col), F.col("cluster"), F.col("nv")).alias("c"),
+        corpus.alias("c"),
         (F.col("q.probe_cluster") == F.col("c.cluster"))
         & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
     )
+    # no dedup needed: each neighbor lives in exactly one cluster and
+    # a query's probe clusters are distinct, so a (query, neighbor)
+    # pair can arise from at most one probe — the pre-r7
+    # dropDuplicates was a full extra shuffle of the candidate set
     scored = cand.select(
         F.col(f"q.{id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("neighbor_id"),
         F.round(V.dot(F.col("q.nv"), F.col("c.nv")), 6).alias("cos_sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -678,9 +678,9 @@ FROM kmv JOIN qs USING (l_returnflag) JOIN counts USING (l_returnflag)
 # lowest-md5 sample rows, then two unrolled Lloyd iterations over the
 # SAMPLE (argmin assign -> per-(cluster,dim) mean), then the final
 # full-corpus assign/probe/top-k.  Training on the bounded sample
-# (256 rows per centroid — operators/similarity.py:
-# IVF_TRAIN_PER_CLUSTER) is what keeps quantizer training linear at
-# corpus scale; the oracle selects the identical sample via
+# (operators/similarity.py:IVF_TRAIN_PER_CLUSTER rows per centroid)
+# is what keeps quantizer training linear at corpus scale; the
+# oracle selects the identical sample via
 # ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT cap.  Two
 # things make the replay cross-engine exact: distances are sequential
 # list folds (bit-identical to Spark's aggregate(zip_with(...))), and

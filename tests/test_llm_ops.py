@@ -168,6 +168,21 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_training_sample_partition_invariant(spark):
+    """The md5-ordered training sample — and therefore the trained
+    centroids — must not depend on how the input happens to be
+    partitioned (the property that makes q48 replayable and
+    cluster-retry-safe)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # train_per_cluster=8 -> cap 32 << 500 rows, so the sample BINDS
+    a = similarity.build_ivf_centroids(e, k=4, train_per_cluster=8)
+    b = similarity.build_ivf_centroids(
+        e.repartition(17, "vec_id"), k=4, train_per_cluster=8
+    )
+    c = similarity.build_ivf_centroids(e.coalesce(1), k=4, train_per_cluster=8)
+    assert a == b == c
+
+
 def test_ivf_assign_scales_to_many_clusters(spark):
     """Regression for the round-6 scale bug: the argmin used to chain
     when(d < best_d, ...) per centroid, nesting each partial result
