@@ -33,5 +33,8 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """dot / (|a| * |b|) — written exactly like the oracle SQL
     (``sqrt(dot(a,a)) * sqrt(dot(b,b))`` — NOT ``sqrt(na*nb)``, which
-    is a different float expression)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    is a different float expression).  The denominator is nullif-
+    guarded so a zero vector yields NULL on BOTH engines (Spark's
+    non-ANSI x/0.0 is NULL; DuckDB's IEEE default is inf/NaN — NaN
+    would sort above real similarities in a DESC top-k)."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))

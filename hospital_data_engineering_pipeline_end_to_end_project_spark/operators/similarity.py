@@ -43,10 +43,19 @@ def _with_unit(df: DataFrame, vec_col, out_col: str) -> DataFrame:
 
     The norm is materialized as a column first so its fold runs once
     per ROW — inlining ``norm(v)`` inside the transform lambda would
-    re-evaluate it per ELEMENT on the interpreted HOF path."""
+    re-evaluate it per ELEMENT on the interpreted HOF path.
+
+    Zero vectors are guarded with ``nullif(norm, 0)``: Spark's
+    non-ANSI ``x / 0.0`` yields NULL but DuckDB's IEEE default yields
+    inf/NaN — and NaN sorts ABOVE real similarities in a DESC top-k,
+    a cross-engine divergence.  With the guard both engines produce
+    NULL elements, whose downstream dot products are NULL and sort
+    last under DESC on both (Spark desc = nulls last; DuckDB default
+    null order = nulls last).  The oracle SQL applies the identical
+    guard (``_UNIT`` in ``plans/llm_ops.py``)."""
     v = V.as_double(vec_col) if isinstance(vec_col, str) else vec_col
     return (
-        df.withColumn("__norm", V.norm(v))
+        df.withColumn("__norm", F.nullif(V.norm(v), F.lit(0.0)))
         .withColumn(out_col, F.transform(v, lambda x: x / F.col("__norm")))
         .drop("__norm")
     )

@@ -13,24 +13,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _row_salt(df: DataFrame, salt_buckets: int) -> F.Column:
+def _row_salt(
+    df: DataFrame, salt_buckets: int, ordinal_col: str | None = None
+) -> F.Column:
     """Per-row salt in [0, salt_buckets): md5 over the full row
-    content PLUS a per-row ordinal (``monotonically_increasing_id``).
+    content PLUS a per-row ordinal.
 
     Content alone is not enough: the canonical skew scenario is a hot
     key whose rows are mass-duplicated byte-for-byte, and a pure
     content hash sends every copy to the same bucket — the hot
-    partition quietly returns.  Mixing in the row ordinal spreads
-    identical rows uniformly.  The ordinal depends on the physical
-    partition layout, so the salt is stable within a run but not
-    across repartitionings — fine here, because every caller's result
-    is salt-invariant (partials are re-aggregated / the join key is
-    restored); md5 over (content, ordinal) is kept rather than plain
-    ``F.rand`` so a run is at least replayable from a fixed input
-    layout."""
+    partition quietly returns.  Mixing in a per-row ordinal spreads
+    identical rows uniformly.
+
+    ``ordinal_col`` — a stable unique row key — makes the salt FULLY
+    deterministic: prefer it whenever the input has one.  Without it
+    the fallback ordinal is ``monotonically_increasing_id``, which
+    depends on the physical partition layout, and that carries a
+    CLUSTER-RETRY HAZARD: if the input is shuffle-derived, a
+    recomputed map task can fetch rows in a different order and
+    re-salt them differently than the attempt earlier reducers
+    already consumed, double-counting or dropping partials.  Spark's
+    indeterminate-stage rollback and local mode mask this, but it is
+    real on a cluster — so the fallback is only safe for SCAN-ROOTED
+    inputs (file-source partitions are recomputed identically).
+    Callers feeding shuffle-derived frames MUST pass ``ordinal_col``.
+    md5 over (ordinal, content) is used rather than plain ``F.rand``
+    so a run is replayable from a fixed input layout."""
+    ordinal = (
+        F.col(ordinal_col).cast("string")
+        if ordinal_col is not None
+        else F.monotonically_increasing_id().cast("string")
+    )
     payload = F.concat_ws(
         "\x1f",
-        F.monotonically_increasing_id().cast("string"),
+        ordinal,
         *[F.col(c).cast("string") for c in df.columns],
     )
     return F.pmod(
@@ -40,15 +56,21 @@ def _row_salt(df: DataFrame, salt_buckets: int) -> F.Column:
 
 
 def salted_groupby_count(
-    df: DataFrame, key: str, salt_buckets: int = 16
+    df: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    ordinal_col: str | None = None,
 ) -> DataFrame:
     """Two-stage count for heavy-hitter keys: stage 1 aggregates
     (key, salt) partial counts — spreading a hot key over
     ``salt_buckets`` reducers — stage 2 sums the partials.  The
     classic partial-aggregation shape, written explicitly for
     aggregates where Catalyst's map-side combine is insufficient
-    (e.g. after an explode that re-skews)."""
-    salted = df.withColumn("__salt", _row_salt(df, salt_buckets))
+    (e.g. after an explode that re-skews).
+
+    Pass ``ordinal_col`` (a stable unique key) for a fully
+    deterministic salt; see the retry caveat on :func:`_row_salt`."""
+    salted = df.withColumn("__salt", _row_salt(df, salt_buckets, ordinal_col))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("count"))
 
@@ -58,6 +80,7 @@ def salted_join(
     other: DataFrame,
     key: str,
     salt_buckets: int = 8,
+    ordinal_col: str | None = None,
 ) -> DataFrame:
     """Skew-resistant inner equi-join: the skewed side gets a random
     salt in [0, buckets); the other side is replicated once per salt
@@ -68,8 +91,13 @@ def salted_join(
     too big to broadcast but small enough to replicate, and AQE's
     skew split isn't applicable (e.g. the skew is introduced
     mid-plan).  Output columns = skewed's + other's (key deduped).
-    """
-    salted = skewed.withColumn("__salt", _row_salt(skewed, salt_buckets))
+
+    Pass ``ordinal_col`` (a stable unique key on the skewed side) for
+    a fully deterministic salt; see the retry caveat on
+    :func:`_row_salt`."""
+    salted = skewed.withColumn(
+        "__salt", _row_salt(skewed, salt_buckets, ordinal_col)
+    )
     replicated = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

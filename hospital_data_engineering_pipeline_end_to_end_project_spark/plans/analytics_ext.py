@@ -77,7 +77,9 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 
 def q62_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    out = skew.salted_groupby_count(e, "event_type", salt_buckets=16)
+    out = skew.salted_groupby_count(
+        e, "event_type", salt_buckets=16, ordinal_col="event_id"
+    )
     return out.select("event_type", F.col("count").cast("long").alias("n_events"))
 
 
@@ -867,12 +869,14 @@ FROM kept GROUP BY split, lang
 
 def q80_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("c_custkey"), "value"
+        "event_id", F.col("user_id").alias("c_custkey"), "value"
     )
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    joined = skew.salted_join(e, c, "c_custkey", salt_buckets=8)
+    joined = skew.salted_join(
+        e, c, "c_custkey", salt_buckets=8, ordinal_col="event_id"
+    )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))

@@ -320,9 +320,10 @@ def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: unit-normalize a DOUBLE[] column — replays Spark's _with_unit
 #: exactly (one correctly-rounded division per element by the same
-#: sequential-fold norm), so pair scoring is a bare dot product on
-#: both engines
-_UNIT = "[x / sqrt(list_dot_product({v}, {v})) FOR x IN {v}]"
+#: sequential-fold norm, with the identical nullif zero-norm guard
+#: — see operators/similarity.py:_with_unit), so pair scoring is a
+#: bare dot product on both engines
+_UNIT = "[x / nullif(sqrt(list_dot_product({v}, {v})), 0) FOR x IN {v}]"
 
 Q28_SQL = f"""
 WITH q AS (

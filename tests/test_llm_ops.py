@@ -127,6 +127,33 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert approx.count() > 0
 
 
+def test_zero_norm_vector_yields_null_not_nan(spark):
+    """A zero embedding has no direction: the nullif guard must make
+    its similarity NULL (sorting LAST under DESC) on the Spark side,
+    mirroring the identical guard in the DuckDB ``_UNIT`` fragment —
+    never NaN/inf, which DuckDB's IEEE division would rank ABOVE real
+    similarities."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # the degenerate vector
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cosine_topk(e, e, k=2).collect()
+    sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in got}
+    for v in sims.values():
+        assert v is None or math.isfinite(v), f"non-finite cos_sim {v}"
+    # pairs touching the zero vector are NULL, and NULL ranks last:
+    # query 0's rank-1 neighbor is the real vector, not the zero one
+    assert sims[(0, 1)] is not None and sims[(0, 1)] > 0.9
+    ranks = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in got
+    }
+    assert ranks[(0, 1)] == 1 and ranks[(0, 2)] == 2
+
+
 def test_cosine_topk_oversized_query_guard(spark):
     e = spark.range(64).select(
         F.col("id").alias("vec_id"),

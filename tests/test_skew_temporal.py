@@ -52,6 +52,32 @@ def test_row_salt_spreads_byte_identical_duplicates(spark):
     assert n >= buckets - 2, f"duplicates collapsed to {n}/{buckets} salt buckets"
 
 
+def test_row_salt_deterministic_with_ordinal_col(spark):
+    """With a stable unique ``ordinal_col`` the salt must be a pure
+    function of row content — invariant under repartitioning (and
+    hence cluster-retry-safe, unlike the monotonically_increasing_id
+    fallback)."""
+    df = spark.createDataFrame(
+        [(i, i % 3, "payload") for i in range(200)],
+        "rid long, k long, v string",
+    )
+    buckets = 8
+
+    def salts(frame):
+        return {
+            (r["rid"], r["s"])
+            for r in frame.withColumn(
+                "s", skew._row_salt(frame, buckets, ordinal_col="rid")
+            ).collect()
+        }
+
+    base = salts(df)
+    assert salts(df.repartition(13, "v")) == base
+    assert salts(df.coalesce(1)) == base
+    # and it still spreads: many distinct salt values
+    assert len({s for _, s in base}) >= buckets - 2
+
+
 def test_asof_join_backward_semantics(spark):
     quotes = spark.createDataFrame(
         [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)],
