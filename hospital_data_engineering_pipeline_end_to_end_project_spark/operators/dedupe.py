@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -94,7 +95,10 @@ def minhash_bands(
     rows_per_band = num_hashes // bands
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes > {len(MINHASH_A)} not parameterized")
-    exploded = df.select(
+    # shingling is a ~50x row expansion: balance the compact input
+    # across cores first (no-op on an already-parallel scan)
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+    exploded = src.select(
         F.col(id_col), F.explode(TX.shingles(text_col, shingle_n)).alias("s")
     )
     # 60 bits of the md5, reduced mod P; conv()'s decimal string fits
@@ -207,7 +211,7 @@ def jaccard_within_key(
     under-counted for pairs sharing capped shingles, and pairs whose
     ONLY shared shingles are capped disappear.  ``None`` = exact.
     """
-    exploded = df.select(
+    exploded = fan_out(df.select(id_col, key_col, text_col), by=id_col).select(
         F.col(id_col),
         F.col(key_col),
         F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias("s"),
@@ -330,7 +334,7 @@ def simhash_agg(
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"simhash width must be 1..64, got {bits}")
-    hx = df.select(
+    hx = fan_out(df.select(id_col, text_col), by=id_col).select(
         F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
     ).select(F.col(id_col), F.md5("tok").alias("h"))
 

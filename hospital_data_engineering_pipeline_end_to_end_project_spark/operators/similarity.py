@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 
 
 def _with_unit(df: DataFrame, vec_col, out_col: str) -> DataFrame:
@@ -97,8 +98,16 @@ def cosine_topk(
         F.col("qv"),
         "qnv",
     ).drop("qv")
+    # the corpus side does all the scoring work (|corpus| x |queries|
+    # dot products stream past the broadcast): balance a compact scan
+    # across cores first (no-op when the scan is already parallel)
     c = _with_unit(
-        corpus.select(F.col(id_col).alias("neighbor_id"), V.as_double(vec_col).alias("cv")),
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                V.as_double(vec_col).alias("cv"),
+            )
+        ),
         F.col("cv"),
         "cnv",
     ).drop("cv")
@@ -183,9 +192,11 @@ def _score_unique_pairs(
 def _unit_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, nv) — one row per vector with its unit-normalized copy;
     the shared input of the bucketing explode and the post-dedup
-    scoring re-join."""
+    scoring re-join.  The per-table sign-bit bucketing downstream is
+    n_tables x n_planes dot products PER ROW, so the compact scan is
+    balanced across cores first (no-op on an already-parallel scan)."""
     return _with_unit(
-        df.select(F.col(id_col), V.as_double(vec_col).alias("v")),
+        fan_out(df.select(F.col(id_col), V.as_double(vec_col).alias("v"))),
         F.col("v"),
         "nv",
     ).drop("v")
@@ -442,7 +453,10 @@ def ivf_topk(
     )
     index = (
         _with_unit(
-            df.select(F.col(id_col), V.as_double(vec_col).alias("v")),
+            # the index build is an n x K distance pass per row —
+            # balance a compact scan across cores first (no-op when
+            # the scan is already parallel)
+            fan_out(df.select(F.col(id_col), V.as_double(vec_col).alias("v"))),
             F.col("v"),
             "nv",
         )
