@@ -383,3 +383,85 @@ def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit compatibility wrapper over :func:`simhash_agg` (same
     bit layout as the inline :func:`simhash16`)."""
     return simhash_agg(df, id_col, text_col, bits=16)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash (Manku/Jain/Sarma,
+    WWW'07 — the production web-dedup construction): fingerprint each
+    doc with :func:`simhash_agg`, block on ``bands`` equal-width bit
+    slices, and keep candidate pairs whose full-fingerprint hamming
+    distance is at most ``max_hamming``.
+
+    EXACT, not approximate, for the default knobs: by pigeonhole, two
+    64-bit fingerprints within hamming ``k`` of each other must agree
+    on at least one of ``bands`` slices whenever ``k < bands`` — so
+    the band blocking provably recalls EVERY qualifying pair while
+    only ever joining within band buckets.  (``k >= bands`` would
+    make blocking lossy; rejected up front.)
+
+    Scale shape — the reason this exists next to MinHash-LSH (q25):
+    the corpus is reduced to ONE long per doc before any join, so the
+    self-join input is |corpus| rows of (id, simhash) x ``bands``,
+    and join cost is sum of band-bucket sizes squared, never
+    all-pairs.  Fingerprinting itself is one explode + map-side
+    combined groupBy (see :func:`simhash_agg`).  Verification is a
+    single ``bit_count(a XOR b)`` per candidate — no second pass over
+    the text, which is what makes SimHash the cheapest verify of the
+    three dedup families here (vs shingle-set Jaccard in q26).
+
+    Complement-of-reference note: the reference pipeline has no
+    near-dup stage at all (SURVEY.md section 2 — its dedup is
+    ``dropDuplicates`` only); this is part of the training-data
+    extension family.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits ({bits} % {bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded blocking is only exact for max_hamming < bands "
+            f"(got hamming {max_hamming}, bands {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash_agg(df, id_col, text_col, bits)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -21,7 +21,10 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.operators impor
     skew,
 )
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
-from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import Q25_SQL
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import (
+    Q25_SQL,
+    Q27_SQL,
+)
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
     load_table,
 )
@@ -1108,6 +1111,45 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q86 — SimHash banded near-dup pairs (the third dedup family)
+#
+# MinHash-LSH (q25/q26) approximates SHINGLE-SET Jaccard; SimHash
+# blocks on a 64-bit token-multiset fingerprint and verifies with one
+# bit_count(xor) — no second pass over the text.  With 4 bands and
+# hamming <= 3 the blocking is EXACT by pigeonhole (any pair within
+# hamming 3 agrees on >= 1 of the 4 sixteen-bit slices), so the
+# oracle is a literal replay, not a recall bound.  The oracle builds
+# the identical fingerprints by interpolating Q27_SQL.
+# ---------------------------------------------------------------------------
+
+
+def q86_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.simhash_near_dups(
+        d, "doc_id", "text", bits=64, bands=4, max_hamming=3
+    )
+
+
+Q86_SQL = f"""
+WITH sh AS ({Q27_SQL}),
+bands AS (
+  SELECT doc_id, simhash, b.i AS band_id,
+         (simhash >> (b.i * 16)) & 65535 AS band_val
+  FROM sh, (SELECT unnest(range(4)) AS i) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1134,6 +1176,7 @@ QUERIES = {
     "q83_cluster_sizes": q83_cluster_sizes,
     "q84_decoded_media": q84_decoded_media,
     "q85_image_header_decode": q85_image_header_decode,
+    "q86_simhash_near_dups": q86_simhash_near_dups,
 }
 
 ORACLES = {
@@ -1162,4 +1205,5 @@ ORACLES = {
     "q83_cluster_sizes": Q83_SQL,
     "q84_decoded_media": Q84_SQL,
     "q85_image_header_decode": Q85_SQL,
+    "q86_simhash_near_dups": Q86_SQL,
 }

@@ -390,3 +390,42 @@ def test_decoded_stats_wav_and_decoder_exceptions(spark):
     assert got[1]["decode_ok"] and got[1]["decoded_len"] == 8  # 4 frames x int16
     assert not got[2]["decode_ok"] and got[2]["decoded_len"] is None
     assert not got[3]["decode_ok"] and got[3]["decoded_len"] is None
+
+
+def test_simhash_near_dups_exact_recall(spark, docs):
+    # pigeonhole guarantee: with 4 bands and max_hamming 3, the
+    # banded plan must return EXACTLY the pairs a brute-force
+    # fingerprint comparison finds — not an approximation
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedupe.simhash_agg(docs, "doc_id", "text", bits=64).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expected = {
+        (a, b, ham(sh[a], sh[b]))
+        for a in sh
+        for b in sh
+        if a < b and ham(sh[a], sh[b]) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedupe.simhash_near_dups(
+            docs, "doc_id", "text", bits=64, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == expected
+    assert any(a == 1 and b == 4 and h == 0 for a, b, h in got), (
+        "exact copies must surface at hamming 0"
+    )
+
+
+def test_simhash_near_dups_rejects_lossy_knobs(spark, docs):
+    with pytest.raises(ValueError, match="exact"):
+        dedupe.simhash_near_dups(
+            docs, "doc_id", "text", bands=4, max_hamming=4
+        )
+    with pytest.raises(ValueError, match="divide"):
+        dedupe.simhash_near_dups(docs, "doc_id", "text", bands=5)
