@@ -283,3 +283,109 @@ def stratified_sample(
         )
     keep = keep.otherwise(F.lit(False)) if keep is not None else F.lit(False)
     return df.withColumn("bucket", bucket).filter(keep)
+
+
+#: BM25 score for one (doc, term) pair, as ONE expression string
+#: shared verbatim by the Spark plan (``selectExpr``) and the DuckDB
+#: oracle — byte-identical text means byte-identical parse trees, so
+#: both engines run the same sequence of correctly-rounded IEEE
+#: double ops and produce the same float64 bit pattern.  The idf is
+#: the log-free Robertson odds ratio ``(N - df + 0.5) / (df + 0.5)``:
+#: the ``ln`` damping is omitted because libm ``ln`` differs in the
+#: last ulp across engines (the same trade, documented, as
+#: :func:`tfidf_top_terms`); within a term the ranking is identical.
+#: All fractional literals are CAST(... AS DOUBLE) on both sides —
+#: bare ``1.2`` parses as DECIMAL in both Spark and DuckDB and their
+#: decimal arithmetic rules differ.
+_BM25_SCORE_TMPL = (
+    "((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))"
+    " * ((tf * CAST({k1p1} AS DOUBLE))"
+    " / (tf + CAST({k1} AS DOUBLE)"
+    " * (CAST({one_minus_b} AS DOUBLE)"
+    " + CAST({b} AS DOUBLE) * (dl / avgdl))))"
+)
+
+#: average document length as a shared expression: exact BIGINT
+#: inputs, ONE correctly-rounded double division.
+_BM25_AVGDL = "CAST(total_tokens AS DOUBLE) / n_docs"
+
+
+def bm25_score_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """The per-(doc, term) BM25 scoring expression with ``k1``/``b``
+    bound — exposed so oracles interpolate the identical text."""
+    return _BM25_SCORE_TMPL.format(
+        k1p1=repr(k1 + 1.0), k1=repr(k1), one_minus_b=repr(1.0 - b), b=repr(b)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    term_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by BM25 (Robertson/
+    Sparck Jones probabilistic ranking — the default lexical scorer in
+    Lucene/Elasticsearch and the standard hard-negative miner /
+    retrieval baseline in training-data pipelines).
+
+    ``docs`` is exploded (id, term) rows, one per token occurrence.
+
+    Scale shape: ONE corpus-wide pass builds per-doc lengths ``dl``;
+    corpus stats (N, total tokens) reduce from ``dl`` — not a second
+    scan — and enter the plan as a broadcast 1-row frame.  Term
+    frequencies are computed only for rows matching ``query_terms``
+    (an ``isin`` filter that reaches the scan), so the scored side is
+    |docs containing a query term|, never the corpus; document
+    frequencies are a |query|-row broadcast.  Per-doc combination
+    pivots each term's score into a fixed column via ``max`` (each
+    (doc, term) is unique post-aggregation, so ``max`` is just an
+    order-insensitive pick) and sums the columns in FIXED textual
+    order — a float ``sum()`` over term rows would be partial-order
+    dependent and break the oracle hash.  Final top-k is
+    ``ORDER BY .. LIMIT k`` (per-partition heaps, no global sort),
+    rank attached over the k survivors.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    dl = docs.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = (
+        docs.filter(F.col(term_col).isin(*query_terms))
+        .groupBy(id_col, term_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), term_col)
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("avgdl", F.expr(_BM25_AVGDL))
+        .withColumn("score", F.expr(bm25_score_sql(k1, b)))
+    )
+    pivots = [
+        F.max(
+            F.when(F.col(term_col) == t, F.col("score"))
+        ).alias(f"__s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    total = None
+    for i in range(len(query_terms)):
+        part = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        total = part if total is None else total + part
+    ranked = (
+        scored.groupBy(id_col)
+        .agg(*pivots)
+        .withColumn("bm25", total)
+        .select(id_col, "bm25")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

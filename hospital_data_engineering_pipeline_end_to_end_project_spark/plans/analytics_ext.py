@@ -21,9 +21,11 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.operators impor
     skew,
 )
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
 from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import (
     Q25_SQL,
     Q27_SQL,
+    TOKS_SQL,
 )
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
     load_table,
@@ -1150,6 +1152,76 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# q87 — BM25 lexical retrieval (top-k docs for a bag-of-terms query)
+#
+# The standard lexical ranking function (Lucene/Elasticsearch default)
+# and the usual hard-negative miner in retrieval training pipelines.
+# Cross-engine exactness: the per-(doc, term) scoring expression is
+# ONE string (operators/dataprep.py:bm25_score_sql) interpolated
+# verbatim into both the Spark selectExpr and this oracle, per-term
+# scores are pivoted into fixed columns and summed in fixed textual
+# order, and the idf is the log-free Robertson odds ratio (libm ``ln``
+# is engine-specific in the last ulp — same documented trade as q54).
+# ---------------------------------------------------------------------------
+
+Q87_TERMS = ("scan", "merge", "stream")
+Q87_K = 10
+
+
+def q87_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    return dataprep.bm25_topk(tok, "doc_id", "term", Q87_TERMS, k=Q87_K)
+
+
+def _q87_sql() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in Q87_TERMS)
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        for i, t in enumerate(Q87_TERMS)
+    )
+    total = " + ".join(
+        f"COALESCE(s{i}, CAST(0 AS DOUBLE))" for i in range(len(Q87_TERMS))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_tokens
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+base AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl, totals.n_docs,
+         {dataprep._BM25_AVGDL} AS avgdl
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), totals
+),
+scored AS (
+  SELECT doc_id, term, {dataprep.bm25_score_sql()} AS score FROM base
+),
+piv AS (
+  SELECT doc_id,
+         {pivots}
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+FROM (SELECT doc_id, {total} AS bm25 FROM piv)
+QUALIFY rank <= {Q87_K}
+"""
+
+
+Q87_SQL = _q87_sql()
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1177,6 +1249,7 @@ QUERIES = {
     "q84_decoded_media": q84_decoded_media,
     "q85_image_header_decode": q85_image_header_decode,
     "q86_simhash_near_dups": q86_simhash_near_dups,
+    "q87_bm25_topk": q87_bm25_topk,
 }
 
 ORACLES = {
@@ -1206,4 +1279,5 @@ ORACLES = {
     "q84_decoded_media": Q84_SQL,
     "q85_image_header_decode": Q85_SQL,
     "q86_simhash_near_dups": Q86_SQL,
+    "q87_bm25_topk": Q87_SQL,
 }

@@ -205,3 +205,48 @@ def test_hash_split_degenerate_weights(spark):
     assert counts.get("c", 0) == 0
     assert counts.get("a", 0) + counts.get("b", 0) == 200
     assert 60 <= counts.get("a", 0) <= 140, "a must keep ~half, not 1/16"
+
+
+def _bm25_tok(spark, rows):
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    return d.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term")
+    )
+
+
+def test_bm25_ranks_tf_and_length(spark):
+    # doc 1: query term twice in a short doc; doc 2: once in a short
+    # doc; doc 3: once buried in a long doc; doc 4: no query terms
+    tok = _bm25_tok(spark, [
+        (1, "scan scan join"),
+        (2, "scan join group"),
+        (3, "scan " + "filler " * 40),
+        (4, "join group sort"),
+    ])
+    out = {r["doc_id"]: (r["bm25"], r["rank"]) for r in
+           dataprep.bm25_topk(tok, "doc_id", "term", ("scan",), k=10).collect()}
+    assert 4 not in out, "docs without any query term never score"
+    assert out[1][0] > out[2][0] > out[3][0], (
+        "higher tf outranks lower; short doc outranks long at equal tf"
+    )
+    assert out[1][1] == 1
+
+
+def test_bm25_multi_term_sum_and_topk(spark):
+    tok = _bm25_tok(spark, [
+        (1, "scan merge join"),
+        (2, "scan join join"),
+        (3, "merge join join"),
+    ])
+    out = dataprep.bm25_topk(
+        tok, "doc_id", "term", ("scan", "merge"), k=2
+    ).collect()
+    assert [r["doc_id"] for r in out][0] == 1, "both-term doc wins"
+    assert len(out) == 2, "k caps the result"
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_bm25_rejects_empty_query(spark):
+    tok = _bm25_tok(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        dataprep.bm25_topk(tok, "doc_id", "term", ())
