@@ -583,3 +583,54 @@ def brute_force_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
+) -> DataFrame:
+    """Semantic deduplication, centroid-proximity variant (the
+    SemDeDup family, Abbas et al. 2023: cluster the embedding space,
+    then thin each cluster): every vector is assigned to its nearest
+    coarse-quantizer centroid, and the vector CLOSEST to the centroid
+    is kept as the cluster's canonical representative — the rest are
+    the semantic-duplicate candidates a corpus cleaner drops or
+    down-weights.  (Full SemDeDup epsilon-dedups by pairwise cosine
+    within each cluster; the centroid-proximity rule is the bounded
+    variant that needs NO within-cluster pair join, which is what
+    makes it safe at corpus scale.)
+
+    Scale shape: quantizer training is bounded-sample Lloyd
+    (:func:`build_ivf_centroids` — never a full-corpus iteration);
+    the corpus is then touched exactly ONCE with a K x dim
+    broadcast-literal distance pass, and the keep decision is one
+    window over (cluster, dist) — a single shuffle by cluster id.
+    No pairwise anything.
+
+    Returns (id, cluster, dist, is_kept): ``dist`` is the squared L2
+    distance to the owning centroid rounded to 6 places for display;
+    the keep ORDER uses the raw distance (a deterministic sequential
+    fold both engines replay bit-for-bit), tie-broken by id.
+    """
+    centroids = build_ivf_centroids(
+        df, vec_col, id_col, n_clusters, train_per_cluster=train_per_cluster
+    )
+    v = V.as_double(vec_col)
+    d = _centroid_dists(v, centroids)
+    assigned = df.select(F.col(id_col), d.alias("__d")).select(
+        F.col(id_col),
+        (F.array_position("__d", F.array_min("__d")) - 1)
+        .cast("long")
+        .alias("cluster"),
+        F.array_min("__d").alias("__dist"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("__dist"), F.asc(id_col))
+    return assigned.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.round("__dist", 6).alias("dist"),
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

@@ -21,7 +21,9 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.operators impor
     skew,
 )
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import similarity
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import llm_ops
 from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import (
     Q25_SQL,
     Q27_SQL,
@@ -1222,6 +1224,35 @@ QUALIFY rank <= {Q87_K}
 Q87_SQL = _q87_sql()
 
 
+# ---------------------------------------------------------------------------
+# q88 — semantic dedup over embeddings (SemDeDup family,
+# centroid-proximity variant)
+#
+# The embedding-space counterpart of the text dedup stack (q25/q26/
+# q86): cluster with the bounded-sample IVF quantizer, keep the
+# vector nearest each centroid, flag the rest as semantic-duplicate
+# candidates.  No within-cluster pair join — the property that makes
+# it usable at corpus scale.  The oracle interpolates the SAME
+# quantizer-replay CTE prefix as q48, so both queries attest the one
+# training path.
+# ---------------------------------------------------------------------------
+
+
+def q88_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", n_clusters=8
+    )
+
+
+Q88_SQL = f"""
+WITH {llm_ops._q48_quantizer_prefix()}
+SELECT vec_id, CAST(c AS BIGINT) AS cluster, round(dd, 6) AS dist,
+       row_number() OVER (PARTITION BY c ORDER BY dd, vec_id) = 1 AS is_kept
+FROM rf WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1250,6 +1281,7 @@ QUERIES = {
     "q85_image_header_decode": q85_image_header_decode,
     "q86_simhash_near_dups": q86_simhash_near_dups,
     "q87_bm25_topk": q87_bm25_topk,
+    "q88_semantic_dedup": q88_semantic_dedup,
 }
 
 ORACLES = {
@@ -1280,4 +1312,5 @@ ORACLES = {
     "q85_image_header_decode": Q85_SQL,
     "q86_simhash_near_dups": Q86_SQL,
     "q87_bm25_topk": Q87_SQL,
+    "q88_semantic_dedup": Q88_SQL,
 }

@@ -721,23 +721,33 @@ def _q48_dist(vec: str, cent: str) -> str:
     return f"list_dot_product({diffs}, {diffs})"
 
 
-def _q48_sql() -> str:
-    def ranked(cent_cte: str, src: str = "v") -> str:
-        return (
-            "SELECT v.vec_id, v.dv, cl.c, row_number() OVER ("
-            f"PARTITION BY v.vec_id ORDER BY {_q48_dist('v.dv', 'cl.cent')},"
-            f" cl.c) AS rn FROM {src} v CROSS JOIN {cent_cte} cl"
-        )
+def _q48_ranked(cent_cte: str, src: str = "v") -> str:
+    return (
+        "SELECT v.vec_id, v.dv, cl.c, "
+        f"{_q48_dist('v.dv', 'cl.cent')} AS dd, row_number() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {_q48_dist('v.dv', 'cl.cent')},"
+        f" cl.c) AS rn FROM {src} v CROSS JOIN {cent_cte} cl"
+    )
 
+
+def _q48_quantizer_prefix() -> str:
+    """Shared WITH-body through the full-corpus rank ``rf`` and the
+    ``assigned`` cluster map: raw/unit vectors, the bounded
+    lowest-md5 training sample, seeds, ``Q48_ITERS`` Lloyd rounds
+    with dyadic-snapped means, and the final K x n distance rank
+    (``rn = 1`` is the assignment; ``dd`` the squared distance).
+    Interpolated verbatim by BOTH the q48 IVF oracle and the q88
+    semantic-dedup oracle so the two replay the identical quantizer.
+    """
     # one Lloyd iteration over the TRAINING SAMPLE sv: assign to cN-1,
     # mean per (cluster, dim) snapped to the dyadic grid, empty
     # clusters keep their previous coordinates (the LEFT JOIN +
     # coalesce)
     iters = []
     for it in range(1, Q48_ITERS + 1):
-        prev_l, prev_r = f"c{it - 1}l", f"c{it - 1}"
+        prev_l = f"c{it - 1}l"
         iters.append(
-            f"""r{it} AS ({ranked(prev_l, src="sv")}),
+            f"""r{it} AS ({_q48_ranked(prev_l, src="sv")}),
 a{it} AS (SELECT vec_id, dv, c AS cluster FROM r{it} WHERE rn = 1),
 u{it} AS (
   SELECT a.cluster, i.i AS dim,
@@ -752,8 +762,7 @@ c{it} AS (
 c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c{it} GROUP BY c)"""
         )
     iter_sql = ",\n".join(iters)
-    return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
 nv AS (SELECT vec_id, {_UNIT.format(v='dv')} AS nv FROM v),
 sv AS (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q48_TRAIN_CAP}),
 seeds AS (
@@ -764,8 +773,13 @@ idx AS (SELECT unnest(range(1, {Q48_DIM + 1})) AS i),
 c0 AS (SELECT s.c, i.i AS dim, s.cent[i.i] AS val FROM seeds s CROSS JOIN idx i),
 c0l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c0 GROUP BY c),
 {iter_sql},
-rf AS ({ranked(f"c{Q48_ITERS}l")}),
-assigned AS (SELECT vec_id, c AS cluster FROM rf WHERE rn = 1),
+rf AS ({_q48_ranked(f"c{Q48_ITERS}l")}),
+assigned AS (SELECT vec_id, c AS cluster FROM rf WHERE rn = 1)"""
+
+
+def _q48_sql() -> str:
+    return f"""
+WITH {_q48_quantizer_prefix()},
 probes AS (SELECT vec_id, c AS probe_cluster FROM rf WHERE rn <= {Q48_NPROBE}),
 cand AS (
   SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -429,3 +429,37 @@ def test_simhash_near_dups_rejects_lossy_knobs(spark, docs):
         )
     with pytest.raises(ValueError, match="divide"):
         dedupe.simhash_near_dups(docs, "doc_id", "text", bands=5)
+
+
+def test_semantic_dedup_keeps_one_nearest_per_cluster(spark):
+    # two tight groups far apart in 4-d; the quantizer (k=2, trained
+    # on all 6 rows — cap >> n) must separate them, and exactly the
+    # member closest to each centroid survives
+    # ids chosen so the md5-ordered seed draw (6, then 23) picks one
+    # seed per group — the separation assertion is then a Lloyd
+    # invariant, not seed luck
+    rows = [
+        (6, [0.0, 0.0, 0.0, 1.0]),
+        (7, [0.0, 0.0, 0.1, 1.0]),
+        (9, [0.0, 0.0, 0.2, 1.0]),
+        (21, [9.0, 9.0, 0.0, 1.0]),
+        (22, [9.0, 9.0, 0.1, 1.0]),
+        (23, [9.0, 9.0, 0.2, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(e, n_clusters=2).collect()
+    assert len(out) == 6, "every vector gets a verdict"
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 2, "far-apart groups land in distinct clusters"
+    for members in by_cluster.values():
+        kept = [r for r in members if r["is_kept"]]
+        assert len(kept) == 1, "exactly one canonical per cluster"
+        assert kept[0]["dist"] == min(r["dist"] for r in members), (
+            "the survivor is the centroid-nearest member"
+        )
+        ids = {r["vec_id"] for r in members}
+        assert ids <= {6, 7, 9} or ids <= {21, 22, 23}, (
+            "clusters never mix the two groups"
+        )
