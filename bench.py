@@ -64,6 +64,11 @@ HEADLINE = [
     "q76_price_histogram",
     "q77_revenue_share",
     "q78_dynamic_pivot",
+    # round-7 additions: third dedup family, lexical retrieval,
+    # embedding-space dedup
+    "q86_simhash_near_dups",
+    "q87_bm25_topk",
+    "q88_semantic_dedup",
 ]
 
 

@@ -326,6 +326,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    doc_lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by BM25 (Robertson/
     Sparck Jones probabilistic ranking — the default lexical scorer in
@@ -348,10 +349,21 @@ def bm25_topk(
     dependent and break the oracle hash.  Final top-k is
     ``ORDER BY .. LIMIT k`` (per-partition heaps, no global sort),
     rank attached over the k survivors.
+
+    ``doc_lengths`` — optional pre-computed (id, dl) frame.  The
+    default derives lengths by counting ``docs`` rows per id, which
+    shuffles the full exploded corpus; a caller holding the raw text
+    can supply ``size(tokens(text))`` instead (no explode, no
+    shuffle) and pre-filter ``docs`` to the query terms — the only
+    reason the full corpus would otherwise flow through here.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    dl = docs.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dl = (
+        doc_lengths.select(F.col(id_col), F.col("dl"))
+        if doc_lengths is not None
+        else docs.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    )
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),

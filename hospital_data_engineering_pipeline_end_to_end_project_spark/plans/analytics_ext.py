@@ -1173,8 +1173,19 @@ Q87_K = 10
 
 def q87_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    return dataprep.bm25_topk(tok, "doc_id", "term", Q87_TERMS, k=Q87_K)
+    # doc lengths via size() — no explode, no corpus-wide shuffle —
+    # and the token array is filtered to the query terms BEFORE the
+    # explode, so only matching occurrences ever become rows
+    dl = d.select("doc_id", F.size(TX.tokens("text")).cast("long").alias("dl"))
+    qtok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(TX.tokens("text"), lambda x: x.isin(*Q87_TERMS))
+        ).alias("term"),
+    )
+    return dataprep.bm25_topk(
+        qtok, "doc_id", "term", Q87_TERMS, k=Q87_K, doc_lengths=dl
+    )
 
 
 def _q87_sql() -> str:
