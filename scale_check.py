@@ -36,7 +36,12 @@ import time
 import pandas as pd
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = ("q25_minhash_bands", "q26_jaccard_pairs", "q61_dup_clusters")
+QUERIES = (
+    "q25_minhash_bands",
+    "q26_jaccard_pairs",
+    "q61_dup_clusters",
+    "q86_simhash_near_dups",
+)
 
 
 def make_scaled_documents(src_dir: str, dst_dir: str, copies: int) -> None:
