@@ -27,6 +27,8 @@ BNLJ_ALLOWED = {
     "q54_tfidf_top_terms",
     # 1-row broadcast scalar (grand total), same idiom as q54
     "q77_revenue_share",
+    # 1-row broadcast corpus stats (N, total tokens), same idiom
+    "q87_bm25_topk",
 }
 
 
@@ -90,3 +92,35 @@ def test_window_suite_single_sort_exchange(plans):
     # single shuffle+sort
     p = plans["q72_window_suite"]
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_simhash_near_dups_equi_join_banding(plans):
+    # q86's candidate stage must be an EQUI-join on
+    # (band_id, band_val) — per-bucket fan-out, never all-pairs.
+    # At sf0.001 AQE may broadcast the tiny band frame; at scale the
+    # same equi-condition becomes a shuffled join.  A nested loop
+    # would mean the band equality fell out of the join condition.
+    p = plans["q86_simhash_near_dups"]
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_broadcasts_dfreq_and_totals(plans):
+    # the |query|-row document-frequency side and the 1-row corpus
+    # stats must both broadcast; the only shuffle joins are keyed
+    p = plans["q87_bm25_topk"]
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_single_corpus_pass(plans):
+    # centroids enter as literals (trained on the bounded sample);
+    # the corpus-wide stage is one distance pass + one window by
+    # cluster — no join against the corpus at all
+    p = plans["q88_semantic_dedup"]
+    assert "Window" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
