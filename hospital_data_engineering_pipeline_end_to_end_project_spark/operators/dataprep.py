@@ -401,3 +401,85 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    max_punct: float = 0.2,
+    min_stopword: float = 0.02,
+    max_top_shingle: float = 0.10,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Composite document quality filter (the Gopher / C4 rule-list
+    shape): each doc gets a keep/drop verdict plus the FIRST failed
+    rule as a ``reason``, so the filter is auditable — a corpus
+    cleaner can report drop counts per rule, not just a pass rate.
+
+    Rules, in fixed evaluation order (first failure wins):
+
+    1. ``too_short``   — fewer than ``min_tokens`` whitespace tokens
+    2. ``high_punct``  — punctuation chars > ``max_punct`` of chars
+    3. ``low_stopword``— English stopword fraction < ``min_stopword``
+       (fluent natural text always contains function words; its
+       absence signals boilerplate/lists/code — the Gopher heuristic)
+    4. ``repetitive``  — most frequent word ``shingle_n``-gram
+       accounts for > ``max_top_shingle`` of all shingles
+
+    Scale shape: rules 1-3 are pure Column expressions on the scan
+    (codegen, no shuffle).  Rule 4 needs the per-doc top-shingle
+    ratio — one explode + doc-keyed aggregation joined back by id;
+    docs too short to shingle skip rule 4 (they fail rule 1 anyway
+    when ``min_tokens >= shingle_n``).  All ratios are count/count
+    divisions — single correctly-rounded IEEE ops any engine
+    reproduces bit-for-bit, so the verdicts need no rounding or
+    tolerance.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+
+    t = TX.tokens(text_col)
+    n_chars = F.length(text_col)
+    punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
+    ).cast("double") / n_chars
+    stop = (
+        F.size(F.filter(t, lambda x: x.isin(*TX.LANG_STOPWORDS["en"])))
+        .cast("double")
+        / F.size(t)
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        punct.alias("__punct"),
+        stop.alias("__stop"),
+    )
+    rep = (
+        docs.select(
+            F.col(id_col), F.explode(TX.shingles(text_col, shingle_n)).alias("s")
+        )
+        .groupBy(id_col, "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("__top_ratio")
+        )
+    )
+    joined = base.join(rep, id_col, "left")
+    top = F.coalesce(F.col("__top_ratio"), F.lit(0.0))
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("__punct") > max_punct, "high_punct")
+        .when(F.col("__stop") < min_stopword, "low_stopword")
+        .when(top > max_top_shingle, "repetitive")
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round("__punct", 6).alias("punct_ratio"),
+        F.round("__stop", 6).alias("stopword_ratio"),
+        F.round(top, 6).alias("top_shingle_ratio"),
+        reason.alias("reason"),
+        reason.isNull().alias("keep"),
+    )

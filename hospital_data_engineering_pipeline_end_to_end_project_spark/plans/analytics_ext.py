@@ -1264,6 +1264,76 @@ FROM rf WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q89 — composite quality filter (Gopher / C4 rule-list verdicts)
+#
+# The decision stage the per-signal queries (q21 tokens, q22 ratios,
+# q56 repetition) feed in a real pipeline: one keep/drop verdict per
+# doc with the FIRST failed rule as an auditable reason.  All ratios
+# are count/count IEEE divisions — bit-identical cross-engine, so
+# rule comparisons need no tolerance.
+# ---------------------------------------------------------------------------
+
+_Q89_EN = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
+Q89_MIN_TOKENS, Q89_MAX_PUNCT, Q89_MIN_STOP, Q89_MAX_TOP = 20, 0.2, 0.02, 0.10
+
+
+def q89_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.quality_filter(
+        d,
+        "doc_id",
+        "text",
+        min_tokens=Q89_MIN_TOKENS,
+        max_punct=Q89_MAX_PUNCT,
+        min_stopword=Q89_MIN_STOP,
+        max_top_shingle=Q89_MAX_TOP,
+        shingle_n=5,
+    )
+
+
+Q89_SQL = rf"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS tk FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct,
+         CAST(len(list_filter(tk, x -> x IN ({_Q89_EN}))) AS DOUBLE)
+           / len(tk) AS stop
+  FROM t
+),
+sh AS (
+  SELECT doc_id,
+         unnest([array_to_string(tk[i+1:i+5], ' ')
+                 FOR i IN range(len(tk) - 4)]) AS s
+  FROM t WHERE len(tk) >= 5
+),
+per AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s),
+rep AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_ratio
+  FROM per GROUP BY doc_id
+),
+j AS (
+  SELECT b.*, COALESCE(r.top_ratio, CAST(0 AS DOUBLE)) AS top_ratio
+  FROM base b LEFT JOIN rep r USING (doc_id)
+),
+v AS (
+  SELECT doc_id, n_tokens, punct, stop, top_ratio,
+         CASE WHEN n_tokens < {Q89_MIN_TOKENS} THEN 'too_short'
+              WHEN punct > CAST({Q89_MAX_PUNCT} AS DOUBLE) THEN 'high_punct'
+              WHEN stop < CAST({Q89_MIN_STOP} AS DOUBLE) THEN 'low_stopword'
+              WHEN top_ratio > CAST({Q89_MAX_TOP} AS DOUBLE) THEN 'repetitive'
+         END AS reason
+  FROM j
+)
+SELECT doc_id, n_tokens, round(punct, 6) AS punct_ratio,
+       round(stop, 6) AS stopword_ratio,
+       round(top_ratio, 6) AS top_shingle_ratio,
+       reason, reason IS NULL AS keep
+FROM v
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1293,6 +1363,7 @@ QUERIES = {
     "q86_simhash_near_dups": q86_simhash_near_dups,
     "q87_bm25_topk": q87_bm25_topk,
     "q88_semantic_dedup": q88_semantic_dedup,
+    "q89_quality_filter": q89_quality_filter,
 }
 
 ORACLES = {
@@ -1324,4 +1395,5 @@ ORACLES = {
     "q86_simhash_near_dups": Q86_SQL,
     "q87_bm25_topk": Q87_SQL,
     "q88_semantic_dedup": Q88_SQL,
+    "q89_quality_filter": Q89_SQL,
 }

@@ -250,3 +250,39 @@ def test_bm25_rejects_empty_query(spark):
     tok = _bm25_tok(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         dataprep.bm25_topk(tok, "doc_id", "term", ())
+
+
+def test_quality_filter_every_rule_fires(spark):
+    stop_pad = "the a of and to in is for"  # 8 stopwords
+    good = ("alpha " + stop_pad + " beta gamma delta epsilon zeta "
+            "eta theta iota kappa lam mu nu")  # >= 20 tokens, stopwords
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "tiny doc"),  # too_short
+            (3, ("w. x, y; z! " * 6) + stop_pad),  # high punct, 32 tokens
+            (4, "alpha beta gamma " * 8),  # no stopwords -> low_stopword
+            (5, stop_pad + " " + ("rep rep rep rep rep " * 10)),  # repetitive
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dataprep.quality_filter(
+        docs, "doc_id", "text", min_tokens=20, max_punct=0.2,
+        min_stopword=0.02, max_top_shingle=0.10, shingle_n=5,
+    ).collect()}
+    assert out[1]["keep"] and out[1]["reason"] is None
+    assert out[2]["reason"] == "too_short"
+    assert out[3]["reason"] == "high_punct"
+    assert out[4]["reason"] == "low_stopword"
+    assert out[5]["reason"] == "repetitive"
+    assert not any(out[i]["keep"] for i in (2, 3, 4, 5))
+
+
+def test_quality_filter_first_failure_wins(spark):
+    # a doc that is BOTH too short and stopword-free reports the
+    # first rule in order, keeping per-rule drop counts disjoint
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    row = dataprep.quality_filter(docs, "doc_id", "text").collect()[0]
+    assert row["reason"] == "too_short"
