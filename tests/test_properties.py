@@ -166,3 +166,85 @@ def test_kmv_exact_branch_and_bounds(spark, values, k):
     ).withColumn("g", F.lit(1))
     est_dup = kmv_distinct(dup, ["g"], "x", k=k).collect()[0]["approx_distinct"]
     assert est_dup == est
+
+
+_WORDS = ("scan", "merge", "join", "sort", "agg", "key", "row", "col")
+
+
+def _py_simhash64(text: str) -> int:
+    """Reference SimHash: bit i = (md5 hex nibble i//4 >> (i%4)) & 1,
+    +1/-1 balance over tokens, bit set iff balance > 0 — the layout
+    simhash_agg documents."""
+    import hashlib
+
+    bal = [0] * 64
+    for tok in [t for t in text.split(" ") if t]:
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for i in range(64):
+            bit = (int(h[i // 4], 16) >> (i % 4)) & 1
+            bal[i] += 1 if bit else -1
+    return sum(1 << i for i in range(64) if bal[i] > 0)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_simhash_banding_exact_for_arbitrary_corpora(spark, docs):
+    """The pigeonhole guarantee must hold for ARBITRARY inputs, not a
+    curated fixture: banded pairs == brute-force fingerprint pairs at
+    hamming <= 3, including the heavy-collision case where many docs
+    share a fingerprint."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    fp = {i: _py_simhash64(t) for i, t in rows}
+
+    def ham(a, b):
+        return bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+
+    expected = {
+        (a, b, ham(a, b))
+        for a in fp
+        for b in fp
+        if a < b and ham(a, b) <= 3
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedupe.simhash_near_dups(df, "doc_id", "text").collect()
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bm25_membership_and_rank_order(spark, docs):
+    """BM25 invariants for arbitrary corpora: exactly the docs
+    containing >= 1 query term are returned (capped at k), scores are
+    positive, and rank is dense 1..n in (score desc, id asc) order."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    terms = ("scan", "merge")
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
+    )
+    out = dataprep.bm25_topk(tok, "doc_id", "term", terms, k=100).collect()
+    expect_ids = {i for i, t in rows if set(t.split()) & set(terms)}
+    assert {r["doc_id"] for r in out} == expect_ids
+    assert all(r["bm25"] > 0 for r in out)
+    ordered = sorted(out, key=lambda r: (-r["bm25"], r["doc_id"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(out) + 1))
