@@ -69,6 +69,7 @@ HEADLINE = [
     "q86_simhash_near_dups",
     "q87_bm25_topk",
     "q88_semantic_dedup",
+    "q89_quality_filter",
 ]
 
 

@@ -181,13 +181,20 @@ def contamination(
     left join): the common case produces no rows at all.
     """
     from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 
+    # balance the compact scans before the shingle row expansion (a
+    # small parquet arrives as ONE partition and would shingle on one
+    # core); the training side is the corpus, so this matters there
+    # most, but the bench slice shingles serially too without it
     bench_sh = (
-        df.filter(is_bench)
+        fan_out(df.filter(is_bench).select(id_col, text_col), by=id_col)
         .select(F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias("s"))
         .distinct()
     )
-    train_sh = df.filter(~is_bench).select(
+    train_sh = fan_out(
+        df.filter(~is_bench).select(id_col, text_col), by=id_col
+    ).select(
         id_col,
         F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias("s"),
     )
@@ -455,8 +462,15 @@ def quality_filter(
         punct.alias("__punct"),
         stop.alias("__stop"),
     )
+    # shingling is a ~50x row expansion over an interpreted HOF: a
+    # compact single-file scan would run it on ONE core — balance the
+    # (id, text) rows across the cluster first (no-op when the scan
+    # is already parallel)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
     rep = (
-        docs.select(
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(
             F.col(id_col), F.explode(TX.shingles(text_col, shingle_n)).alias("s")
         )
         .groupBy(id_col, "s")

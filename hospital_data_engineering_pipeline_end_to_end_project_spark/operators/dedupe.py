@@ -168,7 +168,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage
     after LSH).  Shingle sets are deduped before set math."""
-    sh = df.select(
+    # balance the compact scan first: the shingle HOF otherwise runs
+    # in the scan stage, serially for a single-file input
+    sh = fan_out(df.select(F.col(id_col), F.col(text_col)), by=id_col).select(
         F.col(id_col),
         F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
     )

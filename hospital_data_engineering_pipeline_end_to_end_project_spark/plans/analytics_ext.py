@@ -954,7 +954,13 @@ def q82_outer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", TX.shingles("text", 40).alias("sh"))
+    # balance the compact scan before the wide-shingle HOF (serial on
+    # a single-file input otherwise)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    sh = fan_out(d.select("doc_id", "text"), by="doc_id").select(
+        "doc_id", TX.shingles("text", 40).alias("sh")
+    )
     flat = sh.select(
         "doc_id", F.posexplode_outer("sh").alias("pos", "shingle")
     )

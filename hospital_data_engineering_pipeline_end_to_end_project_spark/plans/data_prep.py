@@ -243,9 +243,15 @@ Q56_SHINGLE_N = 3
 
 
 def q56_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
     d = load_table(spark, sf_dir, "documents")
+    # balance the compact scan before the ~50x shingle row expansion
+    # (a small parquet arrives as ONE partition and would shingle on
+    # one core)
     per = (
-        d.select(
+        fan_out(d.select("doc_id", "text"), by="doc_id")
+        .select(
             "doc_id", F.explode(TX.shingles("text", Q56_SHINGLE_N)).alias("s")
         )
         .groupBy("doc_id", "s")
