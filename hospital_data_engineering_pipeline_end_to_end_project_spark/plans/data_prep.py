@@ -153,8 +153,11 @@ Q54_K = 3
 
 
 def q54_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    # balance the compact scan before the regexp tokenize + explode
+    tok = fan_out(d.select("doc_id", "text"), by="doc_id").select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)

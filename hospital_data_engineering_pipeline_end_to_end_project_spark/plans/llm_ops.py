@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
     dedupe,
     multimodal,
@@ -503,8 +504,13 @@ def q46_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
+    # balance the compact scan before the token explode (serial on a
+    # single-file input otherwise); round-robin — lang is a hot key
+    # with ~5 values, and the (lang, word) aggregate map-side-combines
+    # regardless of layout
     counts = (
-        d.select("lang", F.explode(TX.tokens("text")).alias("word"))
+        fan_out(d.select("lang", "text"))
+        .select("lang", F.explode(TX.tokens("text")).alias("word"))
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
