@@ -28,11 +28,13 @@ def _modules():
     # first 50 entries of queries() in registration order.  Round 6
     # gated relational/scd2/llm_ops/advanced; round 7 rotates
     # entry_extras/data_prep/analytics_ext (q43–q45, q50–q57,
-    # q61–q84 — last officially attested in r05, and the round-6
+    # q61–q85 — last officially attested in r05, and the round-6
     # similarity/dedupe rework touches code shared by q61/q70/q71/
-    # q79) to the front for fresh official rows.  Changed-this-round
-    # queries that live elsewhere (q27 SimHash widening, q48 IVF
-    # sample-training) are pinned into the window via _GATE_FRONT.
+    # q79) to the front for fresh official rows, which also puts the
+    # queries REGISTERED this round (q86–q89) inside the window.
+    # Changed-this-round queries that live elsewhere (q27 SimHash
+    # widening, q48 IVF sample-training) are pinned into the window
+    # via _GATE_FRONT.
     # Every query keeps its oracle regardless of position — the full
     # catalog is attested end-to-end by tests/test_oracle_parity.py
     # in every pytest run.
