@@ -463,3 +463,68 @@ def test_semantic_dedup_keeps_one_nearest_per_cluster(spark):
         assert ids <= {6, 7, 9} or ids <= {21, 22, 23}, (
             "clusters never mix the two groups"
         )
+
+
+def test_hierarchical_assign_invariants(spark):
+    import random as _r
+
+    rng = _r.Random(7)
+    centroids = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(25)]
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_ivf_cluster_hierarchical(
+            e, centroids, "embedding", n_super=5
+        ).collect()
+    }
+    groups = similarity._centroid_kmeans(centroids, 5)
+    by_group = {}
+    for idx, g in enumerate(groups):
+        by_group.setdefault(g, []).append(idx)
+    children = [by_group[g] for g in sorted(by_group)]
+    supers = [
+        [sum(centroids[i][j] for i in ch) / len(ch) for j in range(8)]
+        for ch in children
+    ]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    vecs = {i: v for i, v in rows}
+    for vid, cl in got.items():
+        v = vecs[vid]
+        sd = [d2(v, s) for s in supers]
+        sup = sd.index(min(sd))
+        assert cl in children[sup], "assigned child must live in the routed super"
+        best_in_super = min(children[sup], key=lambda i: (d2(v, centroids[i]), i))
+        assert d2(v, centroids[cl]) == d2(v, centroids[best_in_super]), (
+            "assignment must be distance-optimal within the super"
+        )
+
+
+def test_hierarchical_assign_agrees_on_separated_data(spark):
+    # when clusters are well separated, the hierarchy introduces no
+    # boundary error: flat and hierarchical must agree exactly
+    import random as _r
+
+    rng = _r.Random(11)
+    centers = [[10.0 * g + rng.uniform(-0.2, 0.2) for _ in range(4)] for g in range(9)]
+    rows = []
+    for i in range(90):
+        c = centers[i % 9]
+        rows.append((i, [x + rng.uniform(-0.3, 0.3) for x in c]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_ivf_cluster(e, centers, "embedding").collect()
+    }
+    hier = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_ivf_cluster_hierarchical(
+            e, centers, "embedding", n_super=3
+        ).collect()
+    }
+    assert flat == hier
