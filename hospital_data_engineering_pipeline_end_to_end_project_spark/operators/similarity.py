@@ -591,6 +591,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
+    hierarchical: bool = False,
 ) -> DataFrame:
     """Semantic deduplication, centroid-proximity variant (the
     SemDeDup family, Abbas et al. 2023: cluster the embedding space,
@@ -614,19 +615,35 @@ def semantic_dedup(
     distance to the owning centroid rounded to 6 places for display;
     the keep ORDER uses the raw distance (a deterministic sequential
     fold both engines replay bit-for-bit), tie-broken by id.
+
+    ``hierarchical=True`` switches the assignment to the two-level
+    :func:`assign_ivf_cluster_hierarchical` — the LARGE-K path (at
+    the semantic-dedup operating curve K grows with the corpus, and
+    the flat pass is n x K per row).  Approximate at super-cluster
+    boundaries, so the q88 oracle keeps the flat path; the keep rule
+    and output schema are identical.
     """
     centroids = build_ivf_centroids(
         df, vec_col, id_col, n_clusters, train_per_cluster=train_per_cluster
     )
     v = V.as_double(vec_col)
-    d = _centroid_dists(v, centroids)
-    assigned = df.select(F.col(id_col), d.alias("__d")).select(
-        F.col(id_col),
-        (F.array_position("__d", F.array_min("__d")) - 1)
-        .cast("long")
-        .alias("cluster"),
-        F.array_min("__d").alias("__dist"),
-    )
+    if hierarchical:
+        assigned = assign_ivf_cluster_hierarchical(
+            df, centroids, vec_col, with_dist=True
+        ).select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("__hdist").alias("__dist"),
+        )
+    else:
+        d = _centroid_dists(v, centroids)
+        assigned = df.select(F.col(id_col), d.alias("__d")).select(
+            F.col(id_col),
+            (F.array_position("__d", F.array_min("__d")) - 1)
+            .cast("long")
+            .alias("cluster"),
+            F.array_min("__d").alias("__dist"),
+        )
     w = Window.partitionBy("cluster").orderBy(F.asc("__dist"), F.asc(id_col))
     return assigned.select(
         F.col(id_col),
@@ -669,6 +686,7 @@ def assign_ivf_cluster_hierarchical(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     n_super: int | None = None,
+    with_dist: bool = False,
 ) -> DataFrame:
     """Two-level cluster assignment — the SCALE PATH for large K.
 
@@ -741,9 +759,11 @@ def assign_ivf_cluster_hierarchical(
         ),
     )
     local = F.array_position(kd, F.array_min(kd)).cast("int")
-    return (
-        routed.withColumn(
-            "cluster", F.element_at(F.col("__kid_ids"), local).cast("int")
-        )
-        .drop("__sup", "__kid_ids", "__kids")
+    out = routed.withColumn(
+        "cluster", F.element_at(F.col("__kid_ids"), local).cast("int")
     )
+    if with_dist:
+        # squared distance to the chosen centroid (``__hdist``) rides
+        # along for callers ranking within clusters (semantic_dedup)
+        out = out.withColumn("__hdist", F.array_min(kd))
+    return out.drop("__sup", "__kid_ids", "__kids")

@@ -143,6 +143,29 @@ def time_ann_family(spark, sf_dir: str, scaled_dir: str, copies: int) -> dict:
     }
     out["lsh_growth"] = round(out["lsh_scaled_tuned"] / out["lsh_base"], 2)
     out["ivf_growth"] = round(out["ivf_scaled_tuned"] / out["ivf_base"], 2)
+
+    # semantic dedup at the K ~ n curve: the flat assignment is an
+    # n x K pass (quadratic in total along the curve); the two-level
+    # hierarchical assignment routes via ~sqrt(K) super-clusters —
+    # both measured at 10x-tuned K so the growth column shows the
+    # difference the scale path makes
+    out["semdedup_base_flat"] = run(
+        lambda: similarity.semantic_dedup(base_e, n_clusters=8)
+    )
+    out["semdedup_scaled_flat"] = run(
+        lambda: similarity.semantic_dedup(big_e, n_clusters=8 * copies)
+    )
+    out["semdedup_scaled_hier"] = run(
+        lambda: similarity.semantic_dedup(
+            big_e, n_clusters=8 * copies, hierarchical=True
+        )
+    )
+    out["semdedup_flat_growth"] = round(
+        out["semdedup_scaled_flat"] / out["semdedup_base_flat"], 2
+    )
+    out["semdedup_hier_growth"] = round(
+        out["semdedup_scaled_hier"] / out["semdedup_base_flat"], 2
+    )
     return out
 
 

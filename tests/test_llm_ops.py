@@ -528,3 +528,22 @@ def test_hierarchical_assign_agrees_on_separated_data(spark):
         ).collect()
     }
     assert flat == hier
+
+
+def test_semantic_dedup_hierarchical_mode(spark):
+    # same separated-groups fixture as the flat test: the hierarchy
+    # introduces no boundary error there, so verdicts must be
+    # IDENTICAL to the flat path, schema included
+    rows = [
+        (6, [0.0, 0.0, 0.0, 1.0]),
+        (7, [0.0, 0.0, 0.1, 1.0]),
+        (9, [0.0, 0.0, 0.2, 1.0]),
+        (21, [9.0, 9.0, 0.0, 1.0]),
+        (22, [9.0, 9.0, 0.1, 1.0]),
+        (23, [9.0, 9.0, 0.2, 1.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flat = sorted(map(tuple, similarity.semantic_dedup(e, n_clusters=2).collect()))
+    hier = sorted(map(tuple, similarity.semantic_dedup(
+        e, n_clusters=2, hierarchical=True).collect()))
+    assert flat == hier
