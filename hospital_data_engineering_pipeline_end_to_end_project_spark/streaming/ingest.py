@@ -210,3 +210,25 @@ def session_event_counts(
             "n_events",
         )
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the remaining join shape
+    next to stream-stream (:func:`interval_join_streams`): each
+    micro-batch equi-joins the static dimension, which Spark plans as
+    a broadcast against every trigger (the dim is re-resolved per
+    batch, so slowly-changing dims pick up table updates between
+    triggers without restarting the query).
+
+    At scale the dim must be broadcast-sized (the usual star contract
+    — q04's batch counterpart); a corpus-sized static side would force
+    a per-trigger shuffle of the stream.  ``left`` keeps events whose
+    key has no dim row yet (late dimension arrival), the common
+    streaming default.
+    """
+    return events.join(F.broadcast(dim), key, how)

@@ -252,3 +252,43 @@ def test_streaming_session_windows_merge_and_close(spark, tmp_path):
     # merged first session spans 10:00 -> 10:10+gap
     assert (1, "2026-01-01 10:00:00", "2026-01-01 10:40:00", 2) in got
     assert (1, "2026-01-01 12:30:00", "2026-01-01 13:00:00", 1) in got
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    src = str(tmp_path / "enrich_events")
+    os.makedirs(src)
+    _write_batch(
+        src,
+        "b0.json",
+        [
+            {"event_id": 1, "ts": "2026-01-01T10:00:00", "user_id": 1,
+             "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2026-01-01T10:01:00", "user_id": 2,
+             "event_type": "view", "value": 2.0},
+            {"event_id": 3, "ts": "2026-01-01T10:02:00", "user_id": 9,
+             "event_type": "click", "value": 3.0},
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = ingest.read_event_stream(spark, src)
+    enriched = ingest.enrich_with_dim(stream, dim, "user_id")
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["tier"]
+            for r in spark.sql("SELECT * FROM enriched_events").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: "gold", 2: "silver", 3: None}, (
+        "left join keeps events whose user has no dim row"
+    )
