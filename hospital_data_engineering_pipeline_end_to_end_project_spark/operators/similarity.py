@@ -312,6 +312,7 @@ def build_ivf_centroids(
     k: int = 8,
     iterations: int = 2,
     train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
+    hierarchical: bool = False,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: Lloyd's k-means trained on
     a bounded deterministic sample.
@@ -361,7 +362,18 @@ def build_ivf_centroids(
         for r in sample.orderBy(*order).limit(k).collect()
     ]
     for _ in range(iterations):
-        assigned = assign_ivf_cluster(sample, centroids, "__tv")
+        # ``hierarchical`` swaps the per-iteration sample assignment
+        # from the flat cap x K pass to the two-level routed form —
+        # the large-K training path (per-iteration cost cap * 2*sqrt(K)
+        # instead of cap * K; the hierarchy is rebuilt from the moving
+        # centroids each iteration, driver-side over K points).
+        # Approximate at super boundaries, so the oracle-replayed
+        # queries keep the default flat training.
+        assigned = (
+            assign_ivf_cluster_hierarchical(sample, centroids, "__tv")
+            if hierarchical
+            else assign_ivf_cluster(sample, centroids, "__tv")
+        )
         rows = (
             assigned.select("cluster", F.posexplode("__tv").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -624,7 +636,12 @@ def semantic_dedup(
     and output schema are identical.
     """
     centroids = build_ivf_centroids(
-        df, vec_col, id_col, n_clusters, train_per_cluster=train_per_cluster
+        df,
+        vec_col,
+        id_col,
+        n_clusters,
+        train_per_cluster=train_per_cluster,
+        hierarchical=hierarchical,
     )
     v = V.as_double(vec_col)
     if hierarchical:
@@ -659,26 +676,36 @@ def _centroid_kmeans(
     """Driver-side Lloyd over a SMALL point set (the K centroids of a
     quantizer, never corpus rows): returns a group id per point.
     Deterministic — seeds are the first ``k`` points in index order,
-    pure-python float arithmetic, fixed iteration count, ties to the
-    lower group id."""
+    fixed iteration count, ties to the lower group id.
+
+    Vectorized with numpy: at production cluster counts (K ~ 10^4-10^5
+    centroids grouped into sqrt(K) supers) the pure-python triple loop
+    is K * k * dim flops per iteration in interpreter time — minutes
+    of driver stall — while the numpy broadcast form is milliseconds.
+    Determinism is per-path: this helper only shapes the ROUTING
+    hierarchy (which supers exist), never an oracle-gated result."""
+    import numpy as np
+
     k = min(k, len(points))
-    cents = [list(p) for p in points[:k]]
-    assign = [0] * len(points)
+    pts = np.asarray(points, dtype=np.float64)
+    cents = pts[:k].copy()
+    assign = np.zeros(len(points), dtype=np.int64)
     for _ in range(iterations):
-        for i, p in enumerate(points):
-            best, best_d = 0, float("inf")
-            for g, c in enumerate(cents):
-                dd = sum((a - b) * (a - b) for a, b in zip(p, c))
-                if dd < best_d:
-                    best, best_d = g, dd
-            assign[i] = best
+        # (n, k) squared distances via the expansion form — the
+        # (n, k, dim) broadcast tensor would be gigabytes at
+        # production K; argmin ties resolve to the lowest group id
+        # (np.argmin takes the first minimum)
+        d2 = (
+            (pts * pts).sum(axis=1)[:, None]
+            - 2.0 * (pts @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
         for g in range(k):
-            members = [points[i] for i in range(len(points)) if assign[i] == g]
-            if members:
-                cents[g] = [
-                    sum(col) / len(members) for col in zip(*members)
-                ]
-    return assign
+            members = pts[assign == g]
+            if len(members):
+                cents[g] = members.mean(axis=0)
+    return [int(g) for g in assign]
 
 
 def assign_ivf_cluster_hierarchical(
