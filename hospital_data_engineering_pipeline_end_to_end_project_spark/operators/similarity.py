@@ -433,14 +433,31 @@ def ivf_topk(
     n_clusters: int = 8,
     nprobe: int = 2,
     train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
+    hierarchical: bool = False,
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: corpus is partitioned by a
     coarse quantizer; each query ranks candidates only in the
     ``nprobe`` clusters nearest to its own vector.  Candidate volume
     scales with corpus/n_clusters x nprobe — the inverted-file
-    trade (recall vs probed fraction), complementary to LSH."""
+    trade (recall vs probed fraction), complementary to LSH.
+
+    ``hierarchical=True`` is the LARGE-K path (K grows with the
+    corpus at the documented operating curve, making the flat n x K
+    index-build pass the dominant superlinear term): training and the
+    per-row probe both route through ~sqrt(K) super-clusters, and the
+    ``nprobe`` list is picked from the routed super's children only —
+    the two-level inverted-file (IMI-style) trade: one more recall
+    approximation at super boundaries in exchange for
+    ~2*sqrt(K)-per-row cost.  A super with fewer than ``nprobe``
+    children yields a shorter probe list.  The oracle-gated q48 keeps
+    the exact flat path."""
     centroids = build_ivf_centroids(
-        df, vec_col, id_col, n_clusters, train_per_cluster=train_per_cluster
+        df,
+        vec_col,
+        id_col,
+        n_clusters,
+        train_per_cluster=train_per_cluster,
+        hierarchical=hierarchical,
     )
     # IVF INDEX BUILD, materialized once: per row, the nprobe nearest
     # centroids by squared distance over the RAW vector (what the
@@ -454,27 +471,56 @@ def ivf_topk(
     # every IVF system performs — build once, probe many; without it
     # the corpus and query branches of the self-join would each
     # recompute the distance pass.
-    dists = _centroid_dists(F.col("v"), centroids)
-    structs = F.zip_with(
-        dists,
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+    base = _with_unit(
+        # the index build is a per-row distance pass — balance a
+        # compact scan across cores first (no-op when the scan is
+        # already parallel)
+        fan_out(df.select(F.col(id_col), V.as_double(vec_col).alias("v"))),
+        F.col("v"),
+        "nv",
     )
-    probes = F.transform(
-        F.slice(F.array_sort(structs), 1, nprobe), lambda s: s["c"].cast("int")
-    )
-    index = (
-        _with_unit(
-            # the index build is an n x K distance pass per row —
-            # balance a compact scan across cores first (no-op when
-            # the scan is already parallel)
-            fan_out(df.select(F.col(id_col), V.as_double(vec_col).alias("v"))),
-            F.col("v"),
-            "nv",
+    if hierarchical:
+        meta, super_cents = _hier_routing(df.sparkSession, centroids, None)
+        sup_d = _centroid_dists(F.col("v"), super_cents)
+        sup = (F.array_position(sup_d, F.array_min(sup_d)) - 1).cast("int")
+        routed = base.withColumn("__sup", sup).join(F.broadcast(meta), "__sup")
+        structs = F.zip_with(
+            F.col("__kids"),
+            F.col("__kid_ids"),
+            lambda p, c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), p, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c.alias("c"),
+            ),
         )
-        .select(F.col(id_col), probes.alias("__probes"), F.col("nv"))
-        .localCheckpoint()
-    )
+        probes = F.transform(
+            F.slice(F.array_sort(structs), 1, nprobe),
+            lambda s: s["c"].cast("int"),
+        )
+        index = (
+            routed.select(F.col(id_col), probes.alias("__probes"), F.col("nv"))
+            .localCheckpoint()
+        )
+    else:
+        dists = _centroid_dists(F.col("v"), centroids)
+        structs = F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+        )
+        probes = F.transform(
+            F.slice(F.array_sort(structs), 1, nprobe),
+            lambda s: s["c"].cast("int"),
+        )
+        index = (
+            base.select(F.col(id_col), probes.alias("__probes"), F.col("nv"))
+            .localCheckpoint()
+        )
     queries = index.select(
         F.col(id_col), F.explode("__probes").alias("probe_cluster"), F.col("nv")
     )
@@ -708,6 +754,42 @@ def _centroid_kmeans(
     return [int(g) for g in assign]
 
 
+def _hier_routing(spark, centroids: list[list[float]], n_super: int | None):
+    """Build the two-level routing structures over a centroid list:
+    a BROADCAST n_super-row frame ``(__sup, __kid_ids, __kids)`` and
+    the super-centroid list.  Shipped as a broadcast frame, not an
+    expression literal: a literal matrix is re-constructed per ROW
+    (measured 1.7x SLOWER than flat at K=256 — it rebuilds the full
+    K x dim matrix before selecting), while a broadcast join hands
+    each row only its matched super's children."""
+    dim = len(centroids[0])
+    n_super = n_super or max(1, int(len(centroids) ** 0.5))
+    groups = _centroid_kmeans(centroids, n_super)
+    by_group: dict[int, list[int]] = {}
+    for idx, g in enumerate(groups):
+        by_group.setdefault(g, []).append(idx)
+    # drop groups Lloyd left empty (re-indexing keeps the routing
+    # table dense)
+    children = [by_group[g] for g in sorted(by_group)]
+    n_super = len(children)
+    # super-centroid = mean of its children (the routing points)
+    super_cents = [
+        [
+            sum(centroids[i][j] for i in ch) / len(ch)
+            for j in range(dim)
+        ]
+        for ch in children
+    ]
+    meta = spark.createDataFrame(
+        [
+            (s, children[s], [centroids[i] for i in children[s]])
+            for s in range(n_super)
+        ],
+        "__sup int, __kid_ids array<int>, __kids array<array<double>>",
+    )
+    return meta, super_cents
+
+
 def assign_ivf_cluster_hierarchical(
     df: DataFrame,
     centroids: list[list[float]],
@@ -743,36 +825,7 @@ def assign_ivf_cluster_hierarchical(
     that can never win an argmin), indexed by the routed super id —
     expression size stays linear in K x dim.
     """
-    dim = len(centroids[0])
-    n_super = n_super or max(1, int(len(centroids) ** 0.5))
-    groups = _centroid_kmeans(centroids, n_super)
-    by_group: dict[int, list[int]] = {}
-    for idx, g in enumerate(groups):
-        by_group.setdefault(g, []).append(idx)
-    # drop groups Lloyd left empty (re-indexing keeps the routing
-    # table dense)
-    children = [by_group[g] for g in sorted(by_group)]
-    n_super = len(children)
-    # super-centroid = mean of its children (the routing points)
-    super_cents = [
-        [
-            sum(centroids[i][j] for i in ch) / len(ch)
-            for j in range(dim)
-        ]
-        for ch in children
-    ]
-    # per-super child matrix shipped as a BROADCAST n_super-row frame,
-    # not a literal: an expression literal is re-constructed per ROW
-    # (measured 1.7x SLOWER than flat at K=256 — it rebuilds the full
-    # K x dim matrix before selecting), while a broadcast join hands
-    # each row only its matched super's children
-    meta = df.sparkSession.createDataFrame(
-        [
-            (s, children[s], [centroids[i] for i in children[s]])
-            for s in range(n_super)
-        ],
-        "__sup int, __kid_ids array<int>, __kids array<array<double>>",
-    )
+    meta, super_cents = _hier_routing(df.sparkSession, centroids, n_super)
     v = V.as_double(vec_col)
     sup_d = _centroid_dists(v, super_cents)
     sup = (F.array_position(sup_d, F.array_min(sup_d)) - 1).cast("int")

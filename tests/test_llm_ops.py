@@ -547,3 +547,18 @@ def test_semantic_dedup_hierarchical_mode(spark):
     hier = sorted(map(tuple, similarity.semantic_dedup(
         e, n_clusters=2, hierarchical=True).collect()))
     assert flat == hier
+
+
+def test_ivf_hierarchical_recall_vs_bruteforce(spark):
+    # the two-level probe adds one approximation (super routing) on
+    # top of flat IVF's probed-fraction trade; on the real embedding
+    # fixture it must still clearly beat the random-probe floor
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(e, e, k=3)
+    approx = similarity.ivf_topk(
+        e, k=3, n_clusters=8, nprobe=3, hierarchical=True
+    )
+    ep = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ep & ap) / len(ep)
+    assert recall >= 0.4, f"hierarchical IVF recall {recall:.2f} too low"
