@@ -91,3 +91,87 @@ def write_clustered(
         else df.repartitionByRange(*cols)
     )
     ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_dim: int = 8,
+    relative_error: float = 0.01,
+) -> "Column":
+    """Morton (Z-order) interleave key over 2+ numeric columns.
+
+    Single-dimension range clustering (:func:`write_clustered`) makes
+    files selective on ONE key and leaves every other column's
+    per-file span at the full range.  The Z-curve interleaves the
+    bits of each dimension's bucket id, so proximity on the curve
+    implies proximity in EVERY dimension at once — after sorting by
+    the key, each file covers a small hyper-rectangle, and parquet
+    min/max stats prune on whichever clustered column a predicate
+    touches (the OPTIMIZE ... ZORDER BY layout, built from OSS
+    pieces).
+
+    Bucketing is QUANTILE-based, not linear min-max: per-column
+    boundaries come from one distributed ``approxQuantile`` pass
+    (skew-safe — a heavy-hitter value cannot collapse the rest of the
+    range into one bucket the way linear scaling does).  Bucket
+    lookup is a count of boundaries <= value over a 2^bits literal
+    array — branch-free and scan-side.  The driver holds only
+    ``cols x 2^bits`` boundary doubles.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits_per_dim
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_cols = []
+    for c in cols:
+        bounds = df.approxQuantile(c, probs, relative_error)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket_cols.append(
+            F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
+        )
+    # interleave: bit i of dim d lands at position i * n_dims + d —
+    # built as one SQL expr string (a Column-chain of 8*dims ORs costs
+    # that many py4j round trips)
+    n_dims = len(cols)
+    terms = []
+    for d, _ in enumerate(cols):
+        for i in range(bits_per_dim):
+            terms.append(
+                f"(shiftleft(cast(shiftright(__zb{d}, {i}) & 1 as bigint),"
+                f" {i * n_dims + d}))"
+            )
+    tmp = df.select(
+        "*", *[b.alias(f"__zb{d}") for d, b in enumerate(bucket_cols)]
+    )
+    return tmp, F.expr(" + ".join(terms)).alias("__zkey")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits_per_dim: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout over multiple columns: range
+    partition + sort on the Morton key of :func:`zorder_key`, then
+    drop the helper columns.  Every output file covers a small
+    hyper-rectangle of the clustered dimensions, so predicates on ANY
+    of them skip files via parquet min/max stats."""
+    from pyspark.sql import functions as F
+
+    tmp, key = zorder_key(df, cols, bits_per_dim)
+    keyed = tmp.select("*", key)
+    ranged = (
+        keyed.repartitionByRange(num_files, F.col("__zkey"))
+        if num_files
+        else keyed.repartitionByRange(F.col("__zkey"))
+    )
+    (
+        ranged.sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__zb{d}" for d in range(len(cols))])
+        .write.mode(mode)
+        .parquet(path)
+    )
