@@ -1340,6 +1340,56 @@ FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# q90 — Z-order clustered write + 2-D box-filter readback
+#
+# Exercises the multi-column data-skipping layout end to end: lineitem
+# is written Z-ordered on (l_extendedprice, l_quantity), read back
+# through a box predicate on both dims, and aggregated.  Results are
+# layout-invariant, so the oracle filters the source table directly —
+# the gate attests that the quantile-bucketed Morton write loses or
+# duplicates nothing.  (The layout property itself — bounded per-file
+# hyper-rectangles, file skipping on either dim — is plan-level and
+# asserted in tests/test_clustered_write.py.)
+# ---------------------------------------------------------------------------
+
+
+def q90_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.writers import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"
+    )
+    tmp = scratch_path("q90", "lineitem_z")
+    write_zordered(
+        li, tmp, ["l_extendedprice", "l_quantity"], num_files=8
+    )
+    back = spark.read.parquet(tmp)
+    boxed = back.filter(
+        (F.col("l_extendedprice") >= 10000.0)
+        & (F.col("l_extendedprice") < 30000.0)
+        & (F.col("l_quantity") >= 10.0)
+        & (F.col("l_quantity") < 40.0)
+    )
+    return boxed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+Q90_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_extendedprice >= 10000.0 AND l_extendedprice < 30000.0
+  AND l_quantity >= 10.0 AND l_quantity < 40.0
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1370,6 +1420,7 @@ QUERIES = {
     "q87_bm25_topk": q87_bm25_topk,
     "q88_semantic_dedup": q88_semantic_dedup,
     "q89_quality_filter": q89_quality_filter,
+    "q90_zorder_roundtrip": q90_zorder_roundtrip,
 }
 
 ORACLES = {
@@ -1402,4 +1453,5 @@ ORACLES = {
     "q87_bm25_topk": Q87_SQL,
     "q88_semantic_dedup": Q88_SQL,
     "q89_quality_filter": Q89_SQL,
+    "q90_zorder_roundtrip": Q90_SQL,
 }
