@@ -93,12 +93,12 @@ def write_clustered(
     ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
-def zorder_key(
+def with_zorder_key(
     df: DataFrame,
     cols: list[str],
     bits_per_dim: int = 8,
     relative_error: float = 0.01,
-) -> "Column":
+) -> DataFrame:
     """Morton (Z-order) interleave key over 2+ numeric columns.
 
     Single-dimension range clustering (:func:`write_clustered`) makes
@@ -141,10 +141,9 @@ def zorder_key(
                 f"(shiftleft(cast(shiftright(__zb{d}, {i}) & 1 as bigint),"
                 f" {i * n_dims + d}))"
             )
-    tmp = df.select(
+    return df.select(
         "*", *[b.alias(f"__zb{d}") for d, b in enumerate(bucket_cols)]
-    )
-    return tmp, F.expr(" + ".join(terms)).alias("__zkey")
+    ).withColumn("__zkey", F.expr(" + ".join(terms)))
 
 
 def write_zordered(
@@ -156,14 +155,13 @@ def write_zordered(
     mode: str = "overwrite",
 ) -> None:
     """Z-order-clustered parquet layout over multiple columns: range
-    partition + sort on the Morton key of :func:`zorder_key`, then
+    partition + sort on the Morton key of :func:`with_zorder_key`, then
     drop the helper columns.  Every output file covers a small
     hyper-rectangle of the clustered dimensions, so predicates on ANY
     of them skip files via parquet min/max stats."""
     from pyspark.sql import functions as F
 
-    tmp, key = zorder_key(df, cols, bits_per_dim)
-    keyed = tmp.select("*", key)
+    keyed = with_zorder_key(df, cols, bits_per_dim)
     ranged = (
         keyed.repartitionByRange(num_files, F.col("__zkey"))
         if num_files
