@@ -56,6 +56,12 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # push full-scan MIN/MAX/COUNT to parquet footer statistics
+        # (exact — the reader falls back to a normal scan whenever a
+        # predicate, group-by, or non-pushable type makes stats
+        # insufficient); at 100 TB this turns bare row-count/extent
+        # probes into metadata reads
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the
         # Spark parquet reader rejects; read it as epoch-nanos LongType
         # and convert explicitly (exact integer arithmetic, never via
