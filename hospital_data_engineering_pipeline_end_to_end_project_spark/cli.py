@@ -56,6 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--partitioned", default=None, help="comma-separated partition cols")
     pc.add_argument("--target-mb", type=int, default=128)
 
+    pz = sub.add_parser(
+        "zorder", help="Z-order-cluster a parquet dir on multiple columns"
+    )
+    pz.add_argument("--path", required=True)
+    pz.add_argument(
+        "--by", required=True, help="comma-separated numeric cluster columns"
+    )
+    pz.add_argument("--num-files", type=int, default=None)
+    pz.add_argument("--target-mb", type=int, default=128)
+
     pv = sub.add_parser("validate", help="SCD2 invariant check over Silver state")
     pv.add_argument("--warehouse", required=True)
 
@@ -92,6 +102,18 @@ def main(argv: list[str] | None = None) -> int:
             a.path,
             target_file_bytes=a.target_mb * 1024 * 1024,
             partition_cols=a.partitioned.split(",") if a.partitioned else None,
+        )
+    elif a.cmd == "zorder":
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.compaction import (
+            zorder_table,
+        )
+
+        out = zorder_table(
+            spark,
+            a.path,
+            cluster_cols=[c.strip() for c in a.by.split(",")],
+            num_files=a.num_files,
+            target_file_bytes=a.target_mb * 1024 * 1024,
         )
     elif a.cmd == "validate":
         from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2

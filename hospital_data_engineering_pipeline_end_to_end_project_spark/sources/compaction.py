@@ -85,3 +85,42 @@ def compact_table(
         "bytes_before": bytes_before,
         "bytes_after": bytes_after,
     }
+
+
+def zorder_table(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    bits_per_dim: int = 8,
+) -> dict[str, int]:
+    """Rewrite a parquet directory Z-order-clustered on
+    ``cluster_cols`` (the maintenance form of
+    ``sources.writers.write_zordered`` — OPTIMIZE ... ZORDER BY as a
+    table rewrite).  File count defaults to the compaction size
+    target; publish/rollback protocol is identical to
+    :func:`compact_table` (temp write + two renames, restore-on-
+    failure).  Returns before/after file counts and bytes."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.writers import write_zordered
+
+    bytes_before, files_before = _dir_stats(path)
+    df = spark.read.parquet(path)
+    n = num_files or max(1, math.ceil(bytes_before / target_file_bytes))
+    tmp = f"{path}.zorder-{uuid.uuid4().hex[:8]}"
+    write_zordered(df, tmp, cluster_cols, num_files=n, bits_per_dim=bits_per_dim)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.replace(path, old)
+    try:
+        os.replace(tmp, path)
+    except BaseException:
+        os.replace(old, path)  # roll back — never leave the path missing
+        raise
+    shutil.rmtree(old)
+    bytes_after, files_after = _dir_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+    }
