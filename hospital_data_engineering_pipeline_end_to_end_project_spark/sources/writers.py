@@ -123,9 +123,11 @@ def with_zorder_key(
 
     n_buckets = 1 << bits_per_dim
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column approxQuantile pass — the per-column form would
+    # rescan the corpus once per clustered dimension
+    all_bounds = df.approxQuantile(cols, probs, relative_error)
     bucket_cols = []
-    for c in cols:
-        bounds = df.approxQuantile(c, probs, relative_error)
+    for c, bounds in zip(cols, all_bounds):
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         bucket_cols.append(
             F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
