@@ -115,23 +115,45 @@ def with_zorder_key(
     boundaries come from one distributed ``approxQuantile`` pass
     (skew-safe — a heavy-hitter value cannot collapse the rest of the
     range into one bucket the way linear scaling does).  Bucket
-    lookup is a count of boundaries <= value over a 2^bits literal
-    array — branch-free and scan-side.  The driver holds only
-    ``cols x 2^bits`` boundary doubles.
+    lookup is a BINARY when-tree over the sorted boundaries:
+    ``bits_per_dim`` codegen'd comparisons per row instead of a
+    2^bits interpreted-HOF scan (the filter+size form evaluated 255
+    lambdas per row per column — measured ~10x slower on the q90
+    write at sf0.1).  The driver holds only ``cols x 2^bits``
+    boundary doubles.
     """
     from pyspark.sql import functions as F
+
+    def bucket_expr(col: str, bounds: list[float]) -> str:
+        # count of bounds <= x in [0, len(bounds)] via binary search:
+        # answer >= mid iff bounds[mid-1] <= x (bounds ascending).
+        # Emitted as ONE SQL expr string — the Column-call form costs
+        # ~1000 py4j round trips per column (~3.5 s of pure driver
+        # time on the q90 write, measured; same lesson as the
+        # SimHash expr-string aggregates).  `D` suffixes keep the
+        # literals DOUBLE (bare decimals parse as DECIMAL).
+        x = f"CAST(`{col}` AS DOUBLE)"
+
+        def tree(lo: int, hi: int) -> str:
+            if lo == hi:
+                return str(lo)
+            mid = (lo + hi + 1) // 2
+            return (
+                f"IF({bounds[mid - 1]!r}D <= {x}, "
+                f"{tree(mid, hi)}, {tree(lo, mid - 1)})"
+            )
+
+        return tree(0, len(bounds))
 
     n_buckets = 1 << bits_per_dim
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # ONE multi-column approxQuantile pass — the per-column form would
     # rescan the corpus once per clustered dimension
     all_bounds = df.approxQuantile(cols, probs, relative_error)
-    bucket_cols = []
-    for c, bounds in zip(cols, all_bounds):
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket_cols.append(
-            F.size(F.filter(arr, lambda b: b <= F.col(c).cast("double")))
-        )
+    bucket_cols = [
+        F.expr(bucket_expr(c, bounds))
+        for c, bounds in zip(cols, all_bounds)
+    ]
     # interleave: bit i of dim d lands at position i * n_dims + d —
     # built as one SQL expr string (a Column-chain of 8*dims ORs costs
     # that many py4j round trips)
