@@ -432,7 +432,12 @@ def simhash_near_dups(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash_agg(df, id_col, text_col, bits)
+    # materialize the fingerprint index ONCE (16 bytes/doc): both
+    # sides of the band self-join derive from it, and Catalyst does
+    # not reuse the aggregation subtree across the join branches when
+    # AQE broadcasts one side (0 ReusedExchange observed) — without
+    # this the corpus is tokenized and fingerprinted twice
+    sh = simhash_agg(df, id_col, text_col, bits).localCheckpoint()
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),
