@@ -142,7 +142,13 @@ def near_dup_candidates(bands_df: DataFrame, id_col: str = "doc_id") -> DataFram
     The self-join key is (band_id, band_hash): shuffle co-locates each
     bucket, pair fan-out is per-bucket — the property that keeps this
     sub-quadratic at corpus scale.
+
+    The band frame is materialized once (localCheckpoint — the LSH
+    index build): Catalyst does not reuse the banding subtree across
+    the two join branches when AQE broadcasts one side, so without it
+    the whole shingle+MinHash pipeline runs twice.
     """
+    bands_df = bands_df.localCheckpoint()
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
