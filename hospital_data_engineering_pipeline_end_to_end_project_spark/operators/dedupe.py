@@ -245,7 +245,12 @@ def jaccard_within_key(
     keep = F.col("__n") > 1
     if df_max is not None:
         keep = keep & (F.col("__n") <= df_max)
-    exploded = exploded.filter(keep).drop("__n")
+    # materialize the pruned shingle stream once: the ReusedExchange
+    # collapse of the two identical join sides no longer fires under
+    # AQE when one side gets broadcast (0 observed in the executed
+    # plan), which silently re-ran the whole shingling+window pipeline
+    # per branch
+    exploded = exploded.filter(keep).drop("__n").localCheckpoint()
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(

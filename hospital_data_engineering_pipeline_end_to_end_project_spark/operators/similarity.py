@@ -581,8 +581,20 @@ def embedding_near_dup_pairs(
     ``brute_force_near_dup_pairs`` is the exact oracle for recall
     tests.
     """
-    base = _unit_base(df, id_col, vec_col)
+    # materialize the normalized base once — it feeds the bucketing
+    # AND the post-dedup scoring re-join, and Catalyst does not reuse
+    # the subtree across self-join branches under AQE broadcasts
+    base = _unit_base(df, id_col, vec_col).localCheckpoint()
     tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
+    if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
+        # ids-only LSH index: the candidate join never touches the
+        # vectors (scoring re-joins ``base``), so the materialized
+        # index is 3 small columns instead of n_tables copies of nv
+        tabled = tabled.select(
+            F.col(id_col), F.col("table_id"), F.col("bucket")
+        ).localCheckpoint()
+    else:
+        tabled = tabled.localCheckpoint()
     a, b = tabled.alias("a"), tabled.alias("b")
     join_cond = (
         (F.col("a.table_id") == F.col("b.table_id"))
