@@ -253,8 +253,17 @@ def lsh_bucket_topk(
     candidate pair set, then ranks — comparisons and shuffle volume
     scale with bucket occupancy, not corpus^2.
     """
-    base = _unit_base(df, id_col, vec_col)
+    # same index-materialization rule as embedding_near_dup_pairs:
+    # localCheckpoint base + the table index (ids-only when scoring
+    # re-joins base) so neither pipeline re-runs per self-join branch
+    base = _unit_base(df, id_col, vec_col).localCheckpoint()
     tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
+    if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
+        tabled = tabled.select(
+            F.col(id_col), F.col("table_id"), F.col("bucket")
+        ).localCheckpoint()
+    else:
+        tabled = tabled.localCheckpoint()
     a, c = tabled.alias("a"), tabled.alias("c")
     join_cond = (
         (F.col("a.table_id") == F.col("c.table_id"))
