@@ -30,6 +30,7 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops i
     TOKS_SQL,
 )
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
+    load_events,
     load_table,
 )
 
@@ -1390,6 +1391,143 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q91 — strict-sequence event funnel with a conversion window
+# (view -> click -> purchase, each within 3 days of the prior stage)
+#
+# The standard product-analytics conversion funnel: a user advances a
+# stage only with an event STRICTLY AFTER their previous stage's
+# earliest qualifying event AND within the conversion window (an
+# unwindowed funnel saturates on any long-lived corpus — every
+# active user eventually does everything).  Three conditional-min
+# aggregations chained by user-keyed joins — after the first shuffle
+# every join and groupBy is co-partitioned on user_id.  Counts are
+# exact ints; no float surface at all.
+# ---------------------------------------------------------------------------
+
+Q91_WINDOW_US = 3 * 86400 * 1_000_000  # 3-day conversion window
+
+
+def q91_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("v_ts"))
+            & (F.col("ts_us") <= F.col("v_ts") + F.lit(Q91_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("c_ts"))
+            & (F.col("ts_us") <= F.col("c_ts") + F.lit(Q91_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    stages = (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    return stages.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+Q91_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (
+  SELECT user_id, min(ts_us) AS v_ts FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(ts_us) AS c_ts
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts_us > v_ts
+    AND ts_us <= v_ts + {Q91_WINDOW_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(ts_us) AS p_ts
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts_us > c_ts
+    AND ts_us <= c_ts + {Q91_WINDOW_US}
+  GROUP BY e.user_id
+),
+st AS (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL SELECT '2_click', user_id FROM c
+  UNION ALL SELECT '3_purchase', user_id FROM p
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM st GROUP BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# q92 — cohort retention (classic monthly retention triangle)
+#
+# Cohort = a user's first active month; retention cell = distinct
+# users from that cohort active ``month_offset`` months later.  Two
+# user-keyed aggregations over the distinct (user, month) activity
+# set; month arithmetic is integral on month-truncated dates, so the
+# offsets are exact on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q92_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohorts over ORDERS (multi-year span; the events table covers a
+    # single month, which would collapse the triangle to one cell):
+    # customer cohort = first order month, retention cell = distinct
+    # customers from that cohort ordering month_offset months later.
+    # Offsets are QUARTERLY-bucketed only in display (kept monthly) —
+    # month arithmetic on month-truncated dates is integral, so the
+    # offsets are exact on both engines.
+    am = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+        )
+        .distinct()
+    )
+    cohort = am.groupBy("custkey").agg(F.min("month").alias("cohort_month"))
+    joined = am.join(cohort, "custkey")
+    return joined.groupBy(
+        "cohort_month",
+        F.months_between(F.col("month"), F.col("cohort_month"))
+        .cast("long")
+        .alias("month_offset"),
+    ).agg(F.countDistinct("custkey").cast("long").alias("n_customers"))
+
+
+Q92_SQL = """
+WITH am AS (
+  SELECT DISTINCT o_custkey AS custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+  FROM orders
+),
+c AS (SELECT custkey, min(month) AS cohort_month FROM am GROUP BY custkey)
+SELECT cohort_month,
+       CAST(date_diff('month', cohort_month, month) AS BIGINT) AS month_offset,
+       CAST(count(DISTINCT custkey) AS BIGINT) AS n_customers
+FROM am JOIN c USING (custkey)
+GROUP BY cohort_month, date_diff('month', cohort_month, month)
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1421,6 +1559,8 @@ QUERIES = {
     "q88_semantic_dedup": q88_semantic_dedup,
     "q89_quality_filter": q89_quality_filter,
     "q90_zorder_roundtrip": q90_zorder_roundtrip,
+    "q91_event_funnel": q91_event_funnel,
+    "q92_retention_cohorts": q92_retention_cohorts,
 }
 
 ORACLES = {
@@ -1454,4 +1594,6 @@ ORACLES = {
     "q88_semantic_dedup": Q88_SQL,
     "q89_quality_filter": Q89_SQL,
     "q90_zorder_roundtrip": Q90_SQL,
+    "q91_event_funnel": Q91_SQL,
+    "q92_retention_cohorts": Q92_SQL,
 }
