@@ -70,6 +70,8 @@ HEADLINE = [
     "q87_bm25_topk",
     "q88_semantic_dedup",
     "q89_quality_filter",
+    "q91_event_funnel",
+    "q92_retention_cohorts",
 ]
 
 
