@@ -322,6 +322,7 @@ def build_ivf_centroids(
     iterations: int = 2,
     train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
     hierarchical: bool = False,
+    _force_distributed: bool = False,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: Lloyd's k-means trained on
     a bounded deterministic sample.
@@ -360,6 +361,24 @@ def build_ivf_centroids(
     """
     cap = train_per_cluster * k
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    # small trainings run DRIVER-SIDE with bit-identical arithmetic
+    # (see _local_lloyd): the sample is bounded by design, and the
+    # distributed path costs ~2 Spark jobs per Lloyd iteration in
+    # pure fixed overhead.  The flop budget keeps corpus-scale K on
+    # the distributed (or hierarchical) path.
+    if (
+        not hierarchical
+        and not _force_distributed
+        and cap * k * iterations <= 65_536
+    ):
+        rows = [
+            [float(x) for x in r["__tv"]]
+            for r in df.select(F.col(id_col), V.as_double(vec_col).alias("__tv"))
+            .orderBy(*order)
+            .limit(cap)
+            .collect()
+        ]
+        return _local_lloyd(rows, min(k, len(rows)), iterations)
     sample = (
         df.select(F.col(id_col), V.as_double(vec_col).alias("__tv"))
         .orderBy(*order)
@@ -868,3 +887,55 @@ def assign_ivf_cluster_hierarchical(
         # along for callers ranking within clusters (semantic_dedup)
         out = out.withColumn("__hdist", F.array_min(kd))
     return out.drop("__sup", "__kid_ids", "__kids")
+
+
+def _local_lloyd(
+    rows: list[list[float]], k: int, iterations: int
+) -> list[list[float]]:
+    """Driver-side Lloyd over an already-collected bounded sample,
+    arithmetic-IDENTICAL to the distributed path (and therefore to
+    the DuckDB oracle replay):
+
+    - distances are the same sequential left-to-right fold
+      ``acc + (a-b)*(a-b)`` the engines run (never numpy — pairwise
+      summation differs in the last ulp and a near-tie argmin flip
+      would cascade through the means);
+    - argmin ties go to the FIRST minimum (strict ``<``), matching
+      ``array_position``/``ORDER BY d, c``;
+    - means are snapped to the dyadic grid ``floor(m*1024+0.5)/1024``
+      — the same snap that absorbs the engines' partial-sum order
+      wobble absorbs this path's (sample-order) summation;
+    - empty clusters keep their previous coordinates.
+
+    Equality with the distributed path on real fixtures is asserted
+    by ``test_local_and_distributed_training_agree``.
+    """
+    import math
+
+    if not rows:
+        return []
+    dim = len(rows[0])
+    cents = [list(rows[i]) for i in range(k)]
+    for _ in range(iterations):
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        for v in rows:
+            best, best_d = 0, None
+            for ci, c in enumerate(cents):
+                acc = 0.0
+                for a, b in zip(v, c):
+                    acc = acc + (a - b) * (a - b)
+                if best_d is None or acc < best_d:
+                    best_d, best = acc, ci
+            s = sums[best]
+            for j, x in enumerate(v):
+                s[j] += x
+            counts[best] += 1
+        for ci in range(k):
+            if counts[ci]:
+                n = counts[ci]
+                cents[ci] = [
+                    math.floor((sums[ci][j] / n) * 1024.0 + 0.5) / 1024.0
+                    for j in range(dim)
+                ]
+    return cents

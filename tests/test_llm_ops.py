@@ -562,3 +562,15 @@ def test_ivf_hierarchical_recall_vs_bruteforce(spark):
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(ep & ap) / len(ep)
     assert recall >= 0.4, f"hierarchical IVF recall {recall:.2f} too low"
+
+
+def test_local_and_distributed_training_agree(spark):
+    # the driver-side Lloyd fast path must produce BIT-IDENTICAL
+    # centroids to the distributed path on real fixtures at both gate
+    # SFs — the property that lets the q48/q88 oracles stay valid
+    # regardless of which path ran
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        local = similarity.build_ivf_centroids(e, k=8)
+        dist = similarity.build_ivf_centroids(e, k=8, _force_distributed=True)
+        assert local == dist, f"training paths diverge at {sf}"
