@@ -337,6 +337,12 @@ def build_ivf_centroids(
     the same (md5, id) order.  The full corpus is only ever assigned
     ONCE, by the caller, after training (``ivf_topk``).
 
+    Below a flop budget the collected sample trains DRIVER-SIDE
+    instead (:func:`_local_lloyd` — bit-identical arithmetic, tested
+    so), skipping ~2 Spark jobs of fixed overhead per iteration;
+    large-K trainings stay distributed (or two-level routed with
+    ``hierarchical=True``).
+
     Each iteration is one distributed assign (broadcast centroids,
     argmin over K) + one distributed update (posexplode + mean per
     (cluster, dim)).  Only the K x dim centroid matrix ever reaches
