@@ -41,3 +41,21 @@ def test_cli_workflow(spark, tmp_path, capsys, monkeypatch):
                      "--months", f"{y}-{m:02d}"]) == 0
     r = json.loads(capsys.readouterr().out)
     assert r["rows_refreshed"] > 0 and r["agg_revenue_month"] > 0
+
+
+def test_cli_zorder_rewrites_table(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(cli, "_spark", lambda cpus: spark)
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zt")
+    spark.range(0, 2048).select(
+        (F.col("id") * 7 % 2048).cast("double").alias("x"),
+        (F.col("id") * 13 % 2048).cast("double").alias("y"),
+    ).repartition(10).write.parquet(path)
+
+    assert cli.main(
+        ["zorder", "--path", path, "--by", "x,y", "--num-files", "4"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["files_before"] == 10 and out["files_after"] == 4
+    assert spark.read.parquet(path).count() == 2048
