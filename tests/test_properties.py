@@ -248,3 +248,67 @@ def test_bm25_membership_and_rank_order(spark, docs):
     assert all(r["bm25"] > 0 for r in out)
     ordered = sorted(out, key=lambda r: (-r["bm25"], r["doc_id"]))
     assert [r["rank"] for r in ordered] == list(range(1, len(out) + 1))
+
+
+_QF_WORDS = ("the", "a", "of", "alpha", "beta", "x.", "y,", "z!", "rep")
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_QF_WORDS), min_size=1, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quality_filter_replays_exactly_in_python(spark, docs):
+    """The verdict cascade is pure count/count IEEE arithmetic, so a
+    python replay must agree EXACTLY — reason, keep, and every
+    rounded ratio — for arbitrary corpora (including all-punct and
+    stopword-free extremes)."""
+    import re as _re
+    from collections import Counter
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dataprep.quality_filter(
+            df, "doc_id", "text", min_tokens=5, max_punct=0.2,
+            min_stopword=0.02, max_top_shingle=0.4, shingle_n=2,
+        ).collect()
+    }
+    stop = {"the", "a", "of", "and", "to", "in", "is", "for"}
+    for i, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        punct = (len(text) - len(_re.sub(r"[\.,;:!\?]", "", text))) / len(text)
+        sw = sum(1 for t in toks if t in stop) / n
+        if len(toks) >= 2:
+            sh = Counter(
+                " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+            )
+            top = max(sh.values()) / sum(sh.values())
+        else:
+            top = 0.0
+        if n < 5:
+            reason = "too_short"
+        elif punct > 0.2:
+            reason = "high_punct"
+        elif sw < 0.02:
+            reason = "low_stopword"
+        elif top > 0.4:
+            reason = "repetitive"
+        else:
+            reason = None
+        r = got[i]
+        assert r["reason"] == reason, (i, text, r["reason"], reason)
+        assert r["keep"] == (reason is None)
+        assert r["n_tokens"] == n
+        assert r["punct_ratio"] == round(punct, 6) or abs(
+            r["punct_ratio"] - punct
+        ) < 5e-7
+        assert abs(r["stopword_ratio"] - sw) < 5e-7
+        assert abs(r["top_shingle_ratio"] - top) < 5e-7
