@@ -312,3 +312,56 @@ def test_quality_filter_replays_exactly_in_python(spark, docs):
         ) < 5e-7
         assert abs(r["stopword_ratio"] - sw) < 5e-7
         assert abs(r["top_shingle_ratio"] - top) < 5e-7
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bm25_scores_replay_exactly_in_python(spark, docs):
+    """BM25 is one fixed-order IEEE expression per (doc, term) plus a
+    fixed-order sum — a python replay with the same operation order
+    must match BIT-FOR-BIT (the property the DuckDB oracle relies
+    on)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    terms = ("scan", "merge")
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in dataprep.bm25_topk(tok, "doc_id", "term", terms, k=100).collect()
+    }
+
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+    n_docs = len(rows)
+    total_tokens = sum(len(t) for t in toks.values())
+    avgdl = float(total_tokens) / n_docs
+    dfreq = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in terms
+    }
+    expect = {}
+    for i, ts in toks.items():
+        dl = len(ts)
+        total = 0.0
+        hit = False
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                part = 0.0
+            else:
+                hit = True
+                idf = (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                part = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+            total = total + part
+        if hit:
+            expect[i] = total
+    assert got == expect
