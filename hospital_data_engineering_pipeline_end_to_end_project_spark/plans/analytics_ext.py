@@ -1528,6 +1528,66 @@ GROUP BY cohort_month, date_diff('month', cohort_month, month)
 """
 
 
+# ---------------------------------------------------------------------------
+# q93 — multi-signal duplicate clusters
+#
+# Production dedup unions the evidence of several detectors before
+# resolving clusters — a pair missed by shingle-MinHash (word
+# re-ordering keeps the token multiset) can be caught by SimHash, and
+# vice versa (a shared long passage survives banding but not the
+# global fingerprint).  Union of the q25-LSH and q86-SimHash pair
+# sets, transitively closed by the same min-label CC.  The oracle
+# replays both detectors and the closure in one recursive CTE chain.
+# ---------------------------------------------------------------------------
+
+
+def q93_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    mh = dedupe.near_dup_candidates(bands, "doc_id")
+    sh = dedupe.simhash_near_dups(
+        d, "doc_id", "text", bits=64, bands=4, max_hamming=3
+    ).select("id_a", "id_b")
+    pairs = mh.unionByName(sh).distinct()
+    return components.connected_components(pairs)
+
+
+Q93_SQL = f"""
+WITH RECURSIVE
+bands AS ({Q25_SQL}),
+mh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+fp AS ({Q27_SQL}),
+sbands AS (
+  SELECT doc_id, simhash, b.i AS band_id,
+         (simhash >> (b.i * 16)) & 65535 AS band_val
+  FROM fp, (SELECT unnest(range(4)) AS i) b
+),
+sh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sbands a JOIN sbands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+pairs AS (SELECT id_a AS u, id_b AS v FROM mh
+          UNION SELECT id_a, id_b FROM sh),
+sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1561,6 +1621,7 @@ QUERIES = {
     "q90_zorder_roundtrip": q90_zorder_roundtrip,
     "q91_event_funnel": q91_event_funnel,
     "q92_retention_cohorts": q92_retention_cohorts,
+    "q93_multi_signal_clusters": q93_multi_signal_clusters,
 }
 
 ORACLES = {
@@ -1596,4 +1657,5 @@ ORACLES = {
     "q90_zorder_roundtrip": Q90_SQL,
     "q91_event_funnel": Q91_SQL,
     "q92_retention_cohorts": Q92_SQL,
+    "q93_multi_signal_clusters": Q93_SQL,
 }
