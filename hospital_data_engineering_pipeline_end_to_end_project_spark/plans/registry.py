@@ -26,26 +26,27 @@ def _modules():
     #
     # ORDER MATTERS: the driver's correctness gate records only the
     # first 50 entries of queries() in registration order.  Round 6
-    # gated relational/scd2/llm_ops/advanced; round 7 rotates
-    # entry_extras/data_prep/analytics_ext (q43–q45, q50–q57,
-    # q61–q85 — last officially attested in r05, and the round-6
-    # similarity/dedupe rework touches code shared by q61/q70/q71/
-    # q79) to the front for fresh official rows, which also puts the
-    # queries REGISTERED this round (q86–q89) inside the window.
-    # Changed-this-round queries that live elsewhere (q27 SimHash
-    # widening, q48 IVF sample-training) are pinned into the window
-    # via _GATE_FRONT.
+    # gated relational/scd2/llm_ops/advanced; round 7 rotated
+    # entry_extras/data_prep/analytics_ext to the front; round 8
+    # rotates BACK to llm_ops/relational/scd2/advanced (q01–q39,
+    # q46–q49, q58–q60 — freshest official rows are r06, and the
+    # round-7 similarity rework touched code shared by q28/q29/q31).
+    # That family is 46 queries; the remaining 4 window slots land on
+    # the head of entry_extras.  Queries CHANGED this round that live
+    # outside the window (q87 BM25 zero-token semantics, q88
+    # semantic-dedup auto-hierarchical, q40 SCD2 partition pruning)
+    # are pinned in via _GATE_FRONT.
     # Every query keeps its oracle regardless of position — the full
     # catalog is attested end-to-end by tests/test_oracle_parity.py
     # in every pytest run.
     mods = []
     for name in (
-        "entry_extras",
-        "data_prep",
-        "analytics_ext",
         "llm_ops",
         "scd2_queries",
         "advanced",
+        "entry_extras",
+        "data_prep",
+        "analytics_ext",
     ):
         mods.append(
             __import__(
@@ -53,17 +54,25 @@ def _modules():
                 fromlist=[name],
             )
         )
-    mods.append(relational)
+    mods.insert(3, relational)
     return mods
 
 
 #: Queries pinned to the FRONT of the catalog regardless of module
 #: order, so they land inside the driver's 50-entry gate window.
-#: Round 7: q27 (SimHash widened to 64-bit) and q48 (IVF quantizer
-#: sample-training) change this round but live in llm_ops, which sits
-#: partially outside the first 50 after the rotation — pinning
-#: guarantees their fresh official rows.
-_GATE_FRONT = ("q27_simhash", "q48_ivf_topk")
+#: Round 8: q28/q29/q31 share the similarity code reworked in round 7
+#: (their freshest official rows are pre-rework r06); q87/q88/q40 are
+#: changed THIS round (BM25 zero-token filter, semantic-dedup
+#: auto-hierarchical routing, SCD2 partition pruning) but live in
+#: modules outside the rotated window.
+_GATE_FRONT = (
+    "q28_cosine_topk",
+    "q29_ann_lsh",
+    "q31_embedding_near_dups",
+    "q87_bm25_topk",
+    "q88_semantic_dedup",
+    "q40_hospital_medallion_e2e",
+)
 
 
 def _front_ordered(d: dict) -> dict:
