@@ -305,23 +305,45 @@ def stratified_sample(
 #: bare ``1.2`` parses as DECIMAL in both Spark and DuckDB and their
 #: decimal arithmetic rules differ.
 _BM25_SCORE_TMPL = (
-    "((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))"
+    "({idf})"
     " * ((tf * CAST({k1p1} AS DOUBLE))"
     " / (tf + CAST({k1} AS DOUBLE)"
     " * (CAST({one_minus_b} AS DOUBLE)"
     " + CAST({b} AS DOUBLE) * (dl / avgdl))))"
 )
 
+#: Robertson odds ratio WITHOUT the log damping — the bit-exact
+#: cross-engine default (see the deviation note on :func:`bm25_topk`).
+_BM25_IDF_RAW = (
+    "((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))"
+)
+
+#: Standard (Lucene/Elasticsearch) idf: ``ln(1 + odds)``.  Correct
+#: BM25 semantics, but libm ``ln`` differs across engines in the last
+#: ulp, so oracles comparing it need a small tolerance, not bit
+#: equality.
+_BM25_IDF_LOG = f"ln(CAST(1 AS DOUBLE) + {_BM25_IDF_RAW})"
+
 #: average document length as a shared expression: exact BIGINT
 #: inputs, ONE correctly-rounded double division.
 _BM25_AVGDL = "CAST(total_tokens AS DOUBLE) / n_docs"
 
 
-def bm25_score_sql(k1: float = 1.2, b: float = 0.75) -> str:
+def bm25_score_sql(
+    k1: float = 1.2, b: float = 0.75, log_idf: bool = False
+) -> str:
     """The per-(doc, term) BM25 scoring expression with ``k1``/``b``
-    bound — exposed so oracles interpolate the identical text."""
+    bound — exposed so oracles interpolate the identical text.
+
+    ``log_idf=False`` (default) uses the log-free Robertson odds
+    ratio; ``log_idf=True`` uses the standard Lucene ``ln(1 + odds)``
+    idf (see the deviation note on :func:`bm25_topk`)."""
     return _BM25_SCORE_TMPL.format(
-        k1p1=repr(k1 + 1.0), k1=repr(k1), one_minus_b=repr(1.0 - b), b=repr(b)
+        idf=_BM25_IDF_LOG if log_idf else _BM25_IDF_RAW,
+        k1p1=repr(k1 + 1.0),
+        k1=repr(k1),
+        one_minus_b=repr(1.0 - b),
+        b=repr(b),
     )
 
 
@@ -334,11 +356,31 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     doc_lengths: DataFrame | None = None,
+    log_idf: bool = False,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query by BM25 (Robertson/
     Sparck Jones probabilistic ranking — the default lexical scorer in
     Lucene/Elasticsearch and the standard hard-negative miner /
     retrieval baseline in training-data pipelines).
+
+    **DEVIATION FROM STANDARD BM25 (default scorer):** with the
+    default ``log_idf=False`` the idf term is the RAW Robertson odds
+    ratio ``(N - df + 0.5) / (df + 0.5)`` — the ``ln`` damping that
+    Lucene/Elasticsearch apply is omitted so the score is a sequence
+    of correctly-rounded IEEE ops reproducible bit-for-bit across
+    engines (libm ``ln`` differs in the last ulp).  The consequence is
+    real: at N=1e6 a df=1 term outweighs a df=500k term by ~1e6×
+    instead of ~14×, so MULTI-term rankings can diverge materially
+    from standard BM25 (per-term rankings are unaffected — the idf is
+    constant within a term).  Pass ``log_idf=True`` for the standard
+    Lucene ``ln(1 + odds)`` idf; compare those scores with a small
+    tolerance, not bit equality.
+
+    Zero-token documents (``dl = 0``) are EXCLUDED from the corpus
+    statistics (``n_docs`` / ``total_tokens``) — the semantics a
+    tokenize-and-explode pipeline produces naturally, applied here
+    uniformly so a caller-supplied ``doc_lengths`` frame that kept
+    empty docs agrees with the derived path.
 
     ``docs`` is exploded (id, term) rows, one per token occurrence.
 
@@ -370,7 +412,7 @@ def bm25_topk(
         doc_lengths.select(F.col(id_col), F.col("dl"))
         if doc_lengths is not None
         else docs.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    )
+    ).filter(F.col("dl") > 0)
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
@@ -386,7 +428,7 @@ def bm25_topk(
         .join(dl, id_col)
         .crossJoin(F.broadcast(totals))
         .withColumn("avgdl", F.expr(_BM25_AVGDL))
-        .withColumn("score", F.expr(bm25_score_sql(k1, b)))
+        .withColumn("score", F.expr(bm25_score_sql(k1, b, log_idf)))
     )
     pivots = [
         F.max(

@@ -1166,12 +1166,20 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
 #
 # The standard lexical ranking function (Lucene/Elasticsearch default)
 # and the usual hard-negative miner in retrieval training pipelines.
-# Cross-engine exactness: the per-(doc, term) scoring expression is
-# ONE string (operators/dataprep.py:bm25_score_sql) interpolated
-# verbatim into both the Spark selectExpr and this oracle, per-term
-# scores are pivoted into fixed columns and summed in fixed textual
-# order, and the idf is the log-free Robertson odds ratio (libm ``ln``
-# is engine-specific in the last ulp — same documented trade as q54).
+#
+# DEVIATION FROM STANDARD BM25: this query scores with the LOG-FREE
+# Robertson odds-ratio idf (bm25_topk's default; see the deviation
+# note on operators/dataprep.py:bm25_topk) — rare terms are weighted
+# far more heavily than under Lucene's ln(1 + odds), so multi-term
+# rankings can differ from a real search engine's.  The trade buys
+# bit-exact cross-engine comparison: the per-(doc, term) scoring
+# expression is ONE string (operators/dataprep.py:bm25_score_sql)
+# interpolated verbatim into both the Spark selectExpr and this
+# oracle, per-term scores are pivoted into fixed columns and summed in
+# fixed textual order (libm ``ln`` is engine-specific in the last
+# ulp — same documented trade as q54).  ``bm25_topk(log_idf=True)``
+# gives standard Lucene scoring, tolerance-tested in
+# tests/test_dataprep.py.
 # ---------------------------------------------------------------------------
 
 Q87_TERMS = ("scan", "merge", "stream")

@@ -252,6 +252,69 @@ def test_bm25_rejects_empty_query(spark):
         dataprep.bm25_topk(tok, "doc_id", "term", ())
 
 
+def test_bm25_log_idf_matches_lucene_formula(spark):
+    # log_idf=True is STANDARD BM25 (Lucene ln(1 + odds) idf) — compare
+    # against an independent python computation with a tolerance, since
+    # libm ln is not bit-reproducible across engines.
+    import math
+
+    rows = [
+        (1, "scan scan merge join"),
+        (2, "scan join join group"),
+        (3, "merge " + "filler " * 20),
+        (4, "scan merge merge sort"),
+    ]
+    k1, b = 1.2, 0.75
+    corpus = {i: t.split() for i, t in rows}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    terms = ("scan", "merge")
+    df = {t: sum(1 for toks in corpus.values() if t in toks) for t in terms}
+
+    def score(doc):
+        toks = corpus[doc]
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+        return s
+
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in dataprep.bm25_topk(
+            _bm25_tok(spark, rows), "doc_id", "term", terms, k=10,
+            k1=k1, b=b, log_idf=True,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}, "every doc holds a query term"
+    for doc, got in out.items():
+        assert got == pytest.approx(score(doc), rel=1e-12)
+
+
+def test_bm25_zero_length_docs_excluded_from_stats(spark):
+    # a caller-supplied doc_lengths frame keeping empty docs (dl=0)
+    # must produce the SAME scores as one that drops them — zero-token
+    # docs never count toward n_docs / total_tokens
+    rows = [(1, "scan join"), (2, "scan scan scan join")]
+    tok = _bm25_tok(spark, rows)
+    dl_clean = spark.createDataFrame(
+        [(1, 2), (2, 4)], "doc_id long, dl long")
+    dl_dirty = spark.createDataFrame(
+        [(1, 2), (2, 4), (99, 0)], "doc_id long, dl long")
+    get = lambda dl: {
+        r["doc_id"]: r["bm25"]
+        for r in dataprep.bm25_topk(
+            tok, "doc_id", "term", ("scan",), doc_lengths=dl
+        ).collect()
+    }
+    assert get(dl_dirty) == get(dl_clean)
+
+
 def test_quality_filter_every_rule_fires(spark):
     stop_pad = "the a of and to in is for"  # 8 stopwords
     good = ("alpha " + stop_pad + " beta gamma delta epsilon zeta "
