@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 
 
@@ -136,19 +137,24 @@ def minhash_bands(
     )
 
 
-def near_dup_candidates(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def near_dup_candidates(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    materialize_mode: str = "eager",
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any LSH band.
 
     The self-join key is (band_id, band_hash): shuffle co-locates each
     bucket, pair fan-out is per-bucket — the property that keeps this
     sub-quadratic at corpus scale.
 
-    The band frame is materialized once (localCheckpoint — the LSH
-    index build): Catalyst does not reuse the banding subtree across
-    the two join branches when AQE broadcasts one side, so without it
-    the whole shingle+MinHash pipeline runs twice.
+    The band frame is materialized once (the LSH index build; policy
+    per ``materialize_mode``, see ``operators/materialize.py``):
+    Catalyst does not reuse the banding subtree across the two join
+    branches when AQE broadcasts one side, so without it the whole
+    shingle+MinHash pipeline runs twice.
     """
-    bands_df = bands_df.localCheckpoint()
+    bands_df = materialize(bands_df, materialize_mode)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -202,6 +208,7 @@ def jaccard_within_key(
     key_col: str,
     shingle_n: int = 3,
     df_max: int | None = None,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """All within-key pair Jaccard similarities via sparse-set
     intersection: explode distinct shingles, equi-join on
@@ -249,8 +256,8 @@ def jaccard_within_key(
     # collapse of the two identical join sides no longer fires under
     # AQE when one side gets broadcast (0 observed in the executed
     # plan), which silently re-ran the whole shingling+window pipeline
-    # per branch
-    exploded = exploded.filter(keep).drop("__n").localCheckpoint()
+    # per branch (materialization policy per materialize_mode)
+    exploded = materialize(exploded.filter(keep).drop("__n"), materialize_mode)
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
@@ -405,6 +412,7 @@ def simhash_near_dups(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash (Manku/Jain/Sarma,
     WWW'07 — the production web-dedup construction): fingerprint each
@@ -447,8 +455,9 @@ def simhash_near_dups(
     # sides of the band self-join derive from it, and Catalyst does
     # not reuse the aggregation subtree across the join branches when
     # AQE broadcasts one side (0 ReusedExchange observed) — without
-    # this the corpus is tokenized and fingerprinted twice
-    sh = simhash_agg(df, id_col, text_col, bits).localCheckpoint()
+    # this the corpus is tokenized and fingerprinted twice (policy
+    # per materialize_mode, operators/materialize.py)
+    sh = materialize(simhash_agg(df, id_col, text_col, bits), materialize_mode)
     banded = sh.select(
         F.col(id_col),
         F.col("simhash"),

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 
 
@@ -243,6 +244,7 @@ def lsh_bucket_topk(
     k: int = 5,
     n_planes: int = 4,
     n_tables: int = 4,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Approximate all-pairs top-k via multi-table hyperplane LSH.
 
@@ -252,18 +254,21 @@ def lsh_bucket_topk(
     buy selectivity).  Scoring joins on (table, bucket), dedupes the
     candidate pair set, then ranks — comparisons and shuffle volume
     scale with bucket occupancy, not corpus^2.
+
+    ``materialize_mode`` picks the index-materialization policy
+    (``operators/materialize.py``: eager localCheckpoint / persist /
+    lazy).
     """
     # same index-materialization rule as embedding_near_dup_pairs:
-    # localCheckpoint base + the table index (ids-only when scoring
+    # materialize base + the table index (ids-only when scoring
     # re-joins base) so neither pipeline re-runs per self-join branch
-    base = _unit_base(df, id_col, vec_col).localCheckpoint()
+    base = materialize(_unit_base(df, id_col, vec_col), materialize_mode)
     tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
     if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
         tabled = tabled.select(
             F.col(id_col), F.col("table_id"), F.col("bucket")
-        ).localCheckpoint()
-    else:
-        tabled = tabled.localCheckpoint()
+        )
+    tabled = materialize(tabled, materialize_mode)
     a, c = tabled.alias("a"), tabled.alias("c")
     join_cond = (
         (F.col("a.table_id") == F.col("c.table_id"))
@@ -459,6 +464,27 @@ def assign_ivf_cluster(
     )
 
 
+#: Auto-routing threshold for the two-level (hierarchical) assignment
+#: path: with ``hierarchical=None`` (the default), ``ivf_topk`` and
+#: ``semantic_dedup`` switch to :func:`assign_ivf_cluster_hierarchical`
+#: once ``n_clusters`` reaches this many centroids.  Rationale: the
+#: flat pass costs K distance folds per row and the routed pass
+#: ~2*sqrt(K); at K=32 that is 32 vs ~11 folds — comfortably past the
+#: broadcast-join overhead — while the oracle-gated fixtures (q48/q88,
+#: K=8) stay on the bit-exact flat path.  On the documented operating
+#: curve (K ∝ n, scale_check.py) the flat default was the one
+#: remaining quadratic-total-work term; auto-routing closes it without
+#: the caller having to know the knob exists.  Explicit ``True`` /
+#: ``False`` always wins over the auto rule.
+HIER_AUTO_MIN_K = 32
+
+
+def _resolve_hierarchical(n_clusters: int, hierarchical: bool | None) -> bool:
+    if hierarchical is None:
+        return n_clusters >= HIER_AUTO_MIN_K
+    return hierarchical
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -467,7 +493,8 @@ def ivf_topk(
     n_clusters: int = 8,
     nprobe: int = 2,
     train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
-    hierarchical: bool = False,
+    hierarchical: bool | None = None,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: corpus is partitioned by a
     coarse quantizer; each query ranks candidates only in the
@@ -483,8 +510,12 @@ def ivf_topk(
     the two-level inverted-file (IMI-style) trade: one more recall
     approximation at super boundaries in exchange for
     ~2*sqrt(K)-per-row cost.  A super with fewer than ``nprobe``
-    children yields a shorter probe list.  The oracle-gated q48 keeps
-    the exact flat path."""
+    children yields a shorter probe list.  The DEFAULT
+    (``hierarchical=None``) auto-selects this path once ``n_clusters``
+    reaches :data:`HIER_AUTO_MIN_K`; the oracle-gated q48 (K=8) stays
+    on the exact flat path, and an explicit ``False`` forces flat at
+    any K."""
+    hierarchical = _resolve_hierarchical(n_clusters, hierarchical)
     centroids = build_ivf_centroids(
         df,
         vec_col,
@@ -501,10 +532,10 @@ def ivf_topk(
     # the assign and a sort for the probes).  Ties go to the lower
     # cluster id (struct sort on (d, c)), matching
     # assign_ivf_cluster's array_position semantics and the oracle's
-    # ORDER BY dist, c.  localCheckpoint is the index materialization
+    # ORDER BY dist, c.  ``materialize`` is the index materialization
     # every IVF system performs — build once, probe many; without it
     # the corpus and query branches of the self-join would each
-    # recompute the distance pass.
+    # recompute the distance pass (policy per materialize_mode).
     base = _with_unit(
         # the index build is a per-row distance pass — balance a
         # compact scan across cores first (no-op when the scan is
@@ -536,9 +567,9 @@ def ivf_topk(
             F.slice(F.array_sort(structs), 1, nprobe),
             lambda s: s["c"].cast("int"),
         )
-        index = (
-            routed.select(F.col(id_col), probes.alias("__probes"), F.col("nv"))
-            .localCheckpoint()
+        index = materialize(
+            routed.select(F.col(id_col), probes.alias("__probes"), F.col("nv")),
+            materialize_mode,
         )
     else:
         dists = _centroid_dists(F.col("v"), centroids)
@@ -551,9 +582,9 @@ def ivf_topk(
             F.slice(F.array_sort(structs), 1, nprobe),
             lambda s: s["c"].cast("int"),
         )
-        index = (
-            base.select(F.col(id_col), probes.alias("__probes"), F.col("nv"))
-            .localCheckpoint()
+        index = materialize(
+            base.select(F.col(id_col), probes.alias("__probes"), F.col("nv")),
+            materialize_mode,
         )
     queries = index.select(
         F.col(id_col), F.explode("__probes").alias("probe_cluster"), F.col("nv")
@@ -592,6 +623,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 16,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above a threshold.
 
@@ -618,7 +650,8 @@ def embedding_near_dup_pairs(
     # materialize the normalized base once — it feeds the bucketing
     # AND the post-dedup scoring re-join, and Catalyst does not reuse
     # the subtree across self-join branches under AQE broadcasts
-    base = _unit_base(df, id_col, vec_col).localCheckpoint()
+    # (policy per materialize_mode, operators/materialize.py)
+    base = materialize(_unit_base(df, id_col, vec_col), materialize_mode)
     tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
     if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
         # ids-only LSH index: the candidate join never touches the
@@ -626,9 +659,8 @@ def embedding_near_dup_pairs(
         # index is 3 small columns instead of n_tables copies of nv
         tabled = tabled.select(
             F.col(id_col), F.col("table_id"), F.col("bucket")
-        ).localCheckpoint()
-    else:
-        tabled = tabled.localCheckpoint()
+        )
+    tabled = materialize(tabled, materialize_mode)
     a, b = tabled.alias("a"), tabled.alias("b")
     join_cond = (
         (F.col("a.table_id") == F.col("b.table_id"))
@@ -695,7 +727,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
-    hierarchical: bool = False,
+    hierarchical: bool | None = None,
 ) -> DataFrame:
     """Semantic deduplication, centroid-proximity variant (the
     SemDeDup family, Abbas et al. 2023: cluster the embedding space,
@@ -720,13 +752,18 @@ def semantic_dedup(
     the keep ORDER uses the raw distance (a deterministic sequential
     fold both engines replay bit-for-bit), tie-broken by id.
 
-    ``hierarchical=True`` switches the assignment to the two-level
+    ``hierarchical`` switches the assignment to the two-level
     :func:`assign_ivf_cluster_hierarchical` — the LARGE-K path (at
     the semantic-dedup operating curve K grows with the corpus, and
-    the flat pass is n x K per row).  Approximate at super-cluster
-    boundaries, so the q88 oracle keeps the flat path; the keep rule
-    and output schema are identical.
+    the flat pass is n x K per row).  The DEFAULT (``None``)
+    auto-selects it once ``n_clusters`` reaches
+    :data:`HIER_AUTO_MIN_K`, so a large-K caller lands on the scale
+    path without opting in.  Approximate at super-cluster boundaries,
+    so the q88 oracle (K=8, under the threshold) keeps the flat
+    path; the keep rule and output schema are identical, and an
+    explicit ``False`` forces flat at any K.
     """
+    hierarchical = _resolve_hierarchical(n_clusters, hierarchical)
     centroids = build_ivf_centroids(
         df,
         vec_col,
@@ -866,10 +903,14 @@ def assign_ivf_cluster_hierarchical(
     the flat assign when K is small or exact replay is required (the
     q48/q88 oracles); use this when K is large.
 
-    Plan shape: the child-centroid matrix enters as ONE 3-D literal
-    (supers x padded children x dim; padding rows are +inf sentinels
-    that can never win an argmin), indexed by the routed super id —
-    expression size stays linear in K x dim.
+    Plan shape: the routing table is a BROADCAST ``n_super``-row
+    frame ``(__sup, __kid_ids, __kids)`` built by :func:`_hier_routing`
+    — each row computes its nearest super-centroid (a literal
+    ~sqrt(K) x dim matrix), broadcast-joins on ``__sup``, and argmins
+    only over its matched super's ``__kids`` child centroids.  (A
+    single 3-D literal matrix indexed by super id was measured 1.7x
+    SLOWER at K=256 — the literal is re-constructed per row — and was
+    rejected; see ``_hier_routing``.)
     """
     meta, super_cents = _hier_routing(df.sparkSession, centroids, n_super)
     v = V.as_double(vec_col)

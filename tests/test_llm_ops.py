@@ -549,6 +549,34 @@ def test_semantic_dedup_hierarchical_mode(spark):
     assert flat == hier
 
 
+def test_hierarchical_auto_routing_threshold():
+    # the default (None) routes by cluster count; explicit flags win
+    t = similarity.HIER_AUTO_MIN_K
+    assert similarity._resolve_hierarchical(t - 1, None) is False
+    assert similarity._resolve_hierarchical(t, None) is True
+    assert similarity._resolve_hierarchical(t * 10, False) is False
+    assert similarity._resolve_hierarchical(2, True) is True
+
+
+def test_semantic_dedup_auto_matches_explicit_paths(spark):
+    # below the threshold the default must be BIT-IDENTICAL to the
+    # exact flat path (the oracle contract); above it, identical to
+    # the explicit hierarchical path
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    auto_small = sorted(map(tuple, similarity.semantic_dedup(
+        e, n_clusters=8).collect()))
+    flat_small = sorted(map(tuple, similarity.semantic_dedup(
+        e, n_clusters=8, hierarchical=False).collect()))
+    assert auto_small == flat_small
+
+    k_big = similarity.HIER_AUTO_MIN_K
+    auto_big = sorted(map(tuple, similarity.semantic_dedup(
+        e, n_clusters=k_big).collect()))
+    hier_big = sorted(map(tuple, similarity.semantic_dedup(
+        e, n_clusters=k_big, hierarchical=True).collect()))
+    assert auto_big == hier_big
+
+
 def test_ivf_hierarchical_recall_vs_bruteforce(spark):
     # the two-level probe adds one approximation (super routing) on
     # top of flat IVF's probed-fraction trade; on the real embedding
