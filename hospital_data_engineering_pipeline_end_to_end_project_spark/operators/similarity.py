@@ -318,6 +318,14 @@ def lsh_bucket_topk(
 #: points/centroid floor faiss warns at.
 IVF_TRAIN_PER_CLUSTER = 64
 
+#: Largest training sample that trains driver-side with the
+#: vectorized numpy Lloyd (:func:`_numpy_lloyd`).  262144 rows x 64
+#: dims x 8 B = ~128 MB on the driver — comfortably bounded — and
+#: with ``IVF_TRAIN_PER_CLUSTER`` it covers K up to 4096 centroids;
+#: bigger quantizers fall through to the distributed (optionally
+#: hierarchical) training path.
+NUMPY_TRAIN_MAX_ROWS = 262_144
+
 
 def build_ivf_centroids(
     df: DataFrame,
@@ -390,6 +398,25 @@ def build_ivf_centroids(
             .collect()
         ]
         return _local_lloyd(rows, min(k, len(rows)), iterations)
+    # MID-K trainings (above the exact-replay flop budget, sample
+    # still driver-collectable) train driver-side with VECTORIZED
+    # numpy Lloyd: at K=80 the distributed path spends ~9 s of fixed
+    # Spark-job overhead per training on a 5k-row/2.6 MB sample that
+    # numpy finishes in milliseconds (measured round 8, BASELINE.md).
+    # Not fold-bit-identical to the distributed path (numpy pairwise
+    # summation), but fully deterministic (md5-ordered sample, first-
+    # min ties, dyadic-snapped means) — and no mid-K training is
+    # oracle-replayed: the gate fixtures (K<=8) stay on the exact
+    # path above, truly-huge samples fall through to distributed.
+    if not _force_distributed and cap <= NUMPY_TRAIN_MAX_ROWS:
+        rows = [
+            [float(x) for x in r["__tv"]]
+            for r in df.select(F.col(id_col), V.as_double(vec_col).alias("__tv"))
+            .orderBy(*order)
+            .limit(cap)
+            .collect()
+        ]
+        return _numpy_lloyd(rows, min(k, len(rows)), iterations)
     sample = (
         df.select(F.col(id_col), V.as_double(vec_col).alias("__tv"))
         .orderBy(*order)
@@ -495,6 +522,7 @@ def ivf_topk(
     train_per_cluster: int = IVF_TRAIN_PER_CLUSTER,
     hierarchical: bool | None = None,
     materialize_mode: str = "eager",
+    scorer: str | None = None,
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: corpus is partitioned by a
     coarse quantizer; each query ranks candidates only in the
@@ -514,8 +542,22 @@ def ivf_topk(
     (``hierarchical=None``) auto-selects this path once ``n_clusters``
     reaches :data:`HIER_AUTO_MIN_K`; the oracle-gated q48 (K=8) stays
     on the exact flat path, and an explicit ``False`` forces flat at
-    any K."""
+    any K.
+
+    ``scorer='blocked'`` swaps the candidate-pair join + per-pair
+    fold for a per-cluster dense BLAS matmul via ``applyInPandas``
+    (:func:`_blocked_cluster_topk`) — the throughput path when
+    candidate volume dominates.  The DEFAULT (``None``) routes by the
+    same :data:`HIER_AUTO_MIN_K` threshold as the assignment: large-K
+    callers get routed assignment + blocked scoring (measured 3.1 s
+    vs 9.9 s flat-exact at 20k x K=80), while small-K stays on
+    ``'exact'`` — the per-pair fold whose score sequence the SQL
+    oracle replays bit-for-bit (q48).  Blocked is purely physical
+    (same candidates, scores to the same 6 places modulo last-ulp
+    summation order); explicit strings always win."""
     hierarchical = _resolve_hierarchical(n_clusters, hierarchical)
+    if scorer is None:
+        scorer = "blocked" if n_clusters >= HIER_AUTO_MIN_K else "exact"
     centroids = build_ivf_centroids(
         df,
         vec_col,
@@ -586,33 +628,135 @@ def ivf_topk(
             base.select(F.col(id_col), probes.alias("__probes"), F.col("nv")),
             materialize_mode,
         )
-    queries = index.select(
-        F.col(id_col), F.explode("__probes").alias("probe_cluster"), F.col("nv")
-    )
-    corpus = index.select(
-        F.col(id_col),
-        F.col("__probes")[0].alias("cluster"),
-        F.col("nv"),
-    )
+    if scorer == "blocked":
+        scored = _blocked_cluster_topk(index, id_col, k)
+    elif scorer == "exact":
+        queries = index.select(
+            F.col(id_col), F.explode("__probes").alias("probe_cluster"), F.col("nv")
+        )
+        corpus = index.select(
+            F.col(id_col),
+            F.col("__probes")[0].alias("cluster"),
+            F.col("nv"),
+        )
 
-    cand = queries.alias("q").join(
-        corpus.alias("c"),
-        (F.col("q.probe_cluster") == F.col("c.cluster"))
-        & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
-    )
-    # no dedup needed: each neighbor lives in exactly one cluster and
-    # a query's probe clusters are distinct, so a (query, neighbor)
-    # pair can arise from at most one probe — the pre-r7
-    # dropDuplicates was a full extra shuffle of the candidate set
-    scored = cand.select(
-        F.col(f"q.{id_col}").alias("query_id"),
-        F.col(f"c.{id_col}").alias("neighbor_id"),
-        F.round(V.dot(F.col("q.nv"), F.col("c.nv")), 6).alias("cos_sim"),
-    )
+        cand = queries.alias("q").join(
+            corpus.alias("c"),
+            (F.col("q.probe_cluster") == F.col("c.cluster"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        # no dedup needed: each neighbor lives in exactly one cluster
+        # and a query's probe clusters are distinct, so a (query,
+        # neighbor) pair can arise from at most one probe — the pre-r7
+        # dropDuplicates was a full extra shuffle of the candidate set
+        scored = cand.select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(V.dot(F.col("q.nv"), F.col("c.nv")), 6).alias("cos_sim"),
+        )
+    else:
+        raise ValueError(
+            f"unknown scorer {scorer!r}: expected 'exact' or 'blocked'"
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _blocked_cluster_topk(index: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per-cluster BLOCKED matmul scoring for :func:`ivf_topk` —
+    the throughput path for candidate-heavy configurations.
+
+    The exact path materializes one join row per (query, candidate)
+    pair and folds a dim-length dot product per row with interpreted
+    higher-order functions (zip_with/aggregate never enter codegen) —
+    measured ~7 us/pair, and the per-pair cost is NOT the element
+    type: int8 codes and an Arrow per-pair numpy scorer both measured
+    within 5% of the double fold at 2M pairs (the pair-row plumbing
+    dominates, see BASELINE.md).  So the win has to come from never
+    building pair rows at all: group by inverted-file cell with ONE
+    ``applyInPandas``, ship each cell's members and probing queries
+    once (bytes ∝ n * (1 + nprobe), never ∝ candidates), and score
+    the whole cell as a dense Q x C BLAS matmul (~100x the fold's
+    flop rate).  Only each query's per-cell top-k leaves Python —
+    n * nprobe * k rows — so the global-ranking window's input shrinks
+    by cluster_size/k too.  Global top-k over per-cell top-k is exact
+    for the scored candidate set (a query's global top-k candidate is
+    within top-k of its own cell).
+
+    Determinism: the score matrix is independent of row order, columns
+    are pre-sorted by neighbor id, and the per-row cut uses a STABLE
+    argsort on the negated rounded scores — ties resolve to the lower
+    neighbor id no matter how Spark ordered the group's rows.  Scores
+    round to 6 places like the exact path, but BLAS sums in a
+    different order than the sequential fold, so last-ulp wobble can
+    flip a boundary pair: this scorer is for throughput (recall-
+    tested), not oracle replay — q48 keeps ``scorer='exact'``.
+
+    Skew note: one task per inverted-file cell; on the documented
+    curve (K ∝ n) cell sizes are bounded, and a hot cell degrades to
+    one big (but dense and BLAS-fast) matmul rather than a shuffle
+    explosion.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idt = index.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", idt),
+            StructField("neighbor_id", idt),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        corp = pdf[pdf["__role"] == 0]
+        qry = pdf[pdf["__role"] == 1]
+        if corp.empty or qry.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            )
+        C = np.stack(corp["nv"].to_numpy())
+        Q = np.stack(qry["nv"].to_numpy())
+        nb = corp[id_col].to_numpy()
+        qid = qry[id_col].to_numpy()
+        # pre-sort columns by neighbor id so the stable cut below
+        # breaks score ties toward the lower id
+        order = np.argsort(nb, kind="stable")
+        nb, C = nb[order], C[order]
+        S = np.round(np.nan_to_num(Q @ C.T, nan=-np.inf), 6)
+        S[qid[:, None] == nb[None, :]] = -np.inf  # self-pairs
+        kk = min(k, len(nb))
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(qid)), kk)
+        cols = top.ravel()
+        keep = np.isfinite(S[rows, cols])
+        return pd.DataFrame(
+            {
+                "query_id": qid[rows[keep]],
+                "neighbor_id": nb[cols[keep]],
+                "cos_sim": S[rows[keep], cols[keep]],
+            }
+        )
+
+    tagged = index.select(
+        F.col(id_col),
+        F.col("__probes")[0].alias("cluster"),
+        F.col("nv"),
+        F.lit(0).alias("__role"),
+    ).unionByName(
+        index.select(
+            F.col(id_col),
+            F.explode("__probes").alias("cluster"),
+            F.col("nv"),
+            F.lit(1).alias("__role"),
+        )
+    )
+    return tagged.groupBy("cluster").applyInPandas(score_cell, out_schema)
 
 
 def embedding_near_dup_pairs(
@@ -772,10 +916,16 @@ def semantic_dedup(
         train_per_cluster=train_per_cluster,
         hierarchical=hierarchical,
     )
+    # the assignment is a per-row K x dim (or routed ~2*sqrt(K) x dim)
+    # HOF distance pass — balance a compact scan across cores first
+    # (no-op when already parallel; a single-file corpus otherwise
+    # runs the whole pass on one core: measured 6.7 s -> <1 s at
+    # 20k x K=80)
+    src = fan_out(df.select(F.col(id_col), F.col(vec_col)))
     v = V.as_double(vec_col)
     if hierarchical:
         assigned = assign_ivf_cluster_hierarchical(
-            df, centroids, vec_col, with_dist=True
+            src, centroids, vec_col, with_dist=True
         ).select(
             F.col(id_col),
             F.col("cluster").cast("long").alias("cluster"),
@@ -783,7 +933,7 @@ def semantic_dedup(
         )
     else:
         d = _centroid_dists(v, centroids)
-        assigned = df.select(F.col(id_col), d.alias("__d")).select(
+        assigned = src.select(F.col(id_col), d.alias("__d")).select(
             F.col(id_col),
             (F.array_position("__d", F.array_min("__d")) - 1)
             .cast("long")
@@ -934,6 +1084,40 @@ def assign_ivf_cluster_hierarchical(
         # along for callers ranking within clusters (semantic_dedup)
         out = out.withColumn("__hdist", F.array_min(kd))
     return out.drop("__sup", "__kid_ids", "__kids")
+
+
+def _numpy_lloyd(
+    rows: list[list[float]], k: int, iterations: int
+) -> list[list[float]]:
+    """Driver-side VECTORIZED Lloyd for mid-K trainings — same
+    semantics as :func:`_local_lloyd` (seeds are the first k sample
+    rows, argmin ties to the first minimum, means snapped to the
+    dyadic 2^-10 grid, empty clusters keep their coordinates) but
+    numpy-vectorized: the pure-python replay is ~50M interpreter ops
+    at K=80 (~30 s); this is milliseconds.  Distances use the
+    expansion form (never an (n, k, dim) broadcast tensor).  Not
+    fold-bit-identical to _local_lloyd — numpy sums pairwise — but
+    deterministic, and only non-oracle-gated trainings route here
+    (``build_ivf_centroids`` keeps gate-sized K on the exact path).
+    """
+    import numpy as np
+
+    if not rows:
+        return []
+    pts = np.asarray(rows, dtype=np.float64)
+    cents = pts[:k].copy()
+    for _ in range(iterations):
+        d2 = (
+            (pts * pts).sum(axis=1)[:, None]
+            - 2.0 * (pts @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for g in range(k):
+            members = pts[assign == g]
+            if len(members):
+                cents[g] = np.floor(members.mean(axis=0) * 1024.0 + 0.5) / 1024.0
+    return [[float(x) for x in c] for c in cents]
 
 
 def _local_lloyd(

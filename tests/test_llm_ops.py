@@ -592,6 +592,85 @@ def test_ivf_hierarchical_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"hierarchical IVF recall {recall:.2f} too low"
 
 
+def test_ivf_blocked_scorer_matches_exact(spark):
+    # the blocked BLAS scorer ranks the SAME candidate set as the
+    # exact per-pair fold; scores round to 6 places on both paths, so
+    # the selected pairs agree except at last-ulp rounding boundaries
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(k=5, n_clusters=8, nprobe=2, hierarchical=False)
+    exact = similarity.ivf_topk(e, **kw, scorer="exact").collect()
+    blocked = similarity.ivf_topk(e, **kw, scorer="blocked").collect()
+    ep = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    bp = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in blocked}
+    assert len(bp) == len(ep)
+    overlap = set(ep) & set(bp)
+    assert len(overlap) / len(ep) >= 0.98
+    for pair in overlap:
+        assert bp[pair] == pytest.approx(ep[pair], abs=2e-6)
+    # schema parity, rank included
+    assert [f.name for f in similarity.ivf_topk(
+        e, **kw, scorer="blocked").schema] == [
+        f.name for f in similarity.ivf_topk(e, **kw, scorer="exact").schema]
+
+
+def test_ivf_unknown_scorer_rejected(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        similarity.ivf_topk(e, scorer="quantum").collect()
+
+
+def test_ivf_default_scorer_small_k_is_exact(spark):
+    # below the auto threshold the default must be BIT-IDENTICAL to
+    # scorer='exact' — the q48 oracle contract
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(k=3, n_clusters=8, nprobe=2)
+    default = sorted(map(tuple, similarity.ivf_topk(e, **kw).collect()))
+    exact = sorted(
+        map(tuple, similarity.ivf_topk(e, **kw, scorer="exact").collect())
+    )
+    assert default == exact
+
+
+def test_numpy_lloyd_matches_exact_replay():
+    # the vectorized mid-K trainer must land on the same dyadic-
+    # snapped centroids as the exact pure-python replay: both are
+    # deterministic, share seeds/tie/snap rules, and the 2^-10 snap
+    # absorbs the summation-order ulps between them
+    import random as _r
+
+    rng = _r.Random(29)
+    rows = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(400)]
+    exact = similarity._local_lloyd(rows, 12, 2)
+    fast = similarity._numpy_lloyd(rows, 12, 2)
+    assert fast == exact
+
+
+def test_mid_k_training_routes_to_numpy_driver_side(spark):
+    # at K above the exact-replay flop budget but under the collect
+    # cap, training must produce the numpy-local result (no
+    # distributed Lloyd jobs) — asserted by value equality with a
+    # direct numpy replay of the md5-ordered sample
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 40
+    cap = similarity.IVF_TRAIN_PER_CLUSTER * k
+    assert cap * k * 2 > 65_536 and cap <= similarity.NUMPY_TRAIN_MAX_ROWS
+    got = similarity.build_ivf_centroids(e, "embedding", "vec_id", k)
+    sample = [
+        [float(x) for x in r["__tv"]]
+        for r in e.select(
+            "vec_id", V.as_double("embedding").alias("__tv")
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(cap)
+        .collect()
+    ]
+    assert got == similarity._numpy_lloyd(sample, min(k, len(sample)), 2)
+
+
 def test_local_and_distributed_training_agree(spark):
     # the driver-side Lloyd fast path must produce BIT-IDENTICAL
     # centroids to the distributed path on real fixtures at both gate
