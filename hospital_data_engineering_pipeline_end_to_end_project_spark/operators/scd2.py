@@ -106,23 +106,53 @@ def merge(
     batch: DataFrame,
     spec: Scd2Spec,
     processing_date: str,
+    partition_filter: Column | str | None = None,
 ) -> DataFrame:
     """Full SCD2 merge of a new batch into versioned state.
 
     Returns the complete new state (history + current).  ``state``
     must carry the metadata columns; ``batch`` must not.
+
+    ``partition_filter`` — optional predicate (Column or SQL string)
+    bounding which CURRENT rows the batch can possibly match; rows
+    outside it bypass the join untouched, exactly like history rows.
+    When ``state`` is read from a partitioned source and the predicate
+    references partition columns, it reaches the scan as a
+    PartitionFilter (asserted by ``tests/test_plan_contracts.py``) —
+    so a batch touching a few partitions reads a few partitions, not
+    the full current set (the SURVEY §7.3 scale risk; the Gold side's
+    ``refresh_fact_partitions`` is the same idea for facts).
+    CORRECTNESS CONTRACT, caller-owed: every current row whose
+    business key appears in the batch must satisfy the predicate —
+    a matching row outside it is invisible to change detection, so
+    the merge would insert a duplicate current version.  Predicates
+    evaluating NULL count as out-of-scope (the row bypasses, nothing
+    is lost).
     """
     entity_cols = [c for c in batch.columns]
     tracked = spec.tracked or [c for c in entity_cols if c not in spec.keys]
     out_cols = entity_cols + list(META_COLS)
 
     batch = dedupe_batch(batch, spec)
+    in_scope = F.col(CURRENT)
+    bypass = ~F.col(CURRENT)
+    if partition_filter is not None:
+        pf = (
+            F.expr(partition_filter)
+            if isinstance(partition_filter, str)
+            else partition_filter
+        )
+        # NULL-evaluating predicates must land in exactly one branch:
+        # coalesce to false -> the row bypasses instead of vanishing
+        pf = F.coalesce(pf, F.lit(False))
+        in_scope = F.col(CURRENT) & pf
+        bypass = ~F.col(CURRENT) | ~pf
     # presence flags, not key-null checks: business keys containing
     # NULL would otherwise be misclassified as unmatched on both sides
     current = (
-        state.filter(F.col(CURRENT)).withColumn("__present", F.lit(1)).alias("old")
+        state.filter(in_scope).withColumn("__present", F.lit(1)).alias("old")
     )
-    history = state.filter(~F.col(CURRENT))
+    history = state.filter(bypass)
     new = (
         stamp(batch, processing_date).withColumn("__present", F.lit(1)).alias("new")
     )

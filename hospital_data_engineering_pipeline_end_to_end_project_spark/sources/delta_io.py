@@ -101,6 +101,7 @@ def scd2_delta_merge(
     batch: DataFrame,
     spec: scd2.Scd2Spec,
     processing_date: str,
+    partition_filter: str | None = None,
 ) -> None:
     """Full SCD2 via ONE Delta MERGE (staged-union idiom).
 
@@ -109,6 +110,15 @@ def scd2_delta_merge(
     them (``operators/scd2.py``): the new version IS inserted, change
     detection is null-safe, and the batch is deduped first so a key
     can never multiple-match.
+
+    ``partition_filter`` — optional SQL predicate over the TARGET's
+    partition columns, written against the target alias ``s`` (e.g.
+    ``"s.region = 'EUROPE'"``), ANDed into the match condition (the
+    documented Delta merge-pruning idiom: a literal partition
+    predicate on the target side lets the engine skip untouched
+    partition files entirely).  Same caller-owed contract as
+    ``operators/scd2.py:merge``: every current row whose key appears
+    in the batch must satisfy it.
     """
     require_delta()
     entity_cols = list(batch.columns)
@@ -117,7 +127,12 @@ def scd2_delta_merge(
     staged_new = scd2.stamp(scd2.dedupe_batch(batch, spec), processing_date)
 
     tgt = DeltaTable.forPath(spark, path)
-    current = tgt.toDF().filter(F.col(scd2.CURRENT)).alias("old")
+    # the staging probe reads the same bounded partition set (the
+    # alias-s predicate re-targets the bare frame via alias "s")
+    current = tgt.toDF().alias("s").filter(F.col(scd2.CURRENT))
+    if partition_filter is not None:
+        current = current.filter(F.expr(partition_filter))
+    current = current.alias("old")
 
     changed = F.lit(False)
     for c in tracked:
@@ -136,6 +151,8 @@ def scd2_delta_merge(
     staged = staged_new.withColumn(_MATCH, F.lit(True)).unionByName(to_reinsert)
 
     match_cond = f"staged.{_MATCH} AND s.{scd2.CURRENT}"
+    if partition_filter is not None:
+        match_cond += f" AND ({partition_filter})"
     for k in spec.keys:
         match_cond += f" AND s.{k} <=> staged.{k}"
     changed_sql = " OR ".join(

@@ -124,3 +124,36 @@ def test_semantic_dedup_single_corpus_pass(plans):
     p = plans["q88_semantic_dedup"]
     assert "Window" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_scd2_partition_filter_prunes_state_scan(spark, tmp_path):
+    # a partition-bounded merge must read only the touched partitions
+    # of a partitioned state table: the predicate has to surface as a
+    # PartitionFilter on the state-side scan, not a post-scan Filter
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+
+    spec = scd2.Scd2Spec(keys=["id"])
+    init = spark.createDataFrame(
+        [(1, "EUROPE", "a"), (2, "ASIA", "b"), (3, "EUROPE", "c")],
+        "id long, region string, val string",
+    )
+    path = str(tmp_path / "state")
+    scd2.initial_load(init, spec, "2024-01-01").write.partitionBy(
+        "region"
+    ).parquet(path)
+    state = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(1, "EUROPE", "a2")], "id long, region string, val string"
+    )
+    merged = scd2.merge(
+        state, batch, spec, "2024-02-01",
+        partition_filter=F.col("region") == "EUROPE",
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf_clauses = re.findall(r"PartitionFilters: \[[^\]]*region[^\]]*\]", plan)
+    assert pf_clauses, f"region never reached a PartitionFilter:\n{plan}"

@@ -180,3 +180,62 @@ def test_cdc_feed_classifies_all_ops(spark):
         2: ("insert", None, "born"),
         3: ("delete", "gone", None),
     }
+
+
+def test_partition_filter_merge_matches_unfiltered(spark):
+    # when the contract holds (every current row keyed by the batch
+    # satisfies the predicate), the partition-bounded merge must be
+    # ROW-IDENTICAL to the unbounded one
+    spec = scd2.Scd2Spec(keys=["pid"])
+    init = spark.createDataFrame(
+        [("p1", "EU", 30), ("p2", "AS", 40), ("p3", "EU", 50)],
+        "pid string, region string, age bigint",
+    )
+    s1 = scd2.initial_load(init, spec, D1)
+    batch = spark.createDataFrame(
+        [("p1", "EU", 31)], "pid string, region string, age bigint"
+    )
+    plain = sorted(map(tuple, scd2.merge(s1, batch, spec, D2).collect()))
+    pruned = sorted(
+        map(
+            tuple,
+            scd2.merge(
+                s1, batch, spec, D2,
+                partition_filter=F.col("region") == "EU",
+            ).collect(),
+        )
+    )
+    assert pruned == plain
+    # string predicates work too
+    pruned_sql = sorted(
+        map(
+            tuple,
+            scd2.merge(
+                s1, batch, spec, D2, partition_filter="region = 'EU'"
+            ).collect(),
+        )
+    )
+    assert pruned_sql == plain
+
+
+def test_partition_filter_null_predicate_rows_bypass(spark):
+    # a current row where the predicate evaluates NULL must BYPASS the
+    # join (count as out-of-scope) — never vanish from the state
+    spec = scd2.Scd2Spec(keys=["pid"])
+    init = spark.createDataFrame(
+        [("p1", "EU", 30), ("p2", None, 40)],
+        "pid string, region string, age bigint",
+    )
+    s1 = scd2.initial_load(init, spec, D1)
+    batch = spark.createDataFrame(
+        [("p1", "EU", 31)], "pid string, region string, age bigint"
+    )
+    out = scd2.merge(
+        s1, batch, spec, D2, partition_filter=F.col("region") == "EU"
+    )
+    rows = _state_map(out)
+    assert len(rows["p2"]) == 1 and rows["p2"][0]["is_current"], (
+        "NULL-region row must survive untouched"
+    )
+    assert len(rows["p1"]) == 2
+    assert scd2.validate(out, spec)["multi_current_keys"] == 0
