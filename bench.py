@@ -72,6 +72,10 @@ HEADLINE = [
     "q89_quality_filter",
     "q91_event_funnel",
     "q92_retention_cohorts",
+    # round-8 additions: the write-path roundtrip and the composed
+    # multi-signal clustering (the two previously-untimed ops)
+    "q90_zorder_roundtrip",
+    "q93_multi_signal_clusters",
 ]
 
 

@@ -13,6 +13,17 @@ neighborhood; rounds repeat until a fixpoint.  Convergence takes
 O(diameter) rounds — near-dup graphs are unions of small
 quasi-cliques, so the diameter is tiny (2-4) even at corpus scale.
 
+Long-chain insurance: if the graph has NOT converged after a few
+plain rounds (a diameter the quasi-clique assumption says shouldn't
+exist — but composed pair-unions over synthetic or boilerplate-heavy
+corpora produce it, found by ``scale_check.py`` on the 10x q93
+graph), every later round adds a POINTER-JUMPING step — each node's
+label is replaced by its label's label — which doubles the effective
+propagation distance per round and makes convergence O(log diameter)
+(the standard shortcutting idea from the MapReduce-CC literature).
+The fixpoint and the returned labels are identical; only the round
+count changes.
+
 Scale shape per round: one join + one groupBy-min over the
 self-loop-augmented edge list (the closed neighborhood lives in the
 edge frame, so no second join folds the node's own label back in);
@@ -27,6 +38,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Plain propagation rounds before pointer-jumping engages.  Near-dup
+#: graphs (diameter 2-4) converge before this and never pay the
+#: shortcut's extra join+materialization; anything deeper switches to
+#: the O(log diameter) regime.
+_SHORTCUT_AFTER = 4
 
 
 def connected_components(
@@ -43,9 +60,10 @@ def connected_components(
     recomputes).  Nodes only appear if they occur in ``edges``;
     callers union in singletons if isolated ids must be kept.
 
-    Raises if ``max_iter`` rounds don't reach a fixpoint (pathological
-    diameter — for near-dup graphs that indicates a bug upstream, not
-    a bigger graph).
+    With pointer-jumping engaged from round ``_SHORTCUT_AFTER`` on,
+    ``max_iter = 25`` covers diameters beyond 2^20 — ``RuntimeError``
+    on non-convergence now genuinely indicates a bug, not a long
+    chain.
     """
     # CLOSED neighborhood (symmetrized edges + self-loops) built in
     # ONE pass over the edge plan: a branch-per-direction union
@@ -92,6 +110,25 @@ def connected_components(
             .withColumnRenamed("u", "node")
             .localCheckpoint(eager=False)
         )
+        if i >= _SHORTCUT_AFTER:
+            # pointer-jump: component <- label(component).  Labels are
+            # node ids and every node has a label row, so the inner
+            # self-join is total.  The propagated frame is
+            # materialized first (one extra job per shortcut round):
+            # the self-join's two branches would otherwise each rerun
+            # the propagation pipeline (the AQE ReusedExchange
+            # failure, same as the dedup indexes).  Monotone: every
+            # label satisfies label(x) <= x after round one, so sums
+            # still strictly decrease until the fixpoint.
+            labels = labels.localCheckpoint(eager=True)
+            l2 = labels.select(
+                F.col("node").alias("__n"), F.col("component").alias("__c")
+            )
+            labels = (
+                labels.join(l2, F.col("component") == F.col("__n"))
+                .select("node", F.col("__c").alias("component"))
+                .localCheckpoint(eager=False)
+            )
         # decimal(38,0) sum: exact at any node count / id magnitude, so
         # a wrapped long sum can never alias two distinct label states
         cur = labels.agg(

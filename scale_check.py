@@ -41,6 +41,12 @@ QUERIES = (
     "q26_jaccard_pairs",
     "q61_dup_clusters",
     "q86_simhash_near_dups",
+    # round-8 additions — the text family registered in round 7:
+    # lexical retrieval, the quality cascade, and the composed
+    # multi-signal clustering (LSH + SimHash + CC end-to-end)
+    "q87_bm25_topk",
+    "q89_quality_filter",
+    "q93_multi_signal_clusters",
 )
 
 

@@ -66,3 +66,16 @@ def test_stratified_sample_drops_unlisted_strata(spark):
     df = spark.createDataFrame([(1, "en"), (2, "xx")], "doc_id long, lang string")
     out = dataprep.stratified_sample(df, "doc_id", "lang", {"en": 1.0})
     assert [r["lang"] for r in out.collect()] == ["en"]
+
+
+def test_long_path_converges_via_pointer_jumping(spark):
+    # a 300-node path has diameter 299: plain min-label propagation
+    # needs ~300 rounds, far past max_iter=25 — the adaptive
+    # pointer-jump regime must close it in O(log d) rounds, and every
+    # node must still land on the path's minimum id
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    got = connected_components(edges).collect()
+    assert len(got) == 300
+    assert {r["component"] for r in got} == {0}
