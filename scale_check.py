@@ -19,7 +19,7 @@ The 10x corpus preserves the distribution that matters:
   into giant cross-copy components.  Cluster size stays O(1), count
   grows O(n): the shape a real 10x crawl has.
 
-Usage: ``python scale_check.py [copies] [docs|ann|all]`` (default
+Usage: ``python scale_check.py [copies] [docs|ann|stream|all]`` (default
 10, all).  Prints one JSON line; paste the ratios into BASELINE.md.
 Data goes to a pid-scoped scratch dir (removed at exit), never into
 /root/testdata.
@@ -205,6 +205,83 @@ def time_ann_family(spark, sf_dir: str, scaled_dir: str, copies: int) -> dict:
     return out
 
 
+def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
+    """Streaming throughput smoke: the sf events table is re-played as
+    a file-backed micro-batch stream (20 NDJSON files, 4 files per
+    trigger — deterministic batch boundaries, unlike the wall-clock
+    rate source) through the three streaming building blocks, each run
+    to completion with ``trigger(availableNow=True)``:
+
+    - watermarked tumbling-window aggregate (``windowed_event_counts``)
+    - bounded-state streaming dedup (``dedupe_event_stream``)
+    - ``foreachBatch`` SCD2 sink (every micro-batch through the full
+      batch merge engine into parquet Silver state)
+
+    Reported as rows/sec over end-to-end wall clock (source listing +
+    all micro-batches + sink commits included) — the regression line
+    BASELINE.md tracks per round.
+    """
+    import glob
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import ingest
+
+    src = os.path.join(scratch_dir, "stream_src")
+    events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    n_rows = events.count()
+    events.repartition(20).write.mode("overwrite").json(src)
+    n_files = len(glob.glob(os.path.join(src, "part-*")))
+
+    def run_stream(make_query) -> float:
+        stream = ingest.read_event_stream(spark, src, max_files_per_trigger=4)
+        t0 = time.monotonic()
+        q = make_query(stream)
+        q.awaitTermination()
+        return time.monotonic() - t0
+
+    win_sec = run_stream(
+        lambda s: ingest.windowed_event_counts(s)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    dedup_sec = run_stream(
+        lambda s: ingest.dedupe_event_stream(s)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    store = SilverStore(spark, os.path.join(scratch_dir, "stream_silver"))
+    spec = scd2.Scd2Spec(keys=["user_id"], order_by=["event_id"])
+    scd2_sec = run_stream(
+        lambda s: ingest.scd2_sink(
+            s.drop("ts"),
+            store,
+            "user_state",
+            spec,
+            checkpoint_dir=os.path.join(scratch_dir, "stream_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    return {
+        "rows": n_rows,
+        "files": n_files,
+        "windowed_agg_sec": round(win_sec, 2),
+        "windowed_agg_rows_per_sec": int(n_rows / win_sec),
+        "dedup_sec": round(dedup_sec, 2),
+        "dedup_rows_per_sec": int(n_rows / dedup_sec),
+        "scd2_sink_sec": round(scd2_sec, 2),
+        "scd2_sink_rows_per_sec": int(n_rows / scd2_sec),
+    }
+
+
 def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
     from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import registry
 
@@ -251,6 +328,8 @@ def main() -> None:
         }
     if family in ("ann", "all"):
         out["ann_family"] = time_ann_family(spark, SF_DIR, scaled_dir, copies)
+    if family in ("stream", "all"):
+        out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)
     print(json.dumps(out))
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
