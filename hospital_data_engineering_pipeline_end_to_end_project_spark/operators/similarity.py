@@ -141,6 +141,35 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 20260813) -> list[list[
     ]
 
 
+def _dlit(x: float) -> str:
+    """A double literal as SQL text: ``repr`` is the shortest string
+    that round-trips the exact IEEE value, and the ``D`` suffix keeps
+    Spark from parsing bare decimals as DECIMAL."""
+    return repr(float(x)) + "D"
+
+
+def _darray(values: list[float]):
+    """A literal ``array<double>`` built as ONE parsed expression.
+    The ``F.array(*[F.lit(x) ...])`` form costs one py4j round trip
+    PER ELEMENT — measured ~3 s of pure driver time per q31-shaped
+    plan build (24 tables x 3 planes x 64 dims of literals); the
+    expr-string form is one call and one parse (the same lesson as
+    the SimHash/zorder expression strings)."""
+    return F.expr("array(" + ", ".join(_dlit(x) for x in values) + ")")
+
+
+def _dmatrix(rows: list[list[float]]):
+    """A literal ``array<array<double>>`` as ONE parsed expression
+    (K x dim centroid matrices: K=80 was ~5k py4j calls)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_dlit(x) for x in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def with_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -153,8 +182,9 @@ def with_lsh_bucket(
     v = V.as_double(vec_col)
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket + F.when(V.dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + F.when(
+            V.dot(v, _darray(plane)) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
 
 
@@ -222,9 +252,8 @@ def _multi_table_buckets(
         planes = hyperplanes(dim, n_planes, seed=20260813 + 7919 * t)
         b = F.lit(0)
         for j, plane in enumerate(planes):
-            p = F.array(*[F.lit(x) for x in plane])
             b = b + F.when(
-                V.dot(F.col("nv"), p) > 0, F.lit(1 << j)
+                V.dot(F.col("nv"), _darray(plane)) > 0, F.lit(1 << j)
             ).otherwise(F.lit(0))
         buckets.append(b.alias(f"b{t}"))
     return base.select(F.col(id_col), F.col("nv"), *buckets).select(
@@ -245,6 +274,7 @@ def lsh_bucket_topk(
     n_planes: int = 4,
     n_tables: int = 4,
     materialize_mode: str = "eager",
+    scorer: str | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k via multi-table hyperplane LSH.
 
@@ -257,8 +287,35 @@ def lsh_bucket_topk(
 
     ``materialize_mode`` picks the index-materialization policy
     (``operators/materialize.py``: eager localCheckpoint / persist /
-    lazy).
+    lazy); it only applies to the exact path — blocked scoring
+    consumes the index exactly once, so nothing is materialized.
+
+    ``scorer='blocked'`` scores each (table, bucket) cell as one
+    dense matmul via ``applyInPandas`` (:func:`_blocked_bucket_topk`)
+    instead of the candidate self-join.  The DEFAULT (``None``)
+    routes to blocked at :data:`_DEDUP_BEFORE_SCORE_MIN_TABLES`
+    tables — the same high-duplication regime where the exact path
+    needs its dedup-before-score rewrite; oracle-replayed plans pin
+    ``scorer='exact'`` (BLAS rounding is not bit-replayable).
     """
+    if scorer is None:
+        scorer = (
+            "blocked"
+            if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES
+            else "exact"
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    if scorer == "blocked":
+        base = _unit_base(df, id_col, vec_col)
+        tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
+        candidates = _blocked_bucket_topk(tabled, id_col, k)
+        return candidates.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    if scorer != "exact":
+        raise ValueError(
+            f"unknown scorer {scorer!r}: expected 'exact' or 'blocked'"
+        )
     # same index-materialization rule as embedding_near_dup_pairs:
     # materialize base + the table index (ids-only when scoring
     # re-joins base) so neither pipeline re-runs per self-join branch
@@ -456,11 +513,10 @@ def build_ivf_centroids(
 def _centroid_dists(v, centroids: list[list[float]]):
     """array<double> of squared L2 distances from ``v`` to each
     centroid: the K x dim centroid matrix enters the plan ONCE as a
-    2-D array literal, and each distance is the same sequential
-    zip_with/aggregate fold the oracles replay."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    2-D array literal (one parsed expression — see :func:`_dmatrix`),
+    and each distance is the same sequential zip_with/aggregate fold
+    the oracles replay."""
+    cents = _dmatrix(centroids)
     return F.transform(
         cents,
         lambda p: F.aggregate(
@@ -759,6 +815,115 @@ def _blocked_cluster_topk(index: DataFrame, id_col: str, k: int) -> DataFrame:
     return tagged.groupBy("cluster").applyInPandas(score_cell, out_schema)
 
 
+def _pair_schema(index: DataFrame, id_col: str, left: str, right: str):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    idt = index.schema[id_col].dataType
+    return StructType(
+        [
+            StructField(left, idt),
+            StructField(right, idt),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+
+def _blocked_bucket_pairs(
+    tabled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Per-bucket BLOCKED matmul scoring for
+    :func:`embedding_near_dup_pairs` — the throughput path for
+    high-table-count constructions.
+
+    The exact path materializes one join row per co-bucket pair
+    (Σ bucket² x n_tables rows — measured ~12M at sf0.1/q31 for 919
+    final survivors) and either scores them all or pays two extra
+    shuffles to dedup first.  Blocked scoring groups the LSH index by
+    (table, bucket), ships each cell's vectors ONCE, scores the cell
+    as a dense upper-triangular matmul, and only pairs at or above the
+    threshold leave Python (≤ survivors x n_tables rows) — the pair
+    fan-out never exists as Spark rows.  Cross-table duplicate
+    survivors carry identical scores (same vectors, same matmul), so
+    the final dropDuplicates is semantics-free.
+
+    Scores are BLAS sums rounded to 6 places — last-ulp summation
+    order can flip a pair sitting exactly on a rounding/threshold
+    boundary vs the sequential fold, so oracle-replayed plans pin
+    ``scorer='exact'``.  Memory: one b x b score matrix per cell —
+    bounded by the same plane-tuning that bounds the exact path's
+    join volume (a pathological hot bucket degrades to one big dense
+    matmul instead of a shuffle explosion).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = _pair_schema(tabled, id_col, "id_a", "id_b")
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["nv"].to_numpy()[order])
+        S = np.round(M @ M.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sc = S[iu, ju]
+        keep = sc >= threshold  # NaN (zero-vector) compares False
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos_sim": sc[keep]}
+        )
+
+    return (
+        tabled.groupBy("table_id", "bucket")
+        .applyInPandas(score_cell, schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _blocked_bucket_topk(tabled: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per-bucket BLOCKED matmul scoring for :func:`lsh_bucket_topk`:
+    same cell-wise matmul as :func:`_blocked_bucket_pairs`, but each
+    member keeps its per-cell top-k (global top-k over per-cell top-k
+    is exact for the candidate set — a member's global-best co-bucket
+    neighbor is within top-k of their shared cell).  Cross-table
+    duplicates carry identical scores; callers dedup then rank."""
+    import numpy as np
+    import pandas as pd
+
+    schema = _pair_schema(tabled, id_col, "query_id", "neighbor_id")
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["nv"].to_numpy()[order])
+        S = np.round(np.nan_to_num(M @ M.T, nan=-np.inf), 6)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, len(ids) - 1)
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = top.ravel()
+        keep = np.isfinite(S[rows, cols])
+        return pd.DataFrame(
+            {
+                "query_id": ids[rows[keep]],
+                "neighbor_id": ids[cols[keep]],
+                "cos_sim": S[rows[keep], cols[keep]],
+            }
+        )
+
+    return (
+        tabled.groupBy("table_id", "bucket")
+        .applyInPandas(score_cell, schema)
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -768,6 +933,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 16,
     materialize_mode: str = "eager",
+    scorer: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above a threshold.
 
@@ -790,7 +956,32 @@ def embedding_near_dup_pairs(
     identical bucketing, so even the approximate operator hash-checks.
     ``brute_force_near_dup_pairs`` is the exact oracle for recall
     tests.
+
+    ``scorer='blocked'`` replaces the candidate self-join with a
+    per-(table, bucket) dense matmul via ``applyInPandas``
+    (:func:`_blocked_bucket_pairs`): the Σ bucket² x n_tables pair
+    fan-out (measured ~12M Spark rows for 919 final survivors at
+    sf0.1 with (3, 24)) never materializes as rows — only
+    threshold-passing pairs leave Python.  The DEFAULT (``None``)
+    routes to blocked at :data:`_DEDUP_BEFORE_SCORE_MIN_TABLES`
+    tables; oracle-replayed plans (q31) pin ``scorer='exact'``
+    because BLAS score rounding is not bit-replayable by the SQL
+    oracle.
     """
+    if scorer is None:
+        scorer = (
+            "blocked"
+            if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES
+            else "exact"
+        )
+    if scorer == "blocked":
+        base = _unit_base(df, id_col, vec_col)
+        tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
+        return _blocked_bucket_pairs(tabled, id_col, threshold)
+    if scorer != "exact":
+        raise ValueError(
+            f"unknown scorer {scorer!r}: expected 'exact' or 'blocked'"
+        )
     # materialize the normalized base once — it feeds the bucketing
     # AND the post-dedup scoring re-join, and Catalyst does not reuse
     # the subtree across self-join branches under AQE broadcasts

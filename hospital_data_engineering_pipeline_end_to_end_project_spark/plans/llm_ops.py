@@ -370,6 +370,10 @@ def q29_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=Q29_K,
         n_planes=Q29_PLANES,
         n_tables=Q29_TABLES,
+        # oracle-gated: pinned to the bit-replayable join path (same
+        # reason as q31; the auto rule would pick it anyway at 4
+        # tables, the pin keeps the gate independent of that rule)
+        scorer="exact",
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -467,6 +471,12 @@ def q31_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=Q31_THRESHOLD,
         n_planes=Q31_PLANES,
         n_tables=Q31_TABLES,
+        # oracle-gated: the SQL oracle replays the sequential dot
+        # fold bit-for-bit — blocked (BLAS) scoring can flip a pair
+        # sitting exactly on a rounding boundary, so the gate stays
+        # on the exact join path (the throughput default at this
+        # table count is blocked; see the operator docstring)
+        scorer="exact",
     )
 
 

@@ -619,6 +619,53 @@ def test_ivf_unknown_scorer_rejected(spark):
         similarity.ivf_topk(e, scorer="quantum").collect()
 
 
+def test_lsh_blocked_scorer_matches_exact(spark):
+    # blocked per-bucket scoring ranks the SAME candidate set as the
+    # exact join; pair sets agree except at last-ulp rounding
+    # boundaries
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(k=3, n_planes=4, n_tables=4)
+    exact = similarity.lsh_bucket_topk(e, **kw, scorer="exact").collect()
+    blocked = similarity.lsh_bucket_topk(e, **kw, scorer="blocked").collect()
+    ep = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    bp = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in blocked}
+    assert len(bp) == len(ep)
+    overlap = set(ep) & set(bp)
+    assert len(overlap) / len(ep) >= 0.98
+    for pair in overlap:
+        assert bp[pair] == pytest.approx(ep[pair], abs=2e-6)
+
+
+def test_near_dup_blocked_scorer_matches_exact(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.4, n_planes=3, n_tables=24)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(
+            e, **kw, scorer="exact"
+        ).collect()
+    }
+    # 24 tables is past the auto threshold: the DEFAULT must take the
+    # blocked path and agree with exact modulo boundary ulps
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(e, **kw).collect()
+    }
+    assert exact, "fixture must produce near-dup pairs"
+    common = set(exact) & set(blocked)
+    assert len(common) / max(len(exact), len(blocked)) >= 0.98
+    for pair in common:
+        assert blocked[pair] == pytest.approx(exact[pair], abs=2e-6)
+
+
+def test_lsh_unknown_scorer_rejected(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        similarity.lsh_bucket_topk(e, scorer="quantum").collect()
+    with pytest.raises(ValueError, match="unknown scorer"):
+        similarity.embedding_near_dup_pairs(e, scorer="quantum").collect()
+
+
 def test_ivf_default_scorer_small_k_is_exact(spark):
     # below the auto threshold the default must be BIT-IDENTICAL to
     # scorer='exact' — the q48 oracle contract
