@@ -72,10 +72,14 @@ HEADLINE = [
     "q89_quality_filter",
     "q91_event_funnel",
     "q92_retention_cohorts",
-    # round-8 additions: the write-path roundtrip and the composed
-    # multi-signal clustering (the two previously-untimed ops)
+    # round-8 additions: the write-path roundtrip, the composed
+    # multi-signal clustering (the two previously-untimed ops), and
+    # the previously-unbenched ANN trio
     "q90_zorder_roundtrip",
     "q93_multi_signal_clusters",
+    "q29_ann_lsh",
+    "q31_embedding_near_dups",
+    "q48_ivf_topk",
 ]
 
 
