@@ -539,3 +539,210 @@ def quality_filter(
         reason.alias("reason"),
         reason.isNull().alias("keep"),
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based corpus resampling (the multilingual
+    pretraining mix: XLM/mT5-style ``q_g ∝ n_g^alpha`` with
+    ``alpha < 1`` flattening the group distribution toward uniform).
+
+    Implemented as a DETERMINISTIC downsample: every group's keep
+    probability is scaled so the smallest group keeps 100% —
+    ``keep_g = (n_g / n_min)^(alpha - 1)`` — and each row's verdict is
+    a pure function of its id (md5-bucket < per-group bound), so the
+    sample is reproducible across runs, engines, and re-shards, and a
+    re-run with one more group never re-rolls existing rows within an
+    unchanged group.
+
+    Physical shape: one group-count aggregation (tiny — |groups|
+    rows), a 1-row global min broadcast into it, and ONE broadcast
+    join of the per-group keep probabilities back onto the corpus —
+    the corpus itself is touched once and never shuffles.
+
+    Cross-engine exactness: with the default ``alpha = 0.5`` the keep
+    probability is ``sqrt(n_min / n_g)`` — a correctly-rounded IEEE
+    division and square root, bit-identical in any engine — and the
+    bucket comparison renders the bound as a zero-padded hex string
+    (Spark ``hex`` / DuckDB ``to_hex``), so the q94 oracle replays
+    verdicts exactly.  Any other ``alpha`` routes through ``pow``,
+    whose libm rounding is engine-specific — fine for production, not
+    for bit-exact oracles (same trade as the BM25 idf).
+
+    Adds ``keep_prob`` (rounded for display) and ``is_kept``; rows are
+    NOT filtered, so callers can audit both sides of the verdict.
+    """
+    n_buckets = 16**SPLIT_PREFIX_LEN
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    if alpha == 0.5:
+        keep = F.sqrt(F.col("__nmin").cast("double") / F.col("__n"))
+    else:
+        keep = F.pow(
+            F.col("__n").cast("double") / F.col("__nmin"), F.lit(alpha - 1.0)
+        )
+    probs = counts.join(F.broadcast(nmin), F.lit(True)).select(
+        F.col(group_col), keep.alias("__keep")
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1,
+        SPLIT_PREFIX_LEN,
+    )
+    # the bound is formatted IN-PLAN (it is data-derived, unlike
+    # hash_split's driver-known thresholds); keep >= 1.0 short-circuits
+    # because its 5-hex-char bound would compare lexicographically
+    # below most 4-char buckets
+    bound = F.lpad(
+        F.lower(F.hex(F.floor(F.col("__keep") * n_buckets).cast("bigint"))),
+        SPLIT_PREFIX_LEN,
+        "0",
+    )
+    kept = F.when(F.col("__keep") >= 1.0, F.lit(True)).otherwise(
+        bucket < bound
+    )
+    return (
+        df.join(F.broadcast(probs), group_col)
+        .withColumn("keep_prob", F.round("__keep", 6))
+        .withColumn("is_kept", kept)
+        .drop("__keep")
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    hot_df: int = 50,
+) -> DataFrame:
+    """Corpus-level boilerplate exposure per document: the fraction of
+    a doc's distinct word n-grams that are corpus-frequent (document
+    frequency >= ``hot_df``) — the RefinedWeb/C4 "frequent line
+    removal" signal generalized to n-grams (this corpus has no line
+    structure).  A doc made of navigation chrome / license headers
+    scores near 1; original prose near 0.
+
+    ONE pass over the exploded shingle stream computes both the
+    per-shingle document frequency (window over the shingle) and the
+    per-doc rollup (groupBy) — no self-join of the exploded stream, so
+    nothing needs materializing (same single-pass trick as
+    ``jaccard_within_key``).  Docs shorter than ``shingle_n`` tokens
+    emit no shingles and are absent from the output (no ratio to
+    report).
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    ex = fan_out(docs.select(F.col(id_col), F.col(text_col)), by=id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias(
+            "s"
+        ),
+    )
+    ex = ex.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    return ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__df") >= hot_df, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hot"),
+        F.round(
+            F.sum(F.when(F.col("__df") >= hot_df, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("boilerplate_ratio"),
+    )
+
+
+def source_divergence(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group total-variation distance between the group's token
+    distribution and the corpus-wide one — the data-mixing diagnostic
+    that flags a source/shard whose text distribution drifted (dup
+    floods, template spam, language shifts) before it skews training.
+
+    TVD(s) = 1/2 * Σ_t |p_s(t) - p(t)| over the FULL vocabulary,
+    including tokens the group never emits.  Computed with exact
+    integer cross-multiplication — ``Σ_t |c_st*T - C_t*T_s|`` plus the
+    missing-token term ``T_s*(T - Σ_{t∈s} C_t)`` — so the whole
+    reduction is integer-exact and order-independent; the ONLY
+    floating-point step is the final single division, which both
+    engines round identically (operands stay under 2^53 here; at true
+    corpus scale swap the final step to decimal division and accept
+    engine-specific last-digit rounding).
+
+    Shape: ONE corpus pass (explode + (group, token) count), then the
+    count frame — vocabulary-sized, text-free — is materialized once
+    and every downstream reduction (token totals, group totals, the
+    cross-multiplied numerator) derives from it; without the
+    materialization the three consumers would each re-tokenize the
+    corpus (the AQE multi-branch reuse failure, same as the dedup
+    indexes).
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    # round-robin fan_out: ``by=group_col`` would collapse the
+    # expansion onto |groups| partitions (groups are few by
+    # definition); the (group, token) aggregate's map-side combine
+    # absorbs the scattered groups
+    tok = fan_out(docs.select(F.col(group_col), F.col(text_col))).select(
+        F.col(group_col), F.explode(TX.tokens(text_col)).alias("t")
+    )
+    c_st = (
+        tok.groupBy(group_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    c_t = c_st.groupBy("t").agg(F.sum("c").alias("ct"))
+    totals = c_t.agg(F.sum("ct").alias("bigT"))
+    per_group = (
+        c_st.join(c_t, "t")
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").alias("ts"),
+            F.sum(F.col("ct")).alias("ct_in"),
+        )
+    )
+    # |present| term needs bigT and ts bound per row of c_st: join the
+    # group totals back (small), broadcast the 1-row grand total
+    present = (
+        c_st.join(c_t, "t")
+        .join(F.broadcast(per_group.select(group_col, "ts")), group_col)
+        .crossJoin(F.broadcast(totals))
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c") * F.col("bigT") - F.col("ct") * F.col("ts")
+                )
+            ).alias("num_present")
+        )
+    )
+    return (
+        per_group.join(present, group_col)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(group_col),
+            F.col("ts").alias("n_tokens"),
+            F.round(
+                (
+                    F.col("num_present")
+                    + F.col("ts") * (F.col("bigT") - F.col("ct_in"))
+                ).cast("double")
+                / (F.lit(2.0) * F.col("ts") * F.col("bigT")),
+                6,
+            ).alias("tvd"),
+        )
+    )

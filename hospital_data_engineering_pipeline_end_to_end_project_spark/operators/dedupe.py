@@ -492,3 +492,90 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_novel(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """Incremental-ingest novelty filter: flag each BATCH document as
+    novel iff no EXISTING-corpus document is within ``max_hamming`` of
+    its SimHash — the membership test a continuously-growing corpus
+    runs on every incoming crawl shard before admitting it (the
+    batch-vs-state complement of :func:`simhash_near_dups`'s
+    within-corpus pair search).
+
+    Same banded construction, EXACT by the same pigeonhole argument
+    (``max_hamming < bands``).  The join is batch-vs-corpus — two
+    distinct inputs, so the CORPUS pipeline runs once with no
+    materialization; the BATCH fingerprints feed both the band join
+    and the final verdict join, so they materialize once (policy per
+    ``materialize_mode``).  Only band slices + one fingerprint per doc
+    flow through the join: at 100 TB the corpus side is a
+    16-byte-per-doc index you keep warm, never the text.  Batch docs
+    matching only
+    THEMSELVES cannot occur (the sides are disjoint by contract; ids
+    shared across sides are the caller's bug and will flag non-novel,
+    which is the safe direction for dedup).
+
+    Returns every batch row's (id, simhash, is_novel).
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits ({bits} % {bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded blocking is only exact for max_hamming < bands "
+            f"(got hamming {max_hamming}, bands {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(sh: DataFrame) -> DataFrame:
+        return sh.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", b * width).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        )
+
+    bsh = materialize(
+        simhash_agg(batch, id_col, text_col, bits), materialize_mode
+    )
+    csh = simhash_agg(corpus, id_col, text_col, bits)
+    matched = (
+        banded(bsh)
+        .alias("b")
+        .join(
+            banded(csh).alias("c"),
+            (F.col("b.band_id") == F.col("c.band_id"))
+            & (F.col("b.band_val") == F.col("c.band_val")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("b.simhash").bitwiseXOR(F.col("c.simhash"))
+            )
+            <= max_hamming
+        )
+        .select(F.col(f"b.{id_col}"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return bsh.join(matched, id_col, "left").select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("__hit").isNull().alias("is_novel"),
+    )

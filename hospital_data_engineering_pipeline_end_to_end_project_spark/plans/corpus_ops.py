@@ -1,0 +1,201 @@
+"""Corpus-curation query catalog (q94-q97, round 8).
+
+Second wave of LLM-data-pipeline extensions over ``documents``
+(complement-of-reference: the reference pipeline has none of these —
+SURVEY.md §2 inventories its surface as cleanse + SCD2 + star gold):
+
+- q94 temperature resampling — the multilingual pretraining mix
+  (q_g ∝ n_g^alpha), deterministic md5-bucket downsample
+- q95 corpus-boilerplate exposure — fraction of a doc's n-grams that
+  are corpus-frequent (RefinedWeb-style frequent-line removal signal)
+- q96 per-source distribution drift — total-variation distance from
+  the corpus token distribution, integer-exact reduction
+- q97 incremental-ingest novelty — batch-vs-corpus SimHash membership
+  (the admit/reject gate a growing corpus runs per crawl shard)
+
+Every query has a bit-exact DuckDB oracle; the exactness arguments
+live on the operators (``operators/dataprep.py``,
+``operators/dedupe.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep, dedupe
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.data_prep import TOKS_SQL, _shingles_sql
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import Q27_SQL
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# q94 — temperature-resampled corpus mix (alpha = 0.5)
+#
+# keep_g = sqrt(n_min / n_g): division + sqrt are correctly-rounded
+# IEEE on both engines; the md5-bucket verdict renders the per-group
+# bound as a zero-padded hex string in-plan (Spark hex / DuckDB
+# to_hex), guarded for keep >= 1.0 where the 5-char bound would
+# compare wrong.  See operators/dataprep.py:temperature_resample.
+# ---------------------------------------------------------------------------
+
+
+def q94_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.temperature_resample(
+        d.select("doc_id", "lang"), "lang", "doc_id", alpha=0.5
+    )
+
+
+Q94_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+nmin AS (SELECT min(n) AS nmin FROM counts),
+probs AS (
+  SELECT lang, sqrt(CAST(nmin AS DOUBLE) / n) AS keep FROM counts, nmin
+)
+SELECT d.doc_id, d.lang, round(keep, 6) AS keep_prob,
+       CASE WHEN keep >= 1.0 THEN TRUE
+            ELSE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, {dataprep.SPLIT_PREFIX_LEN})
+                 < lpad(lower(to_hex(CAST(floor(keep * {16**dataprep.SPLIT_PREFIX_LEN}) AS BIGINT))),
+                        {dataprep.SPLIT_PREFIX_LEN}, '0')
+       END AS is_kept
+FROM documents d JOIN probs USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q95 — corpus-boilerplate exposure per document
+#
+# One pass: window-df over the exploded distinct 3-gram stream, then a
+# per-doc rollup — no self-join (operators/dataprep.py:
+# boilerplate_stats).  The hot threshold is absolute df, so the same
+# SQL replays at any scale factor.
+# ---------------------------------------------------------------------------
+
+Q95_SHINGLE_N = 3
+Q95_HOT_DF = 20
+
+
+def q95_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.boilerplate_stats(
+        d, "doc_id", "text", shingle_n=Q95_SHINGLE_N, hot_df=Q95_HOT_DF
+    )
+
+
+Q95_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_shingles_sql(Q95_SHINGLE_N)}) AS s
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= {Q95_SHINGLE_N}
+),
+wdf AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM ex)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df >= {Q95_HOT_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       round(CAST(sum(CASE WHEN df >= {Q95_HOT_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS boilerplate_ratio
+FROM wdf GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q96 — per-source total-variation drift from the corpus mix
+#
+# The whole reduction is exact integer cross-multiplication
+# (Σ|c_st*T - C_t*T_s| + the missing-token term); the single final
+# division is the only float op (operators/dataprep.py:
+# source_divergence).
+# ---------------------------------------------------------------------------
+
+
+def q96_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.source_divergence(d, "source", "text")
+
+
+Q96_SQL = f"""
+WITH tok AS (SELECT source, unnest({TOKS_SQL}) AS t FROM documents),
+cst AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, t),
+ct AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM cst GROUP BY t),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS bigT FROM ct),
+pg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ts, CAST(sum(ct) AS BIGINT) AS ct_in
+  FROM cst JOIN ct USING (t) GROUP BY source
+),
+pres AS (
+  SELECT source, CAST(sum(abs(c * bigT - ct * ts)) AS BIGINT) AS nump
+  FROM cst JOIN ct USING (t) JOIN pg USING (source), tot
+  GROUP BY source
+)
+SELECT source, ts AS n_tokens,
+       round(CAST(nump + ts * (bigT - ct_in) AS DOUBLE)
+             / (2.0 * ts * bigT), 6) AS tvd
+FROM pg JOIN pres USING (source), tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# q97 — incremental-ingest SimHash novelty (batch vs existing corpus)
+#
+# source = 'src0' plays the existing corpus; everything else is the
+# incoming shard.  Fingerprints interpolate Q27_SQL (a per-doc
+# function, so computing on the full table then subsetting equals
+# computing per side); banding/pigeonhole arguments are q86's.
+# ---------------------------------------------------------------------------
+
+Q97_CORPUS_SOURCE = "src0"
+
+
+def q97_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") == Q97_CORPUS_SOURCE)
+    batch = d.filter(F.col("source") != Q97_CORPUS_SOURCE)
+    return dedupe.simhash_novel(
+        corpus, batch, "doc_id", "text", bits=64, bands=4, max_hamming=3
+    )
+
+
+Q97_SQL = f"""
+WITH sh AS ({Q27_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+bsh AS (
+  SELECT sh.doc_id, sh.simhash FROM sh JOIN src ON sh.doc_id = src.doc_id
+  WHERE src.source <> '{Q97_CORPUS_SOURCE}'
+),
+csh AS (
+  SELECT sh.doc_id, sh.simhash FROM sh JOIN src ON sh.doc_id = src.doc_id
+  WHERE src.source = '{Q97_CORPUS_SOURCE}'
+),
+bb AS (
+  SELECT doc_id, simhash, b.i AS band_id,
+         (simhash >> (b.i * 16)) & 65535 AS band_val
+  FROM bsh, (SELECT unnest(range(4)) AS i) b
+),
+cb AS (
+  SELECT doc_id, simhash, b.i AS band_id,
+         (simhash >> (b.i * 16)) & 65535 AS band_val
+  FROM csh, (SELECT unnest(range(4)) AS i) b
+),
+hits AS (
+  SELECT DISTINCT bb.doc_id
+  FROM bb JOIN cb ON bb.band_id = cb.band_id AND bb.band_val = cb.band_val
+  WHERE bit_count(xor(bb.simhash, cb.simhash)) <= 3
+)
+SELECT b.doc_id, b.simhash, h.doc_id IS NULL AS is_novel
+FROM bsh b LEFT JOIN hits h ON b.doc_id = h.doc_id
+"""
+
+
+QUERIES = {
+    "q94_temperature_resample": q94_temperature_resample,
+    "q95_boilerplate_stats": q95_boilerplate_stats,
+    "q96_source_divergence": q96_source_divergence,
+    "q97_novelty_filter": q97_novelty_filter,
+}
+
+ORACLES = {
+    "q94_temperature_resample": Q94_SQL,
+    "q95_boilerplate_stats": Q95_SQL,
+    "q96_source_divergence": Q96_SQL,
+    "q97_novelty_filter": Q97_SQL,
+}

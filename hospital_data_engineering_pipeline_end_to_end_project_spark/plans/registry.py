@@ -47,6 +47,7 @@ def _modules():
         "entry_extras",
         "data_prep",
         "analytics_ext",
+        "corpus_ops",
     ):
         mods.append(
             __import__(

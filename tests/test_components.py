@@ -79,3 +79,35 @@ def test_long_path_converges_via_pointer_jumping(spark):
     got = connected_components(edges).collect()
     assert len(got) == 300
     assert {r["component"] for r in got} == {0}
+
+
+def test_simhash_novel_flags_corpus_near_dups(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "existing corpus document about spark plans")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # exact re-crawl of corpus doc 1 -> not novel
+            (11, "entirely new content discussing morton curves extensively"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["is_novel"] for r in
+           dedupe.simhash_novel(corpus, batch, "doc_id", "text").collect()}
+    assert out == {10: False, 11: True}
+
+
+def test_simhash_novel_rejects_bad_knobs(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bands must divide"):
+        dedupe.simhash_novel(d, d, "doc_id", "text", bits=64, bands=5)
+    with _pt.raises(ValueError, match="only exact"):
+        dedupe.simhash_novel(d, d, "doc_id", "text", bands=4, max_hamming=4)

@@ -349,3 +349,67 @@ def test_quality_filter_first_failure_wins(spark):
     )
     row = dataprep.quality_filter(docs, "doc_id", "text").collect()[0]
     assert row["reason"] == "too_short"
+
+
+def test_temperature_resample_invariants(spark):
+    # the smallest group keeps everything; larger groups keep
+    # ~sqrt(n_min/n_g); verdicts are a pure function of the id
+    rows = [(i, "rare" if i < 40 else "common") for i in range(1040)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = dataprep.temperature_resample(d, "lang", "doc_id").collect()
+    assert len(out) == 1040, "rows are flagged, never dropped"
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r)
+    assert all(r["is_kept"] for r in by["rare"]), "smallest group keeps 100%"
+    assert all(r["keep_prob"] == 1.0 for r in by["rare"])
+    import math
+
+    expect = math.sqrt(40 / 1000)
+    got_p = by["common"][0]["keep_prob"]
+    assert got_p == pytest.approx(expect, abs=1e-6)
+    kept = sum(r["is_kept"] for r in by["common"])
+    assert 0.5 * expect * 1000 <= kept <= 1.5 * expect * 1000, (
+        "md5 buckets must land near the keep probability"
+    )
+    # determinism: replay gives identical verdicts
+    again = {
+        r["doc_id"]: r["is_kept"]
+        for r in dataprep.temperature_resample(d, "lang", "doc_id").collect()
+    }
+    assert all(again[r["doc_id"]] == r["is_kept"] for r in out)
+
+
+def test_boilerplate_stats_flags_hot_ngrams(spark):
+    # 30 docs share one boilerplate sentence; 2 docs are unique prose
+    boiler = "all rights reserved by the site"
+    rows = [(i, f"{boiler} extra{i} words{i} here{i}") for i in range(30)]
+    rows += [(100, "completely original text alpha beta"),
+             (101, "another unique document gamma delta")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dataprep.boilerplate_stats(
+        d, "doc_id", "text", shingle_n=3, hot_df=20).collect()}
+    assert out[0]["n_hot"] == 4, "the 4 shingles inside the shared sentence"
+    assert out[0]["boilerplate_ratio"] == pytest.approx(4 / 7, abs=1e-6)
+    assert out[100]["n_hot"] == 0 and out[100]["boilerplate_ratio"] == 0.0
+
+
+def test_source_divergence_zero_for_identical_distributions(spark):
+    rows = [(i, "a", "x y z") for i in range(10)]
+    rows += [(100 + i, "b", "x y z") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r["tvd"] for r in
+           dataprep.source_divergence(d, "source", "text").collect()}
+    assert out == {"a": 0.0, "b": 0.0}, (
+        "same token distribution at different sizes => zero drift"
+    )
+
+
+def test_source_divergence_detects_disjoint_vocab(spark):
+    rows = [(1, "a", "x x x x"), (2, "b", "y y y y")]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r["tvd"] for r in
+           dataprep.source_divergence(d, "source", "text").collect()}
+    # each source: its token is 100% local vs 50% global, plus the
+    # other token 0% vs 50% -> TVD = 0.5
+    assert out["a"] == pytest.approx(0.5) and out["b"] == pytest.approx(0.5)

@@ -29,6 +29,11 @@ BNLJ_ALLOWED = {
     "q77_revenue_share",
     # 1-row broadcast corpus stats (N, total tokens), same idiom
     "q87_bm25_topk",
+    # 1-row broadcast global min group count into the |groups|-row
+    # count frame (never the corpus)
+    "q94_temperature_resample",
+    # 1-row broadcast grand token total, same idiom as q77
+    "q96_source_divergence",
 }
 
 
