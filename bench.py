@@ -80,6 +80,11 @@ HEADLINE = [
     "q29_ann_lsh",
     "q31_embedding_near_dups",
     "q48_ivf_topk",
+    # round-8 corpus-curation wave
+    "q94_temperature_resample",
+    "q95_boilerplate_stats",
+    "q96_source_divergence",
+    "q97_novelty_filter",
 ]
 
 
