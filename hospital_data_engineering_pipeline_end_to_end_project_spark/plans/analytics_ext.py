@@ -1371,8 +1371,11 @@ def q90_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_quantity", "l_returnflag"
     )
     tmp = scratch_path("q90", "lineitem_z")
+    # 32 output files: matches the local core count so the sort+write
+    # stage isn't 8 tasks on 32 cores, and finer per-file
+    # hyper-rectangles skip harder (results are layout-invariant)
     write_zordered(
-        li, tmp, ["l_extendedprice", "l_quantity"], num_files=8
+        li, tmp, ["l_extendedprice", "l_quantity"], num_files=32
     )
     back = spark.read.parquet(tmp)
     boxed = back.filter(
