@@ -47,6 +47,11 @@ QUERIES = (
     "q87_bm25_topk",
     "q89_quality_filter",
     "q93_multi_signal_clusters",
+    # round-8 corpus-curation wave (q94 is a trivial broadcast join
+    # and is left out)
+    "q95_boilerplate_stats",
+    "q96_source_divergence",
+    "q97_novelty_filter",
 )
 
 

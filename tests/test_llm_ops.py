@@ -666,6 +666,18 @@ def test_lsh_unknown_scorer_rejected(spark):
         similarity.embedding_near_dup_pairs(e, scorer="quantum").collect()
 
 
+def test_ivf_default_routes_blocked_at_large_k(spark):
+    # the auto rule is load-bearing: above the threshold the default
+    # plan must contain the applyInPandas scorer; below it, must not
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    big = similarity.ivf_topk(
+        e, k=3, n_clusters=similarity.HIER_AUTO_MIN_K, nprobe=2
+    )
+    small = similarity.ivf_topk(e, k=3, n_clusters=8, nprobe=2)
+    assert "FlatMapGroupsInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+
+
 def test_ivf_default_scorer_small_k_is_exact(spark):
     # below the auto threshold the default must be BIT-IDENTICAL to
     # scorer='exact' — the q48 oracle contract
