@@ -85,6 +85,7 @@ HEADLINE = [
     "q95_boilerplate_stats",
     "q96_source_divergence",
     "q97_novelty_filter",
+    "q98_audio_frame_energy",
 ]
 
 

@@ -421,3 +421,117 @@ def extract_features(media: DataFrame, frame_bytes: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def _le_hex(col, n_hex: int):
+    """Little-endian fixed-width hex of a non-negative integral Column:
+    big-endian hex, then byte-swapped (RIFF/WAVE sizes and PCM samples
+    are little-endian)."""
+    be = _be_hex(col, n_hex)
+    pairs = [
+        F.substring(be, i + 1, 2) for i in range(n_hex - 2, -1, -2)
+    ]
+    return F.concat(*pairs)
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL 16-bit mono PCM WAV payloads from an id
+    column, built entirely with Column expressions (hex/lpad/unhex —
+    JVM-side, no Python in the synthesis path; the audio sibling of
+    :func:`synthesize_image_media`).
+
+    ``n_samples = 64 + id % 64``; sample i stores the u16
+    ``(id*31 + i*7) % 65536``, which a PCM decoder reinterprets as the
+    int16 ``((u + 32768) % 65536) - 32768`` — a closed-form waveform
+    an oracle can regenerate, so a correct RIFF walk + PCM decode is
+    checkable to the sample.  Each payload is a spec-correct
+    RIFF/WAVE: fmt chunk (PCM, mono, 16 kHz, 16-bit) + data chunk of
+    ``2 * n_samples`` bytes, all sizes little-endian."""
+    idc = F.col(id_col).cast("long")
+    n = (idc % 64 + 64).cast("long")
+    # per-sample int16 LE hex: ((id*31 + i*7) % 65536) byte-swapped
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda i: _le_hex((idc * 31 + i * 7) % 65536, 4),
+        ),
+        "",
+    )
+    data_size = (n * 2).cast("long")
+    riff_size = (data_size + 36).cast("long")
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),            # "RIFF"
+            _le_hex(riff_size, 8),
+            F.lit("57415645"),            # "WAVE"
+            F.lit("666d7420" "10000000"), # "fmt ", size 16
+            # PCM=1, mono, 16000 Hz, byte rate 32000, block 2, 16-bit
+            F.lit("0100" "0100" "803e0000" "007d0000" "0200" "1000"),
+            F.lit("64617461"),            # "data"
+            _le_hex(data_size, 8),
+            samples_hex,
+        )
+    )
+    return df.select(
+        idc.alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit("synthetic").alias("source"),
+            F.length(payload).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_FRAME_SCHEMA = (
+    "media_id long, frame_id long, n_samples long, energy long"
+)
+
+
+def audio_frame_energy(
+    media: DataFrame, frame_samples: int = 16
+) -> DataFrame:
+    """Fixed-window audio frame sampling + per-frame energy — the
+    audio feature-extraction pattern (VAD windows, loudness stats,
+    silence trimming) over Arrow-batched ``mapInPandas``.
+
+    The payload is decoded with the REAL RIFF walker
+    (:func:`wav_pcm_decoder`), interpreted as little-endian int16 PCM,
+    split into ``frame_samples``-sample windows (last frame may be
+    short), and each frame reports its INTEGER sum of squared samples
+    — kept as the exact int64 numerator of RMS so the whole result is
+    integer-exact and oracle-replayable (the sqrt/mean a consumer
+    wants is one float op away).  Rows whose payload fails to decode
+    emit no frames — on mixed 100 TB media a corrupt file must not
+    kill the stage (same contract as :func:`decoded_stats`)."""
+    decoder = _DECODERS["audio/wav"]
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fids, counts, energies = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    pcm = decoder(bytes(payload))
+                except ValueError:
+                    continue
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                for f in range(0, len(s), frame_samples):
+                    frame = s[f : f + frame_samples]
+                    ids.append(media_id)
+                    fids.append(f // frame_samples)
+                    counts.append(len(frame))
+                    energies.append(int((frame * frame).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)

@@ -186,11 +186,55 @@ FROM bsh b LEFT JOIN hits h ON b.doc_id = h.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q98 — audio frame sampling + per-frame energy
+#
+# Real 16-bit PCM WAVs are synthesized id-deterministically with
+# Column expressions (operators/multimodal.py:synthesize_wav_media),
+# decoded by the stdlib RIFF walker inside Arrow-batched mapInPandas,
+# framed, and each frame reports its exact int64 sum of squared
+# samples.  The oracle regenerates the closed-form waveform (the u16
+# (id*31 + i*7) % 65536 reinterpreted as int16) and the framing — a
+# wrong byte order, chunk offset, or window boundary anywhere flips
+# the hash.
+# ---------------------------------------------------------------------------
+
+Q98_FRAME_SAMPLES = 16
+
+
+def q98_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_wav_media(d, "doc_id")
+    return multimodal.audio_frame_energy(
+        media, frame_samples=Q98_FRAME_SAMPLES
+    )
+
+
+Q98_SQL = f"""
+WITH ids AS (SELECT doc_id AS media_id, 64 + doc_id % 64 AS n FROM documents),
+samp AS (
+  -- the payload stores the raw u16 (media_id*31 + i*7) % 65536; the
+  -- decoder reinterprets it as int16, i.e. values >= 32768 wrap
+  -- negative: s = ((u + 32768) % 65536) - 32768
+  SELECT media_id, i,
+         (((media_id * 31 + i * 7) % 65536 + 32768) % 65536) - 32768 AS s
+  FROM (SELECT media_id, unnest(range(n)) AS i FROM ids)
+)
+SELECT media_id, i // {Q98_FRAME_SAMPLES} AS frame_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS energy
+FROM samp GROUP BY media_id, i // {Q98_FRAME_SAMPLES}
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
     "q96_source_divergence": q96_source_divergence,
     "q97_novelty_filter": q97_novelty_filter,
+    "q98_audio_frame_energy": q98_audio_frame_energy,
 }
 
 ORACLES = {
@@ -198,4 +242,5 @@ ORACLES = {
     "q95_boilerplate_stats": Q95_SQL,
     "q96_source_divergence": Q96_SQL,
     "q97_novelty_filter": Q97_SQL,
+    "q98_audio_frame_energy": Q98_SQL,
 }

@@ -740,3 +740,42 @@ def test_local_and_distributed_training_agree(spark):
         local = similarity.build_ivf_centroids(e, k=8)
         dist = similarity.build_ivf_centroids(e, k=8, _force_distributed=True)
         assert local == dist, f"training paths diverge at {sf}"
+
+
+def test_wav_synthesis_and_frame_energy(spark):
+    # the synthesized payload must be a decodable spec-correct WAV and
+    # the framed energies must match a direct python replay of the
+    # closed-form waveform, including the short last frame
+    import struct
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+
+    d = spark.createDataFrame([(5,), (16,)], "doc_id long")
+    media = multimodal.synthesize_wav_media(d, "doc_id")
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, b in payloads.items():
+        pcm = multimodal.wav_pcm_decoder(b)  # raises if malformed
+        n = 64 + mid % 64
+        assert len(pcm) == 2 * n
+        samples = struct.unpack(f"<{n}h", pcm)
+        expect = [
+            (((mid * 31 + i * 7) % 65536 + 32768) % 65536) - 32768
+            for i in range(n)
+        ]
+        assert list(samples) == expect
+
+    out = multimodal.audio_frame_energy(media, frame_samples=16).collect()
+    got = {(r["media_id"], r["frame_id"]): (r["n_samples"], r["energy"])
+           for r in out}
+    for mid in payloads:
+        n = 64 + mid % 64
+        samples = [
+            (((mid * 31 + i * 7) % 65536 + 32768) % 65536) - 32768
+            for i in range(n)
+        ]
+        for f in range(0, n, 16):
+            frame = samples[f:f + 16]
+            assert got[(mid, f // 16)] == (
+                len(frame), sum(x * x for x in frame))
+    # doc 5: n = 69 -> a 5-sample final frame must exist
+    assert got[(5, 4)][0] == 5
