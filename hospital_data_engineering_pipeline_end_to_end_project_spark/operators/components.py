@@ -30,8 +30,11 @@ edge frame, so no second join folds the node's own label back in);
 labels are re-derived, never collected.  The driver-side loop only
 ever pulls back a single scalar — the exact sum of labels, which is
 strictly decreasing until the fixpoint — and that probe job doubles
-as the materialization of the round's lazy `localCheckpoint`, so
-each round costs exactly one Spark job and lineage never grows.
+as the materialization of the round's lazy `localCheckpoint`, so a
+plain round costs exactly one Spark job and lineage never grows.
+Shortcut rounds (>= ``_SHORTCUT_AFTER``) cost one extra job: the
+propagated labels materialize eagerly before the pointer-jump
+self-join (two branches would otherwise re-run the propagation).
 """
 
 from __future__ import annotations

@@ -606,11 +606,19 @@ def temperature_resample(
     kept = F.when(F.col("__keep") >= 1.0, F.lit(True)).otherwise(
         bucket < bound
     )
+    # NULL-SAFE group join: groupBy counts a NULL group like any
+    # other, so a null-rejecting equi-join here would silently drop
+    # every NULL-group row (while their count still skewed n_min) —
+    # breaking the "rows are NOT filtered" audit contract
+    probs = probs.withColumnRenamed(group_col, "__g")
     return (
-        df.join(F.broadcast(probs), group_col)
+        df.join(
+            F.broadcast(probs),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
         .withColumn("keep_prob", F.round("__keep", 6))
         .withColumn("is_kept", kept)
-        .drop("__keep")
+        .drop("__keep", "__g")
     )
 
 

@@ -405,6 +405,42 @@ def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return simhash_agg(df, id_col, text_col, bits=16)
 
 
+def _check_band_knobs(bits: int, bands: int, max_hamming: int) -> None:
+    """Shared validation for every banded-SimHash construction: the
+    pigeonhole exactness argument needs equal-width slices and
+    ``max_hamming < bands``."""
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits ({bits} % {bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded blocking is only exact for max_hamming < bands "
+            f"(got hamming {max_hamming}, bands {bands})"
+        )
+
+
+def _band_slices(sh: DataFrame, id_col: str, bits: int, bands: int) -> DataFrame:
+    """(id, simhash, band_id, band_val): one row per equal-width bit
+    slice of each fingerprint — the single banding construction shared
+    by the within-corpus self-join (:func:`simhash_near_dups`) and the
+    batch-vs-corpus membership test (:func:`simhash_novel`); any
+    change to the slice layout must stay common to both or their
+    pigeonhole-exactness parity silently breaks."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -442,15 +478,7 @@ def simhash_near_dups(
     ``dropDuplicates`` only); this is part of the training-data
     extension family.
     """
-    if bits % bands != 0:
-        raise ValueError(f"bands must divide bits ({bits} % {bands})")
-    if max_hamming >= bands:
-        raise ValueError(
-            f"banded blocking is only exact for max_hamming < bands "
-            f"(got hamming {max_hamming}, bands {bands})"
-        )
-    width = bits // bands
-    mask = (1 << width) - 1
+    _check_band_knobs(bits, bands, max_hamming)
     # materialize the fingerprint index ONCE (16 bytes/doc): both
     # sides of the band self-join derive from it, and Catalyst does
     # not reuse the aggregation subtree across the join branches when
@@ -458,18 +486,7 @@ def simhash_near_dups(
     # this the corpus is tokenized and fingerprinted twice (policy
     # per materialize_mode, operators/materialize.py)
     sh = materialize(simhash_agg(df, id_col, text_col, bits), materialize_mode)
-    banded = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_val"),
-    )
+    banded = _band_slices(sh, id_col, bits, bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -526,41 +543,16 @@ def simhash_novel(
 
     Returns every batch row's (id, simhash, is_novel).
     """
-    if bits % bands != 0:
-        raise ValueError(f"bands must divide bits ({bits} % {bands})")
-    if max_hamming >= bands:
-        raise ValueError(
-            f"banded blocking is only exact for max_hamming < bands "
-            f"(got hamming {max_hamming}, bands {bands})"
-        )
-    width = bits // bands
-    mask = (1 << width) - 1
-
-    def banded(sh: DataFrame) -> DataFrame:
-        return sh.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright("simhash", b * width).bitwiseAND(
-                            F.lit(mask)
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_id", "band_val"),
-        )
-
+    _check_band_knobs(bits, bands, max_hamming)
     bsh = materialize(
         simhash_agg(batch, id_col, text_col, bits), materialize_mode
     )
     csh = simhash_agg(corpus, id_col, text_col, bits)
     matched = (
-        banded(bsh)
+        _band_slices(bsh, id_col, bits, bands)
         .alias("b")
         .join(
-            banded(csh).alias("c"),
+            _band_slices(csh, id_col, bits, bands).alias("c"),
             (F.col("b.band_id") == F.col("c.band_id"))
             & (F.col("b.band_val") == F.col("c.band_val")),
         )

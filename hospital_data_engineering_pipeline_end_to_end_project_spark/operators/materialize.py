@@ -10,8 +10,8 @@ the full index-build pipeline.  Materializing the index once —
 uses — removed 6-7x of redundant work at 10x data.
 
 HOW to materialize is a trade the operator cannot make for every
-caller, so it is a parameter (`materialize=` on the public operators)
-resolved here:
+caller, so it is a parameter (``materialize_mode=`` on the public
+operators) resolved here:
 
 ``"eager"`` (default)
     ``localCheckpoint(eager=True)`` — the fastest path and the one all

@@ -518,6 +518,12 @@ def audio_frame_energy(
                     pcm = decoder(bytes(payload))
                 except ValueError:
                     continue
+                if len(pcm) % 2:
+                    # structurally valid RIFF whose data chunk is an
+                    # odd byte count: not int16 PCM — corrupt-payload
+                    # branch, never a stage failure (frombuffer would
+                    # raise OUTSIDE any guard otherwise)
+                    continue
                 s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
                 for f in range(0, len(s), frame_samples):
                     frame = s[f : f + frame_samples]

@@ -409,9 +409,17 @@ def build_ivf_centroids(
 
     Below a flop budget the collected sample trains DRIVER-SIDE
     instead (:func:`_local_lloyd` — bit-identical arithmetic, tested
-    so), skipping ~2 Spark jobs of fixed overhead per iteration;
-    large-K trainings stay distributed (or two-level routed with
-    ``hierarchical=True``).
+    so), skipping ~2 Spark jobs of fixed overhead per iteration.
+    Mid-K trainings (sample still under
+    :data:`NUMPY_TRAIN_MAX_ROWS`) train driver-side with the
+    vectorized :func:`_numpy_lloyd` — NOTE: this branch intentionally
+    ignores ``hierarchical`` (an exact flat numpy argmin over the
+    sample is both cheaper and better-quality than routed
+    assignment at these sizes, so the flag would only degrade the
+    quantizer); ``hierarchical=True`` takes effect where it was
+    designed to — the DISTRIBUTED training path for samples too big
+    to collect (K beyond ~4096 at the default cap), where each Lloyd
+    iteration's assignment routes through super-clusters.
 
     Each iteration is one distributed assign (broadcast centroids,
     argmin over K) + one distributed update (posexplode + mean per
@@ -780,24 +788,9 @@ def _blocked_cluster_topk(index: DataFrame, id_col: str, k: int) -> DataFrame:
         Q = np.stack(qry["nv"].to_numpy())
         nb = corp[id_col].to_numpy()
         qid = qry[id_col].to_numpy()
-        # pre-sort columns by neighbor id so the stable cut below
-        # breaks score ties toward the lower id
         order = np.argsort(nb, kind="stable")
         nb, C = nb[order], C[order]
-        S = np.round(np.nan_to_num(Q @ C.T, nan=-np.inf), 6)
-        S[qid[:, None] == nb[None, :]] = -np.inf  # self-pairs
-        kk = min(k, len(nb))
-        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-        rows = np.repeat(np.arange(len(qid)), kk)
-        cols = top.ravel()
-        keep = np.isfinite(S[rows, cols])
-        return pd.DataFrame(
-            {
-                "query_id": qid[rows[keep]],
-                "neighbor_id": nb[cols[keep]],
-                "cos_sim": S[rows[keep], cols[keep]],
-            }
-        )
+        return _cell_topk_frame(np.round(Q @ C.T, 6), qid, nb, k)
 
     tagged = index.select(
         F.col(id_col),
@@ -813,6 +806,48 @@ def _blocked_cluster_topk(index: DataFrame, id_col: str, k: int) -> DataFrame:
         )
     )
     return tagged.groupBy("cluster").applyInPandas(score_cell, out_schema)
+
+
+def _cell_topk_frame(S, qid, nb, k: int):
+    """Shared per-cell top-k cut for the blocked scorers.
+
+    ``S`` is the rounded score matrix (rows = queries, columns =
+    cell members PRE-SORTED by id); NaN entries are candidates whose
+    vector failed to normalize (zero norm).  The exact path scores
+    those pairs NULL and ``desc`` ranks them LAST but still emits
+    them when rank <= k — this cut reproduces that: NaN candidates
+    sort below every finite score (but above self-pairs, which are
+    EXCLUDED, not just ranked last), the stable argsort breaks ties
+    toward the lower neighbor id, and NaN scores leave as true NULLs
+    (nullable Float64 — a float NaN would arrive in Spark as NaN,
+    which Spark's desc ordering ranks ABOVE every number).
+    """
+    import numpy as np
+    import pandas as pd
+
+    nq, nc = S.shape
+    key = np.where(np.isnan(S), -1.0e308, S)
+    key[qid[:, None] == nb[None, :]] = -np.inf  # self-pairs: excluded
+    m = min(k + 1, nc)  # one spare pick in case self lands in the cut
+    top = np.argsort(-key, axis=1, kind="stable")[:, :m]
+    rows = np.repeat(np.arange(nq), m)
+    cols = top.ravel()
+    # self-pairs are the only -inf keys (NaN candidates got the
+    # finite -1e308 tier), so isfinite == "not a self-pair"
+    kept = np.isfinite(key[rows, cols]).reshape(nq, m)
+    sel = (kept & (kept.cumsum(axis=1) <= k)).ravel()
+    rows, cols = rows[sel], cols[sel]
+    scores = S[rows, cols]
+    return pd.DataFrame(
+        {
+            "query_id": qid[rows],
+            "neighbor_id": nb[cols],
+            "cos_sim": pd.array(
+                [None if np.isnan(x) else float(x) for x in scores],
+                dtype="Float64",
+            ),
+        }
+    )
 
 
 def _pair_schema(index: DataFrame, id_col: str, left: str, right: str):
@@ -902,20 +937,7 @@ def _blocked_bucket_topk(tabled: DataFrame, id_col: str, k: int) -> DataFrame:
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         M = np.stack(pdf["nv"].to_numpy()[order])
-        S = np.round(np.nan_to_num(M @ M.T, nan=-np.inf), 6)
-        np.fill_diagonal(S, -np.inf)
-        kk = min(k, len(ids) - 1)
-        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
-        rows = np.repeat(np.arange(len(ids)), kk)
-        cols = top.ravel()
-        keep = np.isfinite(S[rows, cols])
-        return pd.DataFrame(
-            {
-                "query_id": ids[rows[keep]],
-                "neighbor_id": ids[cols[keep]],
-                "cos_sim": S[rows[keep], cols[keep]],
-            }
-        )
+        return _cell_topk_frame(np.round(M @ M.T, 6), ids, ids, k)
 
     return (
         tabled.groupBy("table_id", "bucket")

@@ -58,7 +58,7 @@ SELECT d.doc_id, d.lang, round(keep, 6) AS keep_prob,
                  < lpad(lower(to_hex(CAST(floor(keep * {16**dataprep.SPLIT_PREFIX_LEN}) AS BIGINT))),
                         {dataprep.SPLIT_PREFIX_LEN}, '0')
        END AS is_kept
-FROM documents d JOIN probs USING (lang)
+FROM documents d JOIN probs ON d.lang IS NOT DISTINCT FROM probs.lang
 """
 
 

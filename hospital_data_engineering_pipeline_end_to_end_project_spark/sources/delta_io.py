@@ -62,6 +62,29 @@ DELTA_SESSION_CONFS = {
 _MATCH = "__match"
 
 
+def merge_match_condition(
+    spec: "scd2.Scd2Spec", partition_filter: str | None = None
+) -> str:
+    """The MERGE match condition for the staged-union SCD2 idiom —
+    pure string construction, factored out so the condition shape
+    (staged flag, current-row guard, optional partition predicate,
+    null-safe key equality) is testable without delta-spark on the
+    path (``tests/test_delta_store.py``)."""
+    cond = f"staged.{_MATCH} AND s.{scd2.CURRENT}"
+    if partition_filter is not None:
+        cond += f" AND ({partition_filter})"
+    for k in spec.keys:
+        cond += f" AND s.{k} <=> staged.{k}"
+    return cond
+
+
+def merge_changed_condition(tracked: list[str]) -> str:
+    """Null-safe any-attribute-changed predicate for the
+    ``whenMatchedUpdate`` branch (SQL-string twin of
+    ``operators/scd2.py:_changed_predicate``)."""
+    return " OR ".join(f"NOT (s.{c} <=> staged.{c})" for c in tracked) or "false"
+
+
 def require_delta() -> None:
     if not DELTA_AVAILABLE:
         raise ImportError(
@@ -150,14 +173,8 @@ def scd2_delta_merge(
     )
     staged = staged_new.withColumn(_MATCH, F.lit(True)).unionByName(to_reinsert)
 
-    match_cond = f"staged.{_MATCH} AND s.{scd2.CURRENT}"
-    if partition_filter is not None:
-        match_cond += f" AND ({partition_filter})"
-    for k in spec.keys:
-        match_cond += f" AND s.{k} <=> staged.{k}"
-    changed_sql = " OR ".join(
-        f"NOT (s.{c} <=> staged.{c})" for c in tracked
-    ) or "false"
+    match_cond = merge_match_condition(spec, partition_filter)
+    changed_sql = merge_changed_condition(tracked)
 
     insert_values = {c: f"staged.{c}" for c in entity_cols + list(scd2.META_COLS)}
     (

@@ -380,6 +380,23 @@ def test_temperature_resample_invariants(spark):
     assert all(again[r["doc_id"]] == r["is_kept"] for r in out)
 
 
+def test_temperature_resample_null_group_survives(spark):
+    # a NULL group is a group: its rows must appear in the output
+    # (null-safe join), and its count participates in n_min
+    rows = [(i, "big") for i in range(100)] + [(200, None), (201, None)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = dataprep.temperature_resample(d, "lang", "doc_id").collect()
+    assert len(out) == 102
+    nulls = [r for r in out if r["lang"] is None]
+    assert len(nulls) == 2 and all(r["is_kept"] for r in nulls), (
+        "the NULL group is smallest -> keep_prob 1.0"
+    )
+    import math
+
+    big = next(r for r in out if r["lang"] == "big")
+    assert big["keep_prob"] == pytest.approx(math.sqrt(2 / 100), abs=1e-6)
+
+
 def test_boilerplate_stats_flags_hot_ngrams(spark):
     # 30 docs share one boilerplate sentence; 2 docs are unique prose
     boiler = "all rights reserved by the site"

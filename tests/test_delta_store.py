@@ -134,3 +134,49 @@ def test_delta_merge_idempotent_replay(delta_spark, tmp_path):
     got = store.read("acct")
     assert got.count() == 2
     assert got.filter(F.col(scd2.CURRENT)).count() == 2
+
+
+def test_merge_condition_builders_need_no_delta(spark):
+    # the MERGE condition strings are pure construction — test them
+    # without delta-spark, including the new partition-pruning AND and
+    # that the resulting predicates at least PARSE as Spark SQL
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources import delta_io
+
+    spec = scd2.Scd2Spec(keys=["billing_id", "service"])
+    plain = delta_io.merge_match_condition(spec)
+    assert plain == (
+        "staged.__match AND s.is_current"
+        " AND s.billing_id <=> staged.billing_id"
+        " AND s.service <=> staged.service"
+    )
+    pruned = delta_io.merge_match_condition(spec, "s.region = 'EU'")
+    assert " AND (s.region = 'EU') AND " in pruned
+    # a compound caller predicate stays parenthesized as a unit, so a
+    # trailing OR cannot leak across the key conjunction
+    compound = delta_io.merge_match_condition(
+        spec, "s.region = 'EU' OR s.region = 'AS'"
+    )
+    assert "(s.region = 'EU' OR s.region = 'AS')" in compound
+    changed = delta_io.merge_changed_condition(["amount", "status"])
+    assert changed == (
+        "NOT (s.amount <=> staged.amount) OR NOT (s.status <=> staged.status)"
+    )
+    assert delta_io.merge_changed_condition([]) == "false"
+    # both strings must be valid Spark SQL boolean expressions over
+    # aliased frames (parse check — no delta engine involved)
+    s = spark.createDataFrame(
+        [(1, "x", True, "EU", 1.0, "a")],
+        "billing_id long, service string, is_current boolean, "
+        "region string, amount double, status string",
+    ).alias("s")
+    staged = spark.createDataFrame(
+        [(1, "x", True, 1.0, "a")],
+        "billing_id long, service string, __match boolean, "
+        "amount double, status string",
+    ).alias("staged")
+    joined = s.crossJoin(staged)
+    assert joined.filter(F.expr(compound)).count() == 1
+    assert joined.filter(F.expr(changed)).count() == 0
