@@ -863,6 +863,55 @@ def _pair_schema(index: DataFrame, id_col: str, left: str, right: str):
     )
 
 
+#: Safety margin for the guarded BLAS prefilter on the exact
+#: threshold path: with UNIT vectors every |x_i·y_i| <= 1, so the
+#: BLAS-vs-sequential-fold discrepancy is rigorously bounded by
+#: ~dim * machine_eps ≈ 1.4e-14 at dim 64 — nine orders of magnitude
+#: under this margin.  A pair scoring below threshold - margin in
+#: BLAS therefore CANNOT reach the threshold under the exact fold,
+#: and every surviving candidate is re-scored by the fold itself, so
+#: the output is bit-identical to the unfiltered exact path.
+_PREFILTER_MARGIN = 1e-7
+
+
+def _blocked_candidate_pairs(
+    tabled: DataFrame, id_col: str, min_score: float
+) -> DataFrame:
+    """Ids-only candidate pairs (a < b) whose per-cell BLAS score is
+    at least ``min_score`` — the guarded prefilter feeding the exact
+    path's fold re-scoring (see :data:`_PREFILTER_MARGIN`).  Same
+    cell-wise matmul as :func:`_blocked_bucket_pairs`, but nothing
+    float-derived leaves Python: only the candidate id set, which is
+    then scored from scratch by the bit-exact fold."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    idt = tabled.schema[id_col].dataType
+    schema = StructType(
+        [StructField("id_a", idt), StructField("id_b", idt)]
+    )
+
+    def prefilter_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["nv"].to_numpy()[order])
+        S = M @ M.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= min_score  # NaN (zero-norm) compares False
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]]})
+
+    return (
+        tabled.groupBy("table_id", "bucket")
+        .applyInPandas(prefilter_cell, schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _blocked_bucket_pairs(
     tabled: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
@@ -1011,12 +1060,20 @@ def embedding_near_dup_pairs(
     base = materialize(_unit_base(df, id_col, vec_col), materialize_mode)
     tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
     if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
-        # ids-only LSH index: the candidate join never touches the
-        # vectors (scoring re-joins ``base``), so the materialized
-        # index is 3 small columns instead of n_tables copies of nv
-        tabled = tabled.select(
-            F.col(id_col), F.col("table_id"), F.col("bucket")
+        # high-duplication regime, exact results: the candidate pair
+        # set comes from the guarded per-cell BLAS prefilter
+        # (threshold - _PREFILTER_MARGIN — provably a superset of the
+        # qualifying pairs for unit vectors), and every survivor is
+        # re-scored from scratch by the bit-exact sequential fold.
+        # Output is bit-identical to the candidate self-join it
+        # replaces (the r07 shape: ids-only join + dropDuplicates),
+        # but the Σ bucket² x n_tables pair fan-out (~12M rows at
+        # sf0.1/q31) never exists as Spark rows.
+        pairs = _blocked_candidate_pairs(
+            tabled, id_col, threshold - _PREFILTER_MARGIN
         )
+        scored = _score_unique_pairs(pairs, base, id_col, "id_a", "id_b")
+        return scored.filter(F.col("cos_sim") >= threshold)
     tabled = materialize(tabled, materialize_mode)
     a, b = tabled.alias("a"), tabled.alias("b")
     join_cond = (
@@ -1024,17 +1081,6 @@ def embedding_near_dup_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
-    if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
-        pairs = (
-            a.join(b, join_cond)
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        scored = _score_unique_pairs(pairs, base, id_col, "id_a", "id_b")
-        return scored.filter(F.col("cos_sim") >= threshold)
     return (
         a.join(b, join_cond)
         .select(
