@@ -558,16 +558,31 @@ def assign_ivf_cluster(
 #: Auto-routing threshold for the two-level (hierarchical) assignment
 #: path: with ``hierarchical=None`` (the default), ``ivf_topk`` and
 #: ``semantic_dedup`` switch to :func:`assign_ivf_cluster_hierarchical`
-#: once ``n_clusters`` reaches this many centroids.  Rationale: the
-#: flat pass costs K distance folds per row and the routed pass
-#: ~2*sqrt(K); at K=32 that is 32 vs ~11 folds — comfortably past the
-#: broadcast-join overhead — while the oracle-gated fixtures (q48/q88,
-#: K=8) stay on the bit-exact flat path.  On the documented operating
-#: curve (K ∝ n, scale_check.py) the flat default was the one
-#: remaining quadratic-total-work term; auto-routing closes it without
-#: the caller having to know the knob exists.  Explicit ``True`` /
-#: ``False`` always wins over the auto rule.
-HIER_AUTO_MIN_K = 32
+#: once ``n_clusters`` reaches this many centroids.  The flat pass
+#: costs K distance folds per row and the routed pass ~2*sqrt(K), but
+#: the routed pass adds a broadcast join and per-row child-array
+#: handling — MEASURED crossover (round 8, 20k rows, post
+#: numpy-training/fan_out): at K=80 flat assignment still wins
+#: (semantic_dedup 1.83 s flat vs 2.33 s routed; ivf index build
+#: likewise), so the threshold sits where the ~K/(2*sqrt(K)) flop
+#: ratio (8x at K=256) clearly buries the join overhead.  On the
+#: documented operating curve (K ∝ n) the flat per-row cost keeps
+#: growing while the routed cost grows as sqrt — above this K the
+#: flat default was the one remaining quadratic-total-work term.
+#: Explicit ``True``/``False`` always wins over the auto rule, and
+#: every oracle-gated fixture (q48/q88, K=8) stays far below it on
+#: the bit-exact flat path.
+HIER_AUTO_MIN_K = 256
+
+#: Auto-routing threshold for the BLOCKED candidate scorer in
+#: ``ivf_topk`` — deliberately separate from the assignment
+#: threshold: blocked scoring replaces the per-pair join machinery,
+#: whose cost dominates as soon as candidate volume is material, and
+#: it wins at K=80 regardless of how the assignment routes (flat +
+#: blocked measured fastest: 2.67 s vs 3.9 s hier + blocked vs
+#: 5-16 s exact at 20k x K=80).  Small-K (oracle-gated) stays on the
+#: bit-replayable exact fold.
+SCORER_AUTO_MIN_K = 32
 
 
 def _resolve_hierarchical(n_clusters: int, hierarchical: bool | None) -> bool:
@@ -611,17 +626,18 @@ def ivf_topk(
     ``scorer='blocked'`` swaps the candidate-pair join + per-pair
     fold for a per-cluster dense BLAS matmul via ``applyInPandas``
     (:func:`_blocked_cluster_topk`) — the throughput path when
-    candidate volume dominates.  The DEFAULT (``None``) routes by the
-    same :data:`HIER_AUTO_MIN_K` threshold as the assignment: large-K
-    callers get routed assignment + blocked scoring (measured 3.1 s
-    vs 9.9 s flat-exact at 20k x K=80), while small-K stays on
-    ``'exact'`` — the per-pair fold whose score sequence the SQL
-    oracle replays bit-for-bit (q48).  Blocked is purely physical
-    (same candidates, scores to the same 6 places modulo last-ulp
-    summation order); explicit strings always win."""
+    candidate volume dominates.  The DEFAULT (``None``) routes to
+    blocked at :data:`SCORER_AUTO_MIN_K` clusters (a LOWER bar than
+    the assignment's :data:`HIER_AUTO_MIN_K` — blocked scoring wins
+    measured at K=80 under either assignment route), while small-K
+    stays on ``'exact'`` — the per-pair fold whose score sequence the
+    SQL oracle replays bit-for-bit (q48).  Blocked reproduces the
+    exact path's row set including NULL-scored candidates (scores
+    agree to the rounded 6 places modulo last-ulp summation order);
+    explicit strings always win."""
     hierarchical = _resolve_hierarchical(n_clusters, hierarchical)
     if scorer is None:
-        scorer = "blocked" if n_clusters >= HIER_AUTO_MIN_K else "exact"
+        scorer = "blocked" if n_clusters >= SCORER_AUTO_MIN_K else "exact"
     centroids = build_ivf_centroids(
         df,
         vec_col,

@@ -146,9 +146,10 @@ def time_ann_family(spark, sf_dir: str, scaled_dir: str, copies: int) -> dict:
         "ivf_base": run(
             lambda: similarity.ivf_topk(base_e, k=5, n_clusters=8, nprobe=2)
         ),
-        # NO flags: at 10x-tuned K=80 the DEFAULT now auto-routes the
-        # hierarchical assignment (similarity.HIER_AUTO_MIN_K) — this
-        # row is the what-a-caller-gets measurement the round-7
+        # NO flags: at 10x-tuned K=80 the DEFAULT auto-routes the
+        # BLOCKED scorer (similarity.SCORER_AUTO_MIN_K); assignment
+        # stays flat below HIER_AUTO_MIN_K=256 (measured crossover) —
+        # this row is the what-a-caller-gets measurement the round-7
         # verdict asked for
         "ivf_scaled_tuned": run(
             lambda: similarity.ivf_topk(

@@ -705,7 +705,7 @@ def test_ivf_default_routes_blocked_at_large_k(spark):
     # plan must contain the applyInPandas scorer; below it, must not
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     big = similarity.ivf_topk(
-        e, k=3, n_clusters=similarity.HIER_AUTO_MIN_K, nprobe=2
+        e, k=3, n_clusters=similarity.SCORER_AUTO_MIN_K, nprobe=2
     )
     small = similarity.ivf_topk(e, k=3, n_clusters=8, nprobe=2)
     assert "FlatMapGroupsInPandas" in big._jdf.queryExecution().executedPlan().toString()
