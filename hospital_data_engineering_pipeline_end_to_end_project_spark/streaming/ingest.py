@@ -20,6 +20,8 @@ over unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -103,24 +105,42 @@ def dedupe_event_stream(
     )
 
 
-def scd2_sink(
-    stream: DataFrame,
+def make_scd2_batch_merger(
     store: SilverStore,
     entity: str,
     spec: scd2.Scd2Spec,
     processing_date_fn=None,
-    checkpoint_dir: str | None = None,
+    skip_applied: bool = True,
 ):
-    """Continuously merge a stream into SCD2-versioned Silver state.
+    """The ``foreachBatch`` body of :func:`scd2_sink`, factored out so
+    the replay behavior is directly testable.
 
-    ``foreachBatch`` hands each micro-batch to the exact batch merge
-    used by the medallion pipeline — one code path for batch and
-    streaming (the Kappa-style idiom).  ``processing_date_fn`` maps a
-    batch id to the effective date (injectable for determinism).
+    Exactly-once posture (foreachBatch is AT-LEAST-ONCE: on recovery
+    Structured Streaming re-delivers the last uncommitted batch):
+
+    - the SCD2 merge itself is idempotent for an identical batch at
+      the same processing date, so with a DETERMINISTIC
+      ``processing_date_fn`` (batch_id -> date) a replay is a
+      semantic no-op even with no ledger;
+    - ``skip_applied`` adds an applied-batch LEDGER (one marker file
+      per batch id under the store root) that also protects
+      NON-deterministic date functions (wall clock): a replayed batch
+      id is skipped outright.  The marker is written after the state
+      commit, so the only remaining double-apply window is a crash
+      between commit and marker — covered by the idempotency rule
+      above when the date function is deterministic, and documented
+      residual risk when it is not.  Markers use local filesystem
+      semantics; a real cluster deployment backs the same ledger
+      with its DFS (or uses the Delta transaction log, where MERGE
+      makes the commit itself transactional).
     """
     date_fn = processing_date_fn or (lambda batch_id: "2026-01-01")
+    ledger = os.path.join(store.root, "silver", f"{entity}__applied")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, f"batch-{batch_id}")
+        if skip_applied and os.path.exists(marker):
+            return
         if batch_df.isEmpty():
             return
         pdate = date_fn(batch_id)
@@ -129,8 +149,37 @@ def scd2_sink(
         else:
             new_state = scd2.initial_load(batch_df, spec, pdate)
         store.write(entity, new_state)
+        if skip_applied:
+            os.makedirs(ledger, exist_ok=True)
+            with open(marker, "w"):
+                pass
 
-    writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
+    return _merge
+
+
+def scd2_sink(
+    stream: DataFrame,
+    store: SilverStore,
+    entity: str,
+    spec: scd2.Scd2Spec,
+    processing_date_fn=None,
+    checkpoint_dir: str | None = None,
+    skip_applied: bool = True,
+):
+    """Continuously merge a stream into SCD2-versioned Silver state.
+
+    ``foreachBatch`` hands each micro-batch to the exact batch merge
+    used by the medallion pipeline — one code path for batch and
+    streaming (the Kappa-style idiom).  ``processing_date_fn`` maps a
+    batch id to the effective date (injectable for determinism); see
+    :func:`make_scd2_batch_merger` for the replay/exactly-once
+    contract.
+    """
+    writer = stream.writeStream.foreachBatch(
+        make_scd2_batch_merger(
+            store, entity, spec, processing_date_fn, skip_applied
+        )
+    ).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer

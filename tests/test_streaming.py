@@ -292,3 +292,52 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     assert got == {1: "gold", 2: "silver", 3: None}, (
         "left join keeps events whose user has no dim row"
     )
+
+
+def test_scd2_batch_merger_replay_is_skipped(spark, tmp_path):
+    # foreachBatch is at-least-once: a replayed batch id must be a
+    # no-op EVEN when the processing-date function is wall-clock-like
+    # (returns a different date per call) — the applied-batch ledger
+    # catches what merge idempotency alone cannot
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import ingest
+
+    store = SilverStore(spark, str(tmp_path / "store"))
+    spec = scd2.Scd2Spec(keys=["user_id"])
+    dates = iter(["2026-01-01", "2026-02-01", "2026-03-01"])
+    merger = ingest.make_scd2_batch_merger(
+        store, "users", spec, processing_date_fn=lambda b: next(dates)
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "user_id long, plan string"
+    )
+    merger(batch, 0)
+    assert store.read("users").count() == 2
+    # replay of batch 0: skipped by ledger, wall-clock date unused
+    merger(batch, 0)
+    state = store.read("users").collect()
+    assert len(state) == 2 and all(r["is_current"] for r in state)
+    # a genuinely new batch still merges (and versions a change)
+    merger(
+        spark.createDataFrame([(1, "gamma")], "user_id long, plan string"),
+        1,
+    )
+    assert store.read("users").count() == 3
+
+
+def test_scd2_batch_merger_opt_out_keeps_old_behavior(spark, tmp_path):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import ingest
+
+    store = SilverStore(spark, str(tmp_path / "store"))
+    spec = scd2.Scd2Spec(keys=["user_id"])
+    merger = ingest.make_scd2_batch_merger(
+        store, "users", spec, skip_applied=False
+    )
+    batch = spark.createDataFrame([(1, "alpha")], "user_id long, plan string")
+    merger(batch, 0)
+    merger(batch, 0)  # deterministic default date: idempotent merge
+    state = store.read("users").collect()
+    assert len(state) == 1 and state[0]["is_current"]
