@@ -86,6 +86,9 @@ HEADLINE = [
     "q96_source_divergence",
     "q97_novelty_filter",
     "q98_audio_frame_energy",
+    "q99_triangle_counts",
+    "q100_cheapest_regional_supplier",
+    "q101_sole_late_supplier",
 ]
 
 

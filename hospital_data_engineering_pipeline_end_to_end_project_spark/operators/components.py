@@ -151,3 +151,61 @@ def cluster_stats(labels: DataFrame) -> DataFrame:
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the standard graph-quality diagnostic for a near-dup pair graph
+    (triangles = mutually-confirming duplicate evidence; a node with
+    many pair edges but no triangles is the classic false-positive
+    hub shape).
+
+    Enumeration joins ordered edges (a < b) twice: a triangle
+    {a < b < c} is counted exactly once as e(a,b) ⋈ e(b,c) ⋈ e(a,c)
+    — the orientation makes every wedge test unique, so no /3 or /6
+    correction and no double counting.  Join volume is Σ deg(v)² over
+    the ordered graph (each node's out-neighbors pair up), the same
+    bucket-squared shape as the banded dedup joins — never all
+    triples.  The edge frame feeds three join branches, so it is
+    materialized once (policy per ``materialize_mode``); input edges
+    are normalized to (min, max) and deduped first, so callers may
+    pass raw pair lists in either orientation.
+
+    Returns ``(node, n_triangles)`` for nodes in at least one
+    triangle.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
+
+    a, b = F.col(src), F.col(dst)
+    e = materialize(
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        materialize_mode,
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -23,9 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep, dedupe
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components, dataprep, dedupe
 from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.data_prep import TOKS_SQL, _shingles_sql
-from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import Q27_SQL
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import Q25_SQL, Q27_SQL
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
 
 # ---------------------------------------------------------------------------
@@ -229,12 +229,54 @@ FROM samp GROUP BY media_id, i // {Q98_FRAME_SAMPLES}
 """
 
 
+# ---------------------------------------------------------------------------
+# q99 — triangle participation on the near-dup pair graph
+#
+# Graph-quality diagnostic: a triangle is mutually-confirming
+# duplicate evidence, an edge-heavy node without triangles is the
+# false-positive hub shape.  Edges come from the q25 MinHash-LSH
+# candidate pipeline; enumeration is the ordered three-edge join
+# (a < b < c, each triangle counted exactly once), mirrored verbatim
+# by the oracle over the interpolated q25 band SQL.
+# ---------------------------------------------------------------------------
+
+
+def q99_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    pairs = dedupe.near_dup_candidates(bands, "doc_id")
+    return components.triangle_counts(pairs)
+
+
+Q99_SQL = f"""
+WITH bands AS ({Q25_SQL}),
+e AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
     "q96_source_divergence": q96_source_divergence,
     "q97_novelty_filter": q97_novelty_filter,
     "q98_audio_frame_energy": q98_audio_frame_energy,
+    "q99_triangle_counts": q99_triangle_counts,
 }
 
 ORACLES = {
@@ -243,4 +285,5 @@ ORACLES = {
     "q96_source_divergence": Q96_SQL,
     "q97_novelty_filter": Q97_SQL,
     "q98_audio_frame_energy": Q98_SQL,
+    "q99_triangle_counts": Q99_SQL,
 }

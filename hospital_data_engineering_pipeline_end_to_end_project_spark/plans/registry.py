@@ -48,6 +48,7 @@ def _modules():
         "data_prep",
         "analytics_ext",
         "corpus_ops",
+        "relational_ext",
     ):
         mods.append(
             __import__(

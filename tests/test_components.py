@@ -111,3 +111,31 @@ def test_simhash_novel_rejects_bad_knobs(spark):
         dedupe.simhash_novel(d, d, "doc_id", "text", bits=64, bands=5)
     with _pt.raises(ValueError, match="only exact"):
         dedupe.simhash_novel(d, d, "doc_id", "text", bands=4, max_hamming=4)
+
+
+def test_triangle_counts_planted(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components import triangle_counts
+
+    # triangle {1,2,3} + square {10,11,12,13} without diagonals + a
+    # dangling edge; edges given in MIXED orientation with a duplicate
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (3, 2), (1, 3), (2, 1),      # triangle (dup + reversed)
+            (10, 11), (11, 12), (12, 13), (10, 13),  # square: no triangle
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}, "square and dangling edge emit nothing"
+
+
+def test_triangle_counts_shared_edge(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components import triangle_counts
+
+    # two triangles sharing edge (1,2): nodes 1,2 sit in both
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
