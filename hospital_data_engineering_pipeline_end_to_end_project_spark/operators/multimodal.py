@@ -305,6 +305,20 @@ def _be_hex(col, n_hex: int):
     return F.lpad(F.hex(col), n_hex, "0")
 
 
+def _jpeg_hex(w, h):
+    """Hex text of a minimal spec-correct baseline JPEG (SOI |
+    APP0/JFIF | SOF0 with the given dims | EOI) — shared by the image
+    synthesis and the MJPEG-style video synthesis."""
+    return F.concat(
+        F.lit("ffd8" "ffe0" "0010" "4a46494600" "0101" "00" "0001" "0001" "0000"),
+        F.lit("ffc0" "0011" "08"),
+        _be_hex(h, 4),
+        _be_hex(w, 4),
+        F.lit("03" "012200" "021101" "031101"),
+        F.lit("ffd9"),
+    )
+
+
 def synthesize_image_media(
     df: DataFrame,
     id_col: str,
@@ -344,16 +358,7 @@ def synthesize_image_media(
     )
     # JPEG: SOI | APP0/JFIF (16-byte segment) | SOF0: len 17,
     # precision 8, h, w, 3 components (YCbCr 4:2:0-ish) | EOI
-    jpeg = F.unhex(
-        F.concat(
-            F.lit("ffd8" "ffe0" "0010" "4a46494600" "0101" "00" "0001" "0001" "0000"),
-            F.lit("ffc0" "0011" "08"),
-            _be_hex(h, 4),
-            _be_hex(w, 4),
-            F.lit("03" "012200" "021101" "031101"),
-            F.lit("ffd9"),
-        )
-    )
+    jpeg = F.unhex(_jpeg_hex(w, h))
     mime = F.when(idc % 2 == 0, F.lit("image/png")).otherwise(F.lit("image/jpeg"))
     base = df.select(
         idc.alias("media_id"),
@@ -541,3 +546,95 @@ def audio_frame_energy(
             )
 
     return media.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-style video payloads from an id column —
+    ``3 + id % 4`` complete JPEG frames concatenated back-to-back
+    (motion-JPEG's container-free layout), each frame's dimensions a
+    closed form of (id, frame index): ``w = (id*5 + f) % 300 + 1``,
+    ``h = (id*3 + 7*f) % 200 + 1``.  Built entirely with Column
+    expressions (the video sibling of :func:`synthesize_image_media` /
+    :func:`synthesize_wav_media`), so an oracle can predict every
+    sampled frame's header."""
+    idc = F.col(id_col).cast("long")
+    n = (idc % 4 + 3).cast("long")
+    frames_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda f: _jpeg_hex(
+                (idc * 5 + f) % 300 + 1, (idc * 3 + f * 7) % 200 + 1
+            ),
+        ),
+        "",
+    )
+    payload = F.unhex(frames_hex)
+    return df.select(
+        idc.alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("video/x-motion-jpeg").alias("mime"),
+            F.lit("synthetic").alias("source"),
+            F.length(payload).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_index long, width long, height long"
+)
+
+
+def video_frame_dims(media: DataFrame, sample_every: int = 2) -> DataFrame:
+    """Video frame sampling: split an MJPEG-style payload into its
+    JPEG frames, keep every ``sample_every``-th frame (the standard
+    decimation a vision-pretraining pipeline applies before feature
+    extraction), and parse each kept frame's header with the REAL
+    stdlib SOF parser — Arrow-batched ``mapInPandas``, one output row
+    per sampled frame.
+
+    The frame walk relies on each frame being a complete marker-
+    segment JPEG ending in EOI (true for MJPEG streams of header-only
+    synthetic frames; a production deployment registers a container
+    demuxer — ffmpeg — in the decoder registry for real codecs, same
+    registry contract as images/audio).  Corrupt payloads or frames
+    emit nothing rather than failing the stage.
+    """
+    decoder = jpeg_sof_decoder
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ws, hs = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                # split on EOI boundaries: frame f = bytes up to and
+                # including its ffd9 (no entropy data in synthetic
+                # frames, so EOI bytes cannot occur mid-frame)
+                start, f = 0, 0
+                while start < len(b):
+                    end = b.find(b"\xff\xd9", start)
+                    if end < 0:
+                        break
+                    if f % sample_every == 0:
+                        try:
+                            hdr = decoder(b[start : end + 2])
+                        except ValueError:
+                            break
+                        ids.append(media_id)
+                        fidx.append(f)
+                        ws.append(hdr["width"])
+                        hs.append(hdr["height"])
+                    start = end + 2
+                    f += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(fidx, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_frames, schema=VIDEO_FRAME_SCHEMA)

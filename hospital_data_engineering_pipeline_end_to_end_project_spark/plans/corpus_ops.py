@@ -270,6 +270,41 @@ GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# q102 — video frame sampling (MJPEG-style stream, every 2nd frame)
+#
+# Completes the image (q85) / audio (q98) / VIDEO modality triad:
+# ``3 + id % 4`` complete JPEG frames concatenated per doc
+# (expression-side synthesis), frame-walked on EOI boundaries inside
+# Arrow-batched mapInPandas, every 2nd frame's header parsed by the
+# real stdlib SOF parser.  The oracle predicts each sampled frame's
+# dims from the closed forms — a wrong walk offset, an off-by-one in
+# the decimation, or a misread SOF flips the hash.
+# ---------------------------------------------------------------------------
+
+Q102_SAMPLE_EVERY = 2
+
+
+def q102_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_video_media(d, "doc_id")
+    return multimodal.video_frame_dims(
+        media, sample_every=Q102_SAMPLE_EVERY
+    )
+
+
+Q102_SQL = f"""
+WITH ids AS (SELECT doc_id AS media_id, 3 + doc_id % 4 AS n FROM documents),
+fr AS (SELECT media_id, unnest(range(n)) AS f FROM ids)
+SELECT media_id, f AS frame_index,
+       CAST((media_id * 5 + f) % 300 + 1 AS BIGINT) AS width,
+       CAST((media_id * 3 + f * 7) % 200 + 1 AS BIGINT) AS height
+FROM fr WHERE f % {Q102_SAMPLE_EVERY} = 0
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -277,6 +312,7 @@ QUERIES = {
     "q97_novelty_filter": q97_novelty_filter,
     "q98_audio_frame_energy": q98_audio_frame_energy,
     "q99_triangle_counts": q99_triangle_counts,
+    "q102_video_frame_sample": q102_video_frame_sample,
 }
 
 ORACLES = {
@@ -286,4 +322,5 @@ ORACLES = {
     "q97_novelty_filter": Q97_SQL,
     "q98_audio_frame_energy": Q98_SQL,
     "q99_triangle_counts": Q99_SQL,
+    "q102_video_frame_sample": Q102_SQL,
 }

@@ -822,3 +822,36 @@ def test_wav_synthesis_and_frame_energy(spark):
                 len(frame), sum(x * x for x in frame))
     # doc 5: n = 69 -> a 5-sample final frame must exist
     assert got[(5, 4)][0] == 5
+
+
+def test_video_frame_sampling_walks_and_decimates(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+
+    d = spark.createDataFrame([(6,), (9,)], "doc_id long")
+    media = multimodal.synthesize_video_media(d, "doc_id")
+    # payloads are real back-to-back JPEGs: every frame parses
+    for r in media.collect():
+        b = bytes(r["payload"])
+        n = 3 + r["media_id"] % 4
+        parts = b.split(b"\xff\xd9")
+        assert len(parts) == n + 1 and parts[-1] == b""
+        for f, frame in enumerate(parts[:-1]):
+            hdr = multimodal.jpeg_sof_decoder(frame + b"\xff\xd9")
+            assert hdr["width"] == (r["media_id"] * 5 + f) % 300 + 1
+            assert hdr["height"] == (r["media_id"] * 3 + f * 7) % 200 + 1
+
+    out = multimodal.video_frame_dims(media, sample_every=2).collect()
+    got = {(r["media_id"], r["frame_index"]): (r["width"], r["height"])
+           for r in out}
+    # doc 6: n=5 -> frames 0,2,4 sampled; doc 9: n=4 -> frames 0,2
+    assert {k[1] for k in got if k[0] == 6} == {0, 2, 4}
+    assert {k[1] for k in got if k[0] == 9} == {0, 2}
+    assert got[(6, 2)] == ((6 * 5 + 2) % 300 + 1, (6 * 3 + 14) % 200 + 1)
+
+    # corrupt payload (truncated mid-frame): emits nothing, no failure
+    import pandas as pd
+
+    corrupt = media.limit(1).selectExpr(
+        "media_id", "substring(payload, 1, 10) AS payload", "meta"
+    )
+    assert multimodal.video_frame_dims(corrupt).count() == 0
