@@ -89,6 +89,7 @@ HEADLINE = [
     "q99_triangle_counts",
     "q100_cheapest_regional_supplier",
     "q101_sole_late_supplier",
+    "q102_video_frame_sample",
 ]
 
 
