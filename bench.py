@@ -90,6 +90,7 @@ HEADLINE = [
     "q100_cheapest_regional_supplier",
     "q101_sole_late_supplier",
     "q102_video_frame_sample",
+    "q103_mergeable_sketches",
 ]
 
 

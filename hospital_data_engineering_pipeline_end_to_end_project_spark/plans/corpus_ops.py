@@ -305,6 +305,105 @@ FROM fr WHERE f % {Q102_SAMPLE_EVERY} = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# q103 — mergeable KMV sketches (per-source distinct-token estimates
+# + the merged global estimate)
+#
+# The mergeability identity — bottom-k(∪ bottom-k_s) = bottom-k(all)
+# — is what lets every executor sketch its shard independently and a
+# coordinator combine parts x k rows instead of re-scanning; this
+# query materializes BOTH the merged-global and direct-global
+# estimates so the gate hash proves they are IDENTICAL, not merely
+# close.  Deterministic md5-KMV (same estimator as q49), so the whole
+# construction replays in SQL.
+# ---------------------------------------------------------------------------
+
+Q103_K = 128
+
+
+def q103_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import metrics, text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    # distinct 3-gram vocabulary (tens of thousands at sf0.001 — far
+    # past K, so the (k-1)/h_k estimator branch is the one attested,
+    # not the exact-count fallback)
+    tok = fan_out(d.select("source", "text")).select(
+        "source",
+        F.explode(F.array_distinct(TX.shingles("text", 3))).alias("t"),
+    )
+    # one sketch pass; materialized once — it feeds the per-source
+    # estimates AND the merge (two consumers)
+    sk = metrics.kmv_bottom_k(tok, ["source"], "t", k=Q103_K).localCheckpoint()
+    per_source = metrics.kmv_estimate(sk, ["source"], k=Q103_K).select(
+        F.col("source").alias("scope"), "approx_distinct"
+    )
+    merged = metrics.kmv_estimate(sk, [], k=Q103_K).select(
+        F.lit("__MERGED__").alias("scope"), "approx_distinct"
+    )
+    direct = metrics.kmv_estimate(
+        metrics.kmv_bottom_k(tok, [], "t", k=Q103_K), [], k=Q103_K
+    ).select(F.lit("__DIRECT__").alias("scope"), "approx_distinct")
+    return per_source.unionByName(merged).unionByName(direct)
+
+
+Q103_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_shingles_sql(3)}) AS t
+  FROM (SELECT source, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT source, t,
+         CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)
+           / 4503599627370496e0 AS h
+  FROM tok
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {Q103_K}
+),
+per_source AS (
+  SELECT source AS scope,
+         CAST(CASE WHEN count(*) < {Q103_K} THEN count(*)
+              ELSE floor({Q103_K - 1} /
+                         max(CASE WHEN rn = {Q103_K} THEN h END))
+              END AS BIGINT) AS approx_distinct
+  FROM (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM (SELECT DISTINCT source, h FROM sk))
+  GROUP BY source
+),
+merged AS (
+  SELECT '__MERGED__' AS scope,
+         CAST(CASE WHEN count(*) < {Q103_K} THEN count(*)
+              ELSE floor({Q103_K - 1} /
+                         max(CASE WHEN rn = {Q103_K} THEN h END))
+              END AS BIGINT) AS approx_distinct
+  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sk))
+  WHERE rn <= {Q103_K}
+),
+direct AS (
+  SELECT '__DIRECT__' AS scope,
+         CAST(CASE WHEN count(*) < {Q103_K} THEN count(*)
+              ELSE floor({Q103_K - 1} /
+                         max(CASE WHEN rn = {Q103_K} THEN h END))
+              END AS BIGINT) AS approx_distinct
+  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM hashed))
+  WHERE rn <= {Q103_K}
+)
+SELECT scope, approx_distinct FROM per_source
+UNION ALL SELECT scope, approx_distinct FROM merged
+UNION ALL SELECT scope, approx_distinct FROM direct
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -313,6 +412,7 @@ QUERIES = {
     "q98_audio_frame_energy": q98_audio_frame_energy,
     "q99_triangle_counts": q99_triangle_counts,
     "q102_video_frame_sample": q102_video_frame_sample,
+    "q103_mergeable_sketches": q103_mergeable_sketches,
 }
 
 ORACLES = {
@@ -323,4 +423,5 @@ ORACLES = {
     "q98_audio_frame_energy": Q98_SQL,
     "q99_triangle_counts": Q99_SQL,
     "q102_video_frame_sample": Q102_SQL,
+    "q103_mergeable_sketches": Q103_SQL,
 }

@@ -59,3 +59,27 @@ def test_kmv_estimator_branch(spark):
     rse = 1.0 / (k - 2) ** 0.5
     assert exact > k, "fixture must exercise the estimator branch"
     assert abs(est - exact) / exact < 5 * rse, f"KMV {est} vs exact {exact}"
+
+
+def test_kmv_sketches_merge_exactly(spark):
+    # the mergeability identity: re-ranking the union of per-part
+    # bottom-k sketches gives BIT-IDENTICAL estimates to sketching the
+    # combined data directly — and the estimate lands near truth
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import metrics
+
+    import random as _r
+
+    rng = _r.Random(13)
+    rows = [(f"p{i % 4}", f"v{rng.randrange(5000)}") for i in range(20000)]
+    d = spark.createDataFrame(rows, "part string, v string")
+    k = 64
+    sk = metrics.kmv_bottom_k(d, ["part"], "v", k=k)
+    merged = metrics.kmv_estimate(sk, [], k=k).collect()[0]["approx_distinct"]
+    direct = metrics.kmv_estimate(
+        metrics.kmv_bottom_k(d, [], "v", k=k), [], k=k
+    ).collect()[0]["approx_distinct"]
+    assert merged == direct, "merge must equal the direct sketch exactly"
+    truth = d.select("v").distinct().count()
+    assert abs(merged - truth) / truth < 0.35, (
+        f"KMV estimate {merged} too far from truth {truth}"
+    )
