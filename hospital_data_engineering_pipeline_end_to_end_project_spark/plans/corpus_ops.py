@@ -329,12 +329,17 @@ def q103_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct 3-gram vocabulary (tens of thousands at sf0.001 — far
     # past K, so the (k-1)/h_k estimator branch is the one attested,
     # not the exact-count fallback)
+    # the exploded shingle stream feeds BOTH the per-source sketch and
+    # the independent direct-global sketch (the attestation needs the
+    # direct one; a production pipeline computes only the mergeable
+    # per-part sketches) — materialize it once so the corpus is
+    # shingled once, not twice
     tok = fan_out(d.select("source", "text")).select(
         "source",
         F.explode(F.array_distinct(TX.shingles("text", 3))).alias("t"),
-    )
-    # one sketch pass; materialized once — it feeds the per-source
-    # estimates AND the merge (two consumers)
+    ).localCheckpoint()
+    # the per-source sketch feeds the per-source estimates AND the
+    # merge (two consumers) — materialized too (parts x k tiny rows)
     sk = metrics.kmv_bottom_k(tok, ["source"], "t", k=Q103_K).localCheckpoint()
     per_source = metrics.kmv_estimate(sk, ["source"], k=Q103_K).select(
         F.col("source").alias("scope"), "approx_distinct"
