@@ -883,11 +883,22 @@ def _pair_schema(index: DataFrame, id_col: str, left: str, right: str):
 #: threshold path: with UNIT vectors every |x_i·y_i| <= 1, so the
 #: BLAS-vs-sequential-fold discrepancy is rigorously bounded by
 #: ~dim * machine_eps ≈ 1.4e-14 at dim 64 — nine orders of magnitude
-#: under this margin.  A pair scoring below threshold - margin in
-#: BLAS therefore CANNOT reach the threshold under the exact fold,
-#: and every surviving candidate is re-scored by the fold itself, so
-#: the output is bit-identical to the unfiltered exact path.
+#: under this margin.
 _PREFILTER_MARGIN = 1e-7
+
+#: The exact path scores pairs as ``round(fold, 6) >= threshold``, so
+#: a pair whose RAW fold score sits anywhere in
+#: [threshold - 5e-7, threshold) still rounds UP and qualifies.  The
+#: prefilter compares the UNROUNDED BLAS score, so its cut must sit
+#: at least half-an-ulp-of-round-6 BELOW the threshold or a
+#: rounding-boundary pair would be dropped before re-scoring (the
+#: r08 bug: cutting at threshold - 1e-7 silently lost raw scores in
+#: [threshold - 5e-7, threshold - 1e-7)).  Total cut:
+#: threshold - (_ROUND6_HALF_ULP + _PREFILTER_MARGIN).  A pair below
+#: that CANNOT round up to the threshold under the exact fold; every
+#: survivor is re-scored by the fold itself, so extra candidates are
+#: harmless and the output is bit-identical to the unfiltered path.
+_ROUND6_HALF_ULP = 5e-7
 
 
 def _blocked_candidate_pairs(
@@ -1077,16 +1088,17 @@ def embedding_near_dup_pairs(
     tabled = _multi_table_buckets(base, id_col, dim, n_planes, n_tables)
     if n_tables >= _DEDUP_BEFORE_SCORE_MIN_TABLES:
         # high-duplication regime, exact results: the candidate pair
-        # set comes from the guarded per-cell BLAS prefilter
-        # (threshold - _PREFILTER_MARGIN — provably a superset of the
-        # qualifying pairs for unit vectors), and every survivor is
-        # re-scored from scratch by the bit-exact sequential fold.
+        # set comes from the guarded per-cell BLAS prefilter (cut at
+        # threshold - round-6-half-ulp - margin — provably a superset
+        # of the ROUND-UP-qualifying pairs for unit vectors, see
+        # _ROUND6_HALF_ULP), and every survivor is re-scored from
+        # scratch by the bit-exact sequential fold.
         # Output is bit-identical to the candidate self-join it
         # replaces (the r07 shape: ids-only join + dropDuplicates),
         # but the Σ bucket² x n_tables pair fan-out (~12M rows at
         # sf0.1/q31) never exists as Spark rows.
         pairs = _blocked_candidate_pairs(
-            tabled, id_col, threshold - _PREFILTER_MARGIN
+            tabled, id_col, threshold - _ROUND6_HALF_ULP - _PREFILTER_MARGIN
         )
         scored = _score_unique_pairs(pairs, base, id_col, "id_a", "id_b")
         return scored.filter(F.col("cos_sim") >= threshold)

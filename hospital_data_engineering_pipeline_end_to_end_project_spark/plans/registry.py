@@ -28,27 +28,31 @@ def _modules():
     # first 50 entries of queries() in registration order.  Round 6
     # gated relational/scd2/llm_ops/advanced; round 7 rotated
     # entry_extras/data_prep/analytics_ext to the front; round 8
-    # rotates BACK to llm_ops/relational/scd2/advanced (q01–q39,
-    # q46–q49, q58–q60 — freshest official rows are r06, and the
-    # round-7 similarity rework touched code shared by q28/q29/q31).
-    # That family is 46 queries; the remaining 4 window slots land on
-    # the head of entry_extras.  Queries CHANGED this round that live
-    # outside the window (q87 BM25 zero-token semantics, q88
-    # semantic-dedup auto-hierarchical, q40 SCD2 partition pruning)
-    # are pinned in via _GATE_FRONT.
+    # rotated back to llm_ops/relational/scd2/advanced.  Round 9
+    # leads with corpus_ops + relational_ext (the 10 round-8 queries
+    # q94–q103, never officially attested — the verdict's #1 item),
+    # then analytics_ext (holds every changed-code family whose
+    # freshest row predates the change: q61/q70/q79/q83/q93 — CC
+    # pointer jumping; q86 — simhash refactor; q84/q85 — image
+    # synthesis refactor; q90 — parallelized z-order write) and
+    # data_prep (the q50–q57 r07 wave).  That is 53 candidates for 50
+    # slots, so _GATE_BACK demotes the 3 with the freshest rows AND
+    # unchanged code: q87/q88 (official r08 rows) and
+    # q68_orc_roundtrip (r07, untouched since).  q42–q45 (r07 rows,
+    # unchanged) stay outside as the next rotation's filler.
     # Every query keeps its oracle regardless of position — the full
     # catalog is attested end-to-end by tests/test_oracle_parity.py
     # in every pytest run.
     mods = []
     for name in (
+        "corpus_ops",
+        "relational_ext",
+        "analytics_ext",
+        "data_prep",
+        "entry_extras",
         "llm_ops",
         "scd2_queries",
         "advanced",
-        "entry_extras",
-        "data_prep",
-        "analytics_ext",
-        "corpus_ops",
-        "relational_ext",
     ):
         mods.append(
             __import__(
@@ -56,30 +60,44 @@ def _modules():
                 fromlist=[name],
             )
         )
-    mods.insert(3, relational)
+    mods.insert(6, relational)
     return mods
 
 
 #: Queries pinned to the FRONT of the catalog regardless of module
 #: order, so they land inside the driver's 50-entry gate window.
-#: Round 8: q28/q29/q31 share the similarity code reworked in round 7
-#: (their freshest official rows are pre-rework r06); q87/q88/q40 are
-#: changed THIS round (BM25 zero-token filter, semantic-dedup
-#: auto-hierarchical routing, SCD2 partition pruning) but live in
-#: modules outside the rotated window.
+#: Round 9: q31's exact-path prefilter cut was widened this round
+#: (ADVICE r08 high — rounding-boundary pairs could be dropped) and
+#: q49's KMV construction was rewritten two-level (value-identical,
+#: but the code changed) — both live in llm_ops, outside the rotated
+#: window.  q103 (same KMV change) and q95/q99/q102 (de-skewed
+#: boilerplate, degree-capped triangles, all-or-nothing video decode)
+#: also changed this round but already sit inside the corpus_ops
+#: window.
 _GATE_FRONT = (
-    "q28_cosine_topk",
-    "q29_ann_lsh",
     "q31_embedding_near_dups",
+    "q49_sketch_stats",
+)
+
+#: Queries demoted to the BACK of the catalog (outside the window):
+#: only ever queries whose code is UNCHANGED this round and whose
+#: official row is freshest-available — q87/q88 were gated r08,
+#: q68 is untouched since its r07 row.
+_GATE_BACK = (
+    "q68_orc_roundtrip",
     "q87_bm25_topk",
     "q88_semantic_dedup",
-    "q40_hospital_medallion_e2e",
 )
 
 
 def _front_ordered(d: dict) -> dict:
     out = {k: d[k] for k in _GATE_FRONT if k in d}
-    out.update((k, v) for k, v in d.items() if k not in out)
+    out.update(
+        (k, v)
+        for k, v in d.items()
+        if k not in out and k not in _GATE_BACK
+    )
+    out.update((k, d[k]) for k in _GATE_BACK if k in d)
     return out
 
 

@@ -855,3 +855,58 @@ def test_video_frame_sampling_walks_and_decimates(spark):
         "media_id", "substring(payload, 1, 10) AS payload", "meta"
     )
     assert multimodal.video_frame_dims(corrupt).count() == 0
+
+
+def test_prefilter_keeps_rounding_boundary_pair(spark):
+    """ADVICE r08 (high): the exact path qualifies pairs on
+    ``round(fold, 6) >= threshold``, so a pair whose RAW score sits in
+    [threshold - 5e-7, threshold) rounds UP and must survive — but the
+    r08 prefilter cut at threshold - 1e-7 compared the UNROUNDED BLAS
+    score and dropped it before re-scoring.  Plant exactly such a pair
+    and assert the prefiltered exact path (n_tables past the auto
+    threshold) emits the identical pair set as the plain unfiltered
+    self-join path on the same bucketing."""
+    import math
+
+    import hospital_data_engineering_pipeline_end_to_end_project_spark.operators.similarity as sim
+
+    th = 0.9
+    c = th - 3e-7  # raw cosine inside the round-up band
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [c, math.sqrt(1.0 - c * c)]),  # boundary pair with 1
+        (3, [-1.0, 0.0]),                  # clearly below threshold
+        (4, [1.0, 1e-9]),                  # clearly above with 1
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=th,
+        dim=2,
+        n_planes=2,
+        n_tables=sim._DEDUP_BEFORE_SCORE_MIN_TABLES,
+        scorer="exact",
+    )
+    prefiltered = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in sim.embedding_near_dup_pairs(e, **kw).collect()
+    }
+    # force the plain (unfiltered) exact self-join on the SAME
+    # bucketing by lifting the auto threshold past n_tables
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(sim, "_DEDUP_BEFORE_SCORE_MIN_TABLES", 10**9)
+        plain = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in sim.embedding_near_dup_pairs(e, **kw).collect()
+        }
+    finally:
+        mp.undo()
+    assert prefiltered == plain, "prefilter must be output-invisible"
+    assert (1, 2, th) in prefiltered, (
+        "rounding-boundary pair must survive the widened prefilter cut"
+    )
+    assert not any(3 in (a, b) for a, b, _ in prefiltered)
