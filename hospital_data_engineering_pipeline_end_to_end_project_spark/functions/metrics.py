@@ -21,6 +21,22 @@ _HASH_BITS = 52
 _HASH_DENOM = float(1 << _HASH_BITS)
 
 
+#: Salt fan-out for the two-level KMV construction: the per-(group,
+#: salt) partial bottom-k bounds every window partition to ~|distinct|
+#: / buckets rows, and the merge re-rank then sees at most
+#: buckets x k rows per group.  Derived from md5 hex chars 14-15 —
+#: disjoint from the 13 chars that form the hash fraction, so salt
+#: and rank order are independent.
+_KMV_SALT_BUCKETS = 64
+
+
+def _hash_fraction_from_md5(md5_col) -> "F.Column":
+    """The canonical 52-bit dyadic fraction from an md5 hex column —
+    shared so every KMV construction derives bit-identical ``h``."""
+    hex13 = F.substring(md5_col, 1, _HASH_BITS // 4)
+    return F.conv(hex13, 16, 10).cast("long") / F.lit(_HASH_DENOM)
+
+
 def hash_fraction(col) -> "F.Column":
     """Uniform [0,1) fraction from md5 of a column's string form.
 
@@ -30,8 +46,7 @@ def hash_fraction(col) -> "F.Column":
     ``rand()`` would be non-reproducible and engine-specific.
     """
     c = F.col(col) if isinstance(col, str) else col
-    hex13 = F.substring(F.md5(c.cast("string")), 1, _HASH_BITS // 4)
-    return F.conv(hex13, 16, 10).cast("long") / F.lit(_HASH_DENOM)
+    return _hash_fraction_from_md5(F.md5(c.cast("string")))
 
 
 def kmv_distinct(
@@ -52,33 +67,23 @@ def kmv_distinct(
     so the estimate is bit-identical across engines and SQL-replayable
     — an *oracle-checkable* approximate distinct count.
 
-    Plan shape: distinct (one shuffle, map-side partial), then a
-    per-group sort window to find h_(k).  A production deployment at
-    100 TB would fold the bottom-k heap into a custom Aggregator to
-    stay single-shuffle/fixed-memory; the estimator (and result) is
-    identical — this formulation trades one extra exchange for
-    staying in pure Column expressions.
+    Plan shape: distinct (one shuffle, map-side partial), then the
+    TWO-LEVEL bottom-k of :func:`kmv_bottom_k` (per-(group, salt)
+    partial sketches merged by a bounded re-rank) and the
+    :func:`kmv_estimate` estimator over the merged sketch.  No window
+    partition ever holds a group's full distinct value set — the r08
+    formulation ranked ``row_number() OVER (PARTITION BY group)``
+    over the raw distinct stream, which put the ENTIRE vocabulary of
+    a hot (or global) group in one task's sort at 100 TB.  Output is
+    bit-identical by the mergeability identity (the k smallest
+    hashes of a union are a subset of the union of each part's k
+    smallest — the same identity q103's gate hash proves), so the
+    SQL oracles replay the one-level construction unchanged.
 
     Returns ``group_cols + [approx_distinct]``.
     """
-    dh = df.select(*group_cols, val_col).distinct().withColumn(
-        "h", hash_fraction(val_col)
-    )
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    ranked = dh.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("nd"),
-            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
-        )
-        .select(
-            *group_cols,
-            F.when(F.col("nd") < k, F.col("nd"))
-            .otherwise(F.floor((k - 1) / F.col("hk")))
-            .cast("long")
-            .alias("approx_distinct"),
-        )
+    return kmv_estimate(
+        kmv_bottom_k(df, group_cols, val_col, k), group_cols, k
     )
 
 
@@ -118,13 +123,41 @@ def kmv_bottom_k(
     the combined data (:func:`kmv_estimate` does the re-rank).  That
     identity is what lets 1000 executors sketch independently and a
     coordinator merge ``parts x k`` rows instead of re-scanning —
-    demonstrated and oracle-checked by q103."""
-    dh = df.select(*group_cols, val_col).distinct().withColumn(
-        "h", hash_fraction(val_col)
+    demonstrated and oracle-checked by q103.
+
+    Construction is TWO-LEVEL so no window partition ever sorts a
+    group's full distinct value set (the global sketch
+    ``group_cols=[]`` would otherwise be one task sorting the whole
+    vocabulary): bottom-k per (group, md5-salt-bucket) — every
+    partition bounded to ~1/:data:`_KMV_SALT_BUCKETS` of the group —
+    then the partials merge through a re-rank that sees at most
+    ``salt_buckets x k`` rows per group.  By the subset identity
+    above the merged bottom-k is BIT-IDENTICAL to a direct one-level
+    rank, so estimates (and the q49/q103 oracle hashes, which replay
+    the one-level SQL) are unchanged."""
+    c = F.col(val_col)
+    dh = (
+        df.select(*group_cols, val_col)
+        .distinct()
+        .withColumn("__md5", F.md5(c.cast("string")))
+        .select(
+            *group_cols,
+            _hash_fraction_from_md5(F.col("__md5")).alias("h"),
+            (
+                F.conv(F.substring("__md5", 14, 2), 16, 10).cast("int")
+                % _KMV_SALT_BUCKETS
+            ).alias("__salt"),
+        )
     )
-    w = Window.partitionBy(*group_cols).orderBy("h")
+    w_part = Window.partitionBy(*group_cols, "__salt").orderBy("h")
+    partial = (
+        dh.withColumn("rn", F.row_number().over(w_part))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h")
+    )
+    w_merge = Window.partitionBy(*group_cols).orderBy("h")
     return (
-        dh.withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w_merge))
         .filter(F.col("rn") <= k)
         .select(*group_cols, "h")
     )

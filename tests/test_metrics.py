@@ -83,3 +83,58 @@ def test_kmv_sketches_merge_exactly(spark):
     assert abs(merged - truth) / truth < 0.35, (
         f"KMV estimate {merged} too far from truth {truth}"
     )
+
+
+def test_two_level_kmv_bit_identical_to_one_level(spark):
+    """The r09 two-level construction (bottom-k per (group, salt) then
+    a bounded merge re-rank) must reproduce the one-level rank
+    BIT-exactly — the subset identity that keeps the q49/q103 oracle
+    hashes valid — and its full-stream window must be salted (no
+    single task ever sorts a group's whole distinct set)."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import metrics
+
+    rng = _r.Random(29)
+    rows = [(f"g{i % 3}", f"v{rng.randrange(3000)}") for i in range(12000)]
+    d = spark.createDataFrame(rows, "g string, v string")
+    k = 32
+
+    def one_level(df, group_cols):
+        dh = df.select(*group_cols, "v").distinct().withColumn(
+            "h", metrics.hash_fraction("v")
+        )
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        return (
+            dh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(*group_cols, "h")
+        )
+
+    for group_cols in (["g"], []):
+        got = sorted(map(tuple, metrics.kmv_bottom_k(d, group_cols, "v", k=k).collect()))
+        ref = sorted(map(tuple, one_level(d, group_cols).collect()))
+        assert got == ref, f"two-level != one-level for groups={group_cols}"
+
+    # estimates compose through the same identity
+    got_est = sorted(
+        map(tuple, metrics.kmv_distinct(d, ["g"], "v", k=k).collect())
+    )
+    ref_est = sorted(
+        map(
+            tuple,
+            metrics.kmv_estimate(one_level(d, ["g"]), ["g"], k=k).collect(),
+        )
+    )
+    assert got_est == ref_est
+
+    # plan contract: the window over the raw distinct stream partitions
+    # by the salt; only the bounded merge re-rank may run unsalted
+    sk = metrics.kmv_bottom_k(d, [], "v", k=k)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "full-stream window must be salt-partitioned"
+    first_window = plan[plan.rindex("Window") :]  # innermost = raw stream
+    assert "__salt" in first_window.split("\n")[0]
