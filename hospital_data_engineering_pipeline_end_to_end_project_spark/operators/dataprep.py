@@ -628,6 +628,7 @@ def boilerplate_stats(
     text_col: str,
     shingle_n: int = 3,
     hot_df: int = 50,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Corpus-level boilerplate exposure per document: the fraction of
     a doc's distinct word n-grams that are corpus-frequent (document
@@ -636,15 +637,26 @@ def boilerplate_stats(
     structure).  A doc made of navigation chrome / license headers
     scores near 1; original prose near 0.
 
-    ONE pass over the exploded shingle stream computes both the
-    per-shingle document frequency (window over the shingle) and the
-    per-doc rollup (groupBy) — no self-join of the exploded stream, so
-    nothing needs materializing (same single-pass trick as
-    ``jaccard_within_key``).  Docs shorter than ``shingle_n`` tokens
-    emit no shingles and are absent from the output (no ratio to
-    report).
+    Document frequency comes from ``groupBy(s).count()`` joined back
+    to the exploded stream — NOT a ``count(*) OVER (PARTITION BY s)``
+    window (the r08 shape): boilerplate shingles are by definition
+    the hottest keys in the corpus, a window partition cannot be
+    split, so at 100 TB one license-header shingle would be billions
+    of rows in a single task.  The groupBy's map-side partial
+    aggregation absorbs the hot key before the shuffle, and the join
+    back is an equi-join AQE skew handling CAN split (the count side
+    of a hot key is one row).  Values are identical to the window
+    formulation, so the q95 oracle replays the window SQL unchanged.
+
+    The exploded stream feeds two consumers (the df counts and the
+    join back), so it is materialized once per ``materialize_mode``
+    (``operators/materialize.py`` — pass ``"lazy"`` to trade a second
+    shingling pass for zero intermediate storage at extreme scale).
+    Docs shorter than ``shingle_n`` tokens emit no shingles and are
+    absent from the output (no ratio to report).
     """
     from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 
     ex = fan_out(docs.select(F.col(id_col), F.col(text_col)), by=id_col).select(
@@ -653,9 +665,9 @@ def boilerplate_stats(
             "s"
         ),
     )
-    ex = ex.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-    )
+    ex = materialize(ex, materialize_mode)
+    counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    ex = ex.join(counts, "s")
     return ex.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.when(F.col("__df") >= hot_df, 1).otherwise(0))

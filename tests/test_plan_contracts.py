@@ -162,3 +162,20 @@ def test_scd2_partition_filter_prunes_state_scan(spark, tmp_path):
 
     pf_clauses = re.findall(r"PartitionFilters: \[[^\]]*region[^\]]*\]", plan)
     assert pf_clauses, f"region never reached a PartitionFilter:\n{plan}"
+
+
+def test_boilerplate_stats_no_hot_key_window(spark):
+    """q95's document frequency must come from groupBy + join-back —
+    a window PARTITION BY shingle would put the hottest key in the
+    corpus (the boilerplate itself) in one unsplittable task at
+    scale.  The groupBy's partial aggregation absorbs the hot key
+    map-side; the join back is AQE-splittable."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z")], "doc_id long, text string"
+    )
+    out = dataprep.boilerplate_stats(d, "doc_id", "text", hot_df=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"hot-shingle window survived:\n{plan}"
+    assert "partial_count" in plan or "partial" in plan.lower()
