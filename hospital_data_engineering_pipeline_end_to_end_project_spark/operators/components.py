@@ -158,6 +158,7 @@ def triangle_counts(
     src: str = "id_a",
     dst: str = "id_b",
     materialize_mode: str = "eager",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle participation over an undirected edge list —
     the standard graph-quality diagnostic for a near-dup pair graph
@@ -176,20 +177,50 @@ def triangle_counts(
     are normalized to (min, max) and deduped first, so callers may
     pass raw pair lists in either orientation.
 
+    ``max_degree`` is the hub guard: the false-positive hub this
+    diagnostic exists to detect has deg ~ n, making the unguarded
+    enumeration quadratic exactly when it is needed.  With a cap, a
+    node keeps only its ``max_degree`` lowest-md5 ordered out-edges
+    (a DETERMINISTIC sample — same trick as the q26 hot-shingle cap),
+    bounding join volume to ``max_degree x |E|``; counts become a
+    documented underestimate ONLY for nodes over the cap (the
+    per-node sampling window is one O(deg log deg) task for a hub —
+    linear where the join would be quadratic).  Graphs whose ordered
+    out-degrees are all at or under the cap — every banded near-dup
+    graph in this repo, measured max 3 — are byte-identical to the
+    exact path.
+
     Returns ``(node, n_triangles)`` for nodes in at least one
     triangle.
     """
+    from pyspark.sql.window import Window
+
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
 
     a, b = F.col(src), F.col(dst)
-    e = materialize(
+    e = (
         edges.select(
             F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct(),
-        materialize_mode,
+        .distinct()
     )
+    if max_degree is not None:
+        w = Window.partitionBy("u").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("u").cast("string"),
+                    F.col("v").cast("string"),
+                )
+            )
+        )
+        e = (
+            e.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_degree)
+            .drop("__rn")
+        )
+    e = materialize(e, materialize_mode)
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))

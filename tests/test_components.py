@@ -139,3 +139,68 @@ def test_triangle_counts_shared_edge(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_degree_cap_bounds_hub_and_stays_exact_below(spark):
+    """The hub guard: a deg ~ n false-positive hub makes unguarded
+    enumeration quadratic.  With max_degree the hub keeps only its
+    cap lowest-md5 out-edges (deterministic), bounding join volume to
+    cap x |E|; nodes at or under the cap are byte-identical to the
+    exact path."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components import triangle_counts
+
+    n_leaves, cap = 200, 8
+    # hub 0 -> leaves 1..200 (star: no triangles), plus one planted
+    # triangle among high ids that no cap can disturb
+    hub = [(0, i) for i in range(1, n_leaves + 1)]
+    tri = [(1001, 1002), (1002, 1003), (1001, 1003)]
+    edges = spark.createDataFrame(hub + tri, "id_a long, id_b long")
+
+    capped = triangle_counts(edges, max_degree=cap)
+    got = {r["node"]: r["n_triangles"] for r in capped.collect()}
+    assert got == {1001: 1, 1002: 1, 1003: 1}
+
+    # the capped ordered-edge frame never exceeds cap per node: replay
+    # the guard's own sampling and check the bound it enforces
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .distinct()
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.col("u").cast("string"),
+                            F.col("v").cast("string"),
+                        )
+                    )
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= cap)
+    )
+    assert e.groupBy("u").count().agg(F.max("count")).collect()[0][0] <= cap
+    # determinism: two runs sample the identical edge subset
+    s1 = sorted(map(tuple, e.select("u", "v").collect()))
+    s2 = sorted(map(tuple, e.select("u", "v").collect()))
+    assert s1 == s2
+
+    # below-cap graphs are byte-identical to the exact path
+    exact = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    big_cap = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges, max_degree=1000).collect()
+    }
+    assert big_cap == exact
