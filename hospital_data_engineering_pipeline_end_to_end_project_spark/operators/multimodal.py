@@ -597,8 +597,12 @@ def video_frame_dims(media: DataFrame, sample_every: int = 2) -> DataFrame:
     segment JPEG ending in EOI (true for MJPEG streams of header-only
     synthetic frames; a production deployment registers a container
     demuxer — ffmpeg — in the decoder registry for real codecs, same
-    registry contract as images/audio).  Corrupt payloads or frames
-    emit nothing rather than failing the stage.
+    registry contract as images/audio).  A corrupt payload emits
+    NOTHING — all-or-nothing per payload: rows for frames decoded
+    before a mid-stream corruption are buffered and discarded with
+    it, so a truncated/garbled video never contributes a silently
+    partial frame set (it would skew per-video frame statistics
+    downstream); decode failures never fail the stage.
     """
     decoder = jpeg_sof_decoder
 
@@ -611,23 +615,35 @@ def video_frame_dims(media: DataFrame, sample_every: int = 2) -> DataFrame:
                 b = bytes(payload)
                 # split on EOI boundaries: frame f = bytes up to and
                 # including its ffd9 (no entropy data in synthetic
-                # frames, so EOI bytes cannot occur mid-frame)
+                # frames, so EOI bytes cannot occur mid-frame);
+                # buffer this payload's rows and commit only if every
+                # sampled frame decodes
+                p_fidx, p_ws, p_hs = [], [], []
+                ok = True
                 start, f = 0, 0
                 while start < len(b):
                     end = b.find(b"\xff\xd9", start)
                     if end < 0:
+                        # trailing bytes with no EOI: the stream was
+                        # truncated mid-frame — corrupt, not "done"
+                        ok = False
                         break
                     if f % sample_every == 0:
                         try:
                             hdr = decoder(b[start : end + 2])
                         except ValueError:
+                            ok = False
                             break
-                        ids.append(media_id)
-                        fidx.append(f)
-                        ws.append(hdr["width"])
-                        hs.append(hdr["height"])
+                        p_fidx.append(f)
+                        p_ws.append(hdr["width"])
+                        p_hs.append(hdr["height"])
                     start = end + 2
                     f += 1
+                if ok:
+                    ids.extend([media_id] * len(p_fidx))
+                    fidx.extend(p_fidx)
+                    ws.extend(p_ws)
+                    hs.extend(p_hs)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

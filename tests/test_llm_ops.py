@@ -910,3 +910,41 @@ def test_prefilter_keeps_rounding_boundary_pair(spark):
         "rounding-boundary pair must survive the widened prefilter cut"
     )
     assert not any(3 in (a, b) for a, b, _ in prefiltered)
+
+
+def test_video_corrupt_payload_all_or_nothing(spark):
+    """ADVICE r08 (low): a payload corrupted MID-stream (earlier
+    frames decode fine, a later sampled frame fails SOF parse) must
+    emit nothing for that payload — not a silently partial frame set
+    — while clean payloads in the same batch are unaffected."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(6, 11).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_video_media(ids, "doc_id")
+    row = media.filter("media_id = 6").collect()[0]
+    clean = bytes(row["payload"])
+    # find the SECOND frame's EOI and garble the SOF marker after it:
+    # frame 0 (sampled) decodes, frame 2 (sampled) fails
+    first_eoi = clean.find(b"\xff\xd9")
+    second_eoi = clean.find(b"\xff\xd9", first_eoi + 2)
+    seg_start = second_eoi + 2
+    corrupted = (
+        clean[: seg_start + 2] + b"\x00\x00" + clean[seg_start + 4 :]
+    )
+    both = spark.createDataFrame(
+        [(6, bytearray(corrupted)), (7, bytearray(bytes(
+            media.filter("media_id = 7").collect()[0]["payload"]
+        )))],
+        "media_id long, payload binary",
+    )
+    out = multimodal.video_frame_dims(both, sample_every=2).collect()
+    assert all(r["media_id"] == 7 for r in out), (
+        "mid-stream-corrupt payload must emit zero rows"
+    )
+    assert any(r["media_id"] == 7 for r in out), "clean payload unaffected"
+
+    # truncated mid-frame (no trailing EOI) is corruption too
+    trunc = spark.createDataFrame(
+        [(6, bytearray(clean[:-3]))], "media_id long, payload binary"
+    )
+    assert multimodal.video_frame_dims(trunc).count() == 0
