@@ -212,16 +212,46 @@ class SilverStore:
             return delta_io.read_delta(self.spark, self.path(entity))
         return self.spark.read.parquet(self.path(entity))
 
-    def write(self, entity: str, df: DataFrame) -> None:
+    #: epoch marker file inside the state directory — ``_``-prefixed
+    #: so Spark's parquet reader ignores it like ``_SUCCESS``
+    EPOCH_FILE = "_applied_batch"
+
+    def write(
+        self, entity: str, df: DataFrame, applied_batch: int | None = None
+    ) -> None:
+        """Swap in a new state; with ``applied_batch`` the batch id is
+        written INSIDE the new state directory before the rename, so
+        state and epoch publish in the same atomic step (the streaming
+        ledger's crash-window closure — see
+        ``streaming/ingest.make_scd2_batch_merger``).  On the delta
+        backend the epoch file lands beside the table after the
+        commit (non-atomic; real deployments put the batch id in the
+        transaction's ``txnAppId``/``txnVersion`` instead)."""
         target = self.path(entity)
         if self.state_format == "delta":
             delta_io.write_delta(df, target)
+            if applied_batch is not None:
+                with open(os.path.join(target, self.EPOCH_FILE), "w") as fh:
+                    fh.write(str(applied_batch))
             return
         tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
+        if applied_batch is not None:
+            with open(os.path.join(tmp, self.EPOCH_FILE), "w") as fh:
+                fh.write(str(applied_batch))
         if os.path.exists(target):
             shutil.rmtree(target)
         os.replace(tmp, target)
+
+    def last_applied(self, entity: str) -> int | None:
+        """Batch id committed WITH the current state, or None if the
+        state predates the epoch marker / doesn't exist."""
+        p = os.path.join(self.path(entity), self.EPOCH_FILE)
+        try:
+            with open(p) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
 
     def apply_batch(
         self,

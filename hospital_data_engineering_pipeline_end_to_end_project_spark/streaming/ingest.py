@@ -125,21 +125,38 @@ def make_scd2_batch_merger(
     - ``skip_applied`` adds an applied-batch LEDGER (one marker file
       per batch id under the store root) that also protects
       NON-deterministic date functions (wall clock): a replayed batch
-      id is skipped outright.  The marker is written after the state
-      commit, so the only remaining double-apply window is a crash
-      between commit and marker — covered by the idempotency rule
-      above when the date function is deterministic, and documented
-      residual risk when it is not.  Markers use local filesystem
-      semantics; a real cluster deployment backs the same ledger
-      with its DFS (or uses the Delta transaction log, where MERGE
-      makes the commit itself transactional).
+      id is skipped outright.  The marker itself is written after the
+      state commit, but the commit CARRIES the batch id — the store
+      publishes an epoch file inside the state directory in the same
+      atomic rename (``SilverStore.write(applied_batch=...)``) — so a
+      crash between commit and marker is recovered on replay: the
+      merger sees the state's own epoch equals the replayed batch id,
+      restores the missing marker, and skips the merge.  foreachBatch
+      re-delivers only the LAST uncommitted batch, so the single
+      epoch slot covers the whole window; no double-apply remains
+      even for wall-clock date functions.  Markers use local
+      filesystem semantics; a real cluster deployment backs the same
+      ledger with its DFS (or uses the Delta transaction log, where
+      MERGE makes the commit itself transactional).
     """
     date_fn = processing_date_fn or (lambda batch_id: "2026-01-01")
     ledger = os.path.join(store.root, "silver", f"{entity}__applied")
 
+    def _write_marker(marker: str) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(ledger, f"batch-{batch_id}")
         if skip_applied and os.path.exists(marker):
+            return
+        if skip_applied and store.last_applied(entity) == batch_id:
+            # crash landed between state commit and marker write on a
+            # previous run of this very batch: the state already IS
+            # the post-batch state (its epoch says so) — restore the
+            # marker and skip the re-apply
+            _write_marker(marker)
             return
         if batch_df.isEmpty():
             return
@@ -148,11 +165,11 @@ def make_scd2_batch_merger(
             new_state = scd2.merge(store.read(entity), batch_df, spec, pdate)
         else:
             new_state = scd2.initial_load(batch_df, spec, pdate)
-        store.write(entity, new_state)
+        store.write(
+            entity, new_state, applied_batch=batch_id if skip_applied else None
+        )
         if skip_applied:
-            os.makedirs(ledger, exist_ok=True)
-            with open(marker, "w"):
-                pass
+            _write_marker(marker)
 
     return _merge
 

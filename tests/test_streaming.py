@@ -341,3 +341,49 @@ def test_scd2_batch_merger_opt_out_keeps_old_behavior(spark, tmp_path):
     merger(batch, 0)  # deterministic default date: idempotent merge
     state = store.read("users").collect()
     assert len(state) == 1 and state[0]["is_current"]
+
+
+def test_scd2_batch_merger_crash_between_commit_and_marker(spark, tmp_path):
+    """The r08 residual risk, now closed: a crash AFTER the state
+    commit but BEFORE the marker write re-delivers the batch, and a
+    wall-clock date function would have double-versioned it.  The
+    commit carries the batch id in the same atomic rename, so replay
+    detects the state's own epoch, restores the marker, and skips."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import scd2
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import ingest
+
+    store = SilverStore(spark, str(tmp_path / "store"))
+    spec = scd2.Scd2Spec(keys=["user_id"])
+    dates = iter(["2026-01-01", "2026-02-01", "2026-03-01"])
+    merger = ingest.make_scd2_batch_merger(
+        store, "users", spec, processing_date_fn=lambda b: next(dates)
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "user_id long, plan string"
+    )
+    merger(batch, 0)
+    marker = os.path.join(
+        str(tmp_path / "store"), "silver", "users__applied", "batch-0"
+    )
+    assert os.path.exists(marker)
+    assert store.last_applied("users") == 0
+
+    # simulate the crash window: commit survived, marker did not
+    os.remove(marker)
+    merger(batch, 0)  # replay — wall-clock date fn would differ
+    state = store.read("users").collect()
+    assert len(state) == 2 and all(r["is_current"] for r in state), (
+        "replay after crash must not double-version"
+    )
+    assert os.path.exists(marker), "replay must restore the marker"
+
+    # and the pipeline still moves on to genuinely new batches
+    merger(
+        spark.createDataFrame([(1, "gamma")], "user_id long, plan string"),
+        1,
+    )
+    assert store.read("users").count() == 3
+    assert store.last_applied("users") == 1
