@@ -6,6 +6,13 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The driver records only the LAST 2000 characters of bench output, so
+the printed line is kept compact: per-query keys are the bare "qNN"
+prefix, times are 2-decimal min-of-N, the summary fields come last,
+and the per-run raw timings (which tripled the line and pushed the
+first third of the per-query dict out of the official BENCH_r08
+artifact) go to ``BENCH_detail_local.json`` instead of stdout.
+
 Each query is executed to completion with a count-collapsing action
 (``df.write.format("noop")`` keeps full execution without driver
 materialization cost).
@@ -130,16 +137,44 @@ def main() -> None:
             runs[name].append(round(time.perf_counter() - t0, 3))
     timings = {name: min(ts) for name, ts in runs.items()}
 
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full-name timings + raw per-run data live in the local detail
+    # file; the printed line keeps the short keys so all ~60 entries
+    # survive the driver's 2000-char tail window
+    detail = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "runs": runs,
         "per_query": f"min_of_{n_runs}",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    print(json.dumps(out))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_detail_local.json"), "w"
+    ) as fh:
+        json.dump(detail, fh)
+
+    compact = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    assert len(compact) == len(timings), "qNN prefixes must stay unique"
+    out = {
+        "queries": compact,
+        "per_query": f"min_of_{n_runs}",
+        "sf": sf_val,
+        "metric": "headline_queries_total_wall_clock",
+        "unit": "sec",
+        "value": round(sum(timings.values()), 3),
+    }
+    line = json.dumps(out)
+    if len(line) > 1900:  # belt-and-braces: never exceed the window
+        out["queries"] = {
+            k: round(v) for k, v in sorted(
+                compact.items(), key=lambda kv: -kv[1]
+            )
+        }
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 
