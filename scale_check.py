@@ -19,8 +19,8 @@ The 10x corpus preserves the distribution that matters:
   into giant cross-copy components.  Cluster size stays O(1), count
   grows O(n): the shape a real 10x crawl has.
 
-Usage: ``python scale_check.py [copies] [docs|ann|stream|all]`` (default
-10, all).  Prints one JSON line; paste the ratios into BASELINE.md.
+Usage: ``python scale_check.py [copies] [docs|ann|tpch|stream|all]``
+(default 10, all).  Prints one JSON line; paste the ratios into BASELINE.md.
 Data goes to a pid-scoped scratch dir (removed at exit), never into
 /root/testdata.
 """
@@ -52,6 +52,22 @@ QUERIES = (
     "q95_boilerplate_stats",
     "q96_source_divergence",
     "q97_novelty_filter",
+    # round-9 additions — the wave tail: media decode walks, the
+    # triangle diagnostic, and the mergeable sketches (where the
+    # two-level KMV construction proves itself at 10x)
+    "q98_audio_frame_energy",
+    "q99_triangle_counts",
+    "q102_video_frame_sample",
+    "q103_mergeable_sketches",
+)
+
+#: TPC-H-style correlated subqueries scale on the FACT tables: the
+#: 10x corpus multiplies lineitem/orders (new order keys over the
+#: same part/supplier catalog — more transactions, same dims), which
+#: is the axis that grows at 100 TB.
+TPCH_QUERIES = (
+    "q100_cheapest_regional_supplier",
+    "q101_sole_late_supplier",
 )
 
 
@@ -99,6 +115,30 @@ def make_scaled_embeddings(src_dir: str, dst_dir: str, copies: int) -> None:
     pd.concat(out, ignore_index=True).to_parquet(
         os.path.join(dst_dir, "embeddings.parquet"), index=False
     )
+
+
+def make_scaled_tpch(src_dir: str, dst_dir: str, copies: int) -> None:
+    """10x fact tables for q100/q101: copy c offsets the order keys
+    (consistently across lineitem and orders, so the q101 per-order
+    EXISTS logic sees each copy as genuinely new orders) while part /
+    supplier / nation / region stay fixed — the more-transactions-
+    over-the-same-catalog shape a growing warehouse has.  Dim tables
+    are symlinked in unchanged."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        base = pd.read_parquet(os.path.join(src_dir, f"{t}.parquet"))
+        out = []
+        for c in range(copies):
+            cp = base.copy()
+            cp[key] = cp[key] + c * 10_000_000_000
+            out.append(cp)
+        pd.concat(out, ignore_index=True).to_parquet(
+            os.path.join(dst_dir, f"{t}.parquet"), index=False
+        )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        dst = os.path.join(dst_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
 
 
 def time_ann_family(spark, sf_dir: str, scaled_dir: str, copies: int) -> dict:
@@ -288,12 +328,14 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
     }
 
 
-def time_queries(spark, sf_dir: str, runs: int = 2) -> dict[str, float]:
+def time_queries(
+    spark, sf_dir: str, runs: int = 2, names=QUERIES
+) -> dict[str, float]:
     from hospital_data_engineering_pipeline_end_to_end_project_spark.plans import registry
 
     qs = registry.queries()
     out = {}
-    for name in QUERIES:
+    for name in names:
         best = float("inf")
         for _ in range(runs):
             t0 = time.monotonic()
@@ -315,6 +357,8 @@ def main() -> None:
         make_scaled_documents(SF_DIR, scaled_dir, copies)
     if family in ("ann", "all"):
         make_scaled_embeddings(SF_DIR, scaled_dir, copies)
+    if family in ("tpch", "all"):
+        make_scaled_tpch(SF_DIR, scaled_dir, copies)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -331,6 +375,14 @@ def main() -> None:
         out["scaled_sec"] = scaled
         out["growth_ratio"] = {
             q: round(scaled[q] / base[q], 2) for q in QUERIES
+        }
+    if family in ("tpch", "all"):
+        t_base = time_queries(spark, SF_DIR, names=TPCH_QUERIES)
+        t_scaled = time_queries(spark, scaled_dir, names=TPCH_QUERIES)
+        out["tpch_base_sec"] = t_base
+        out["tpch_scaled_sec"] = t_scaled
+        out["tpch_growth_ratio"] = {
+            q: round(t_scaled[q] / t_base[q], 2) for q in TPCH_QUERIES
         }
     if family in ("ann", "all"):
         out["ann_family"] = time_ann_family(spark, SF_DIR, scaled_dir, copies)
