@@ -637,23 +637,28 @@ def boilerplate_stats(
     structure).  A doc made of navigation chrome / license headers
     scores near 1; original prose near 0.
 
-    Document frequency comes from ``groupBy(s).count()`` joined back
-    to the exploded stream — NOT a ``count(*) OVER (PARTITION BY s)``
-    window (the r08 shape): boilerplate shingles are by definition
-    the hottest keys in the corpus, a window partition cannot be
-    split, so at 100 TB one license-header shingle would be billions
-    of rows in a single task.  The groupBy's map-side partial
-    aggregation absorbs the hot key before the shuffle, and the join
-    back is an equi-join AQE skew handling CAN split (the count side
-    of a hot key is one row).  Values are identical to the window
-    formulation, so the q95 oracle replays the window SQL unchanged.
+    Document frequency comes from ``groupBy(s).count()`` — NOT a
+    ``count(*) OVER (PARTITION BY s)`` window (the r08 shape):
+    boilerplate shingles are by definition the hottest keys in the
+    corpus, a window partition cannot be split, so at 100 TB one
+    license-header shingle would be billions of rows in a single
+    task.  The groupBy's map-side partial aggregation absorbs the hot
+    key before the shuffle.  Only the HOT shingle set (df >=
+    ``hot_df`` — small by the boilerplate definition) flows back:
+    per-doc hot counts come from a left-semi join of the stream
+    against it (AQE-splittable, broadcastable when small), per-doc
+    totals from a plain doc-keyed count, and the two doc-sized
+    aggregates join at the end — the full per-shingle count frame is
+    never attached to the exploded rows.  Values are identical to the
+    window formulation, so the q95 oracle replays the window SQL
+    unchanged.
 
-    The exploded stream feeds two consumers (the df counts and the
-    join back), so it is materialized once per ``materialize_mode``
-    (``operators/materialize.py`` — pass ``"lazy"`` to trade a second
-    shingling pass for zero intermediate storage at extreme scale).
-    Docs shorter than ``shingle_n`` tokens emit no shingles and are
-    absent from the output (no ratio to report).
+    The exploded stream feeds three consumers (df counts, the
+    semi-probe, per-doc totals), so it is materialized once per
+    ``materialize_mode`` (``operators/materialize.py`` — pass
+    ``"lazy"`` to trade re-shingling for zero intermediate storage at
+    extreme scale).  Docs shorter than ``shingle_n`` tokens emit no
+    shingles and are absent from the output (no ratio to report).
     """
     from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
@@ -666,19 +671,32 @@ def boilerplate_stats(
         ),
     )
     ex = materialize(ex, materialize_mode)
-    counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
-    ex = ex.join(counts, "s")
-    return ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.when(F.col("__df") >= hot_df, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hot"),
-        F.round(
-            F.sum(F.when(F.col("__df") >= hot_df, 1).otherwise(0))
-            .cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("boilerplate_ratio"),
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= hot_df)
+        .select("s")
+    )
+    totals = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hots = (
+        ex.join(hot, "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nh"))
+    )
+    return (
+        totals.join(hots, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce(F.col("__nh"), F.lit(0)).cast("long").alias("n_hot"),
+            F.round(
+                F.coalesce(F.col("__nh"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
     )
 
 
