@@ -98,6 +98,10 @@ HEADLINE = [
     "q101_sole_late_supplier",
     "q102_video_frame_sample",
     "q103_mergeable_sketches",
+    # round-9 additions: exact-substring passage coverage and
+    # asymmetric containment
+    "q104_passage_dup_coverage",
+    "q105_containment_pairs",
 ]
 
 

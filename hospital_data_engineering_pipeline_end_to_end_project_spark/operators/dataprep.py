@@ -700,6 +700,107 @@ def boilerplate_stats(
     )
 
 
+def duplicated_passage_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_k: int = 5,
+    min_count: int = 2,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """Per-document duplicated-PASSAGE coverage: the fraction of a
+    doc's token positions covered by at least one k-token gram that
+    occurs ``min_count``-or-more times in the corpus — the
+    exact-substring-duplication signal (the span-level complement of
+    doc-level MinHash: it localizes how much of each doc is verbatim
+    repeated text, which is what actually gets memorized).
+
+    Unlike :func:`boilerplate_stats` (fraction of DISTINCT shingles
+    that are corpus-hot), this measures POSITIONAL coverage with
+    overlapping grams: every occurrence keeps its offset, duplicated
+    occurrences become intervals ``[pos, pos + k)``, and per-doc
+    coverage is the exact interval-union length — two abutting or
+    overlapping duplicated passages never double-count.
+
+    Plan shape (same de-skew grammar as ``boilerplate_stats``): one
+    positional gram explode, ``groupBy(g).count()`` for corpus
+    frequency (map-side combine absorbs hot grams — never a window
+    over the gram), a left-semi probe to keep duplicated occurrences,
+    then the interval union per doc via a bounded per-DOC window
+    (running max of interval ends over preceding rows; partition size
+    is one document's gram count).  All arithmetic is integer until
+    the single final division, so the DuckDB oracle replays
+    bit-for-bit.  Docs shorter than ``gram_k`` tokens emit no grams
+    and are absent from the output.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    toks = docs.select(
+        F.col(id_col), TX.tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= gram_k)
+    grams = (
+        fan_out(toks, by=id_col)
+        .select(
+            F.col(id_col),
+            F.size("__t").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__t) - {gram_k}), i -> "
+                    f"struct(i AS pos, concat_ws(' ', slice(__t, i + 1, {gram_k})) AS g))"
+                )
+            ).alias("__e"),
+        )
+        .select(id_col, "n_tokens", "__e.pos", "__e.g")
+    )
+    grams = materialize(grams, materialize_mode)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("g")
+    )
+    cov = grams.join(dup, "g", "left_semi")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + gram_k
+    covered = (
+        cov.withColumn("__prev_e", F.max(F.col("pos") + gram_k).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    end
+                    - F.greatest(
+                        F.coalesce(F.col("__prev_e"), F.col("pos")),
+                        F.col("pos"),
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("__cov")
+        )
+    )
+    totals = toks.select(
+        F.col(id_col), F.size("__t").cast("long").alias("n_tokens")
+    )
+    return totals.join(covered, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("__cov"), F.lit(0)).alias("n_dup_tokens"),
+        F.round(
+            F.coalesce(F.col("__cov"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
 def source_divergence(
     docs: DataFrame,
     group_col: str,

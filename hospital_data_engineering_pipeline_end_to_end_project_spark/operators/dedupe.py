@@ -201,31 +201,21 @@ def jaccard_pairs(
     )
 
 
-def jaccard_within_key(
+def _sparse_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     key_col: str,
-    shingle_n: int = 3,
-    df_max: int | None = None,
-    materialize_mode: str = "eager",
+    shingle_n: int,
+    df_max: int | None,
+    materialize_mode: str,
 ) -> DataFrame:
-    """All within-key pair Jaccard similarities via sparse-set
-    intersection: explode distinct shingles, equi-join on
-    (key, shingle), count shared shingles per pair, derive the union
-    from per-doc set sizes.  Only intersecting pairs materialize, and
-    work scales with shingle co-occurrence — the corpus-scale
-    formulation (the array-intersect cross-pair form ships whole
-    shingle arrays through the join and compares them pairwise).
-
-    ``df_max`` caps per-key shingle document frequency: a shingle
-    shared by d docs fans out d^2/2 join rows, so one hot boilerplate
-    shingle is a quadratic blow-up on its key.  Capping drops such
-    shingles from the intersection (per-doc set sizes keep counting
-    them), the standard MinHash-pipeline trade: jaccard is slightly
-    under-counted for pairs sharing capped shingles, and pairs whose
-    ONLY shared shingles are capped disappear.  ``None`` = exact.
-    """
+    """Shared sparse-set intersection pipeline of
+    :func:`jaccard_within_key` and :func:`containment_pairs`:
+    ``(id_a, id_b, n_inter, n_a, n_b)`` for every within-key doc pair
+    with at least one shared (surviving) shingle — id_a < id_b, set
+    sizes counted BEFORE any pruning.  See the public wrappers for
+    the measure semantics and the ``df_max`` trade."""
     exploded = fan_out(df.select(id_col, key_col, text_col), by=id_col).select(
         F.col(id_col),
         F.col(key_col),
@@ -276,6 +266,37 @@ def jaccard_within_key(
             F.min("b.n_sh").alias("n_b"),
         )
     )
+    return inter
+
+
+def jaccard_within_key(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_col: str,
+    shingle_n: int = 3,
+    df_max: int | None = None,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """All within-key pair Jaccard similarities via sparse-set
+    intersection: explode distinct shingles, equi-join on
+    (key, shingle), count shared shingles per pair, derive the union
+    from per-doc set sizes.  Only intersecting pairs materialize, and
+    work scales with shingle co-occurrence — the corpus-scale
+    formulation (the array-intersect cross-pair form ships whole
+    shingle arrays through the join and compares them pairwise).
+
+    ``df_max`` caps per-key shingle document frequency: a shingle
+    shared by d docs fans out d^2/2 join rows, so one hot boilerplate
+    shingle is a quadratic blow-up on its key.  Capping drops such
+    shingles from the intersection (per-doc set sizes keep counting
+    them), the standard MinHash-pipeline trade: jaccard is slightly
+    under-counted for pairs sharing capped shingles, and pairs whose
+    ONLY shared shingles are capped disappear.  ``None`` = exact.
+    """
+    inter = _sparse_pair_counts(
+        df, id_col, text_col, key_col, shingle_n, df_max, materialize_mode
+    )
     return inter.select(
         "id_a",
         "id_b",
@@ -284,6 +305,54 @@ def jaccard_within_key(
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
             6,
         ).alias("jaccard"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_col: str,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    df_max: int | None = None,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """Asymmetric near-duplication: shingle-set containment
+    ``C = |S_a ∩ S_b| / min(|S_a|, |S_b|)`` — the quote-inclusion /
+    subset-document signal symmetric Jaccard systematically misses
+    (a short doc fully embedded in a long one has
+    ``J = |S_small| / |S_big| ~ 0`` but ``C = 1``; the classic
+    example is a paragraph quoted inside an article, or a README
+    pasted into a monorepo dump).  Standard corpus-curation
+    diagnostic alongside MinHash Jaccard.
+
+    Same sparse-intersection pipeline (and ``df_max`` hot-shingle
+    trade) as :func:`jaccard_within_key`; only the final measure
+    differs.  Returns ``(id_contained, id_container, containment)``
+    for pairs at or above ``threshold``, oriented so ``id_contained``
+    is the doc with the SMALLER shingle set (ties keep the lower id
+    first — deterministic).
+    """
+    inter = _sparse_pair_counts(
+        df, id_col, text_col, key_col, shingle_n, df_max, materialize_mode
+    )
+    small_first = F.col("n_a") <= F.col("n_b")
+    return (
+        inter.select(
+            F.when(small_first, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_contained"),
+            F.when(small_first, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_container"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

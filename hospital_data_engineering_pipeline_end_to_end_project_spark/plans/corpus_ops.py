@@ -1,4 +1,4 @@
-"""Corpus-curation query catalog (q94-q97, round 8).
+"""Corpus-curation query catalog (q94-q105, rounds 8-9).
 
 Second wave of LLM-data-pipeline extensions over ``documents``
 (complement-of-reference: the reference pipeline has none of these —
@@ -12,6 +12,12 @@ SURVEY.md §2 inventories its surface as cleanse + SCD2 + star gold):
   the corpus token distribution, integer-exact reduction
 - q97 incremental-ingest novelty — batch-vs-corpus SimHash membership
   (the admit/reject gate a growing corpus runs per crawl shard)
+- q98/q102 audio & video decode walks, q99 triangle diagnostic,
+  q103 mergeable KMV sketches (round 8, see sections below)
+- q104 duplicated-passage coverage — positional exact-substring
+  duplication with exact interval-union coverage per doc (round 9)
+- q105 shingle-containment pairs — asymmetric near-dup (quote
+  inclusion) over the shared sparse-intersection pipeline (round 9)
 
 Every query has a bit-exact DuckDB oracle; the exactness arguments
 live on the operators (``operators/dataprep.py``,
@@ -412,6 +418,119 @@ UNION ALL SELECT scope, approx_distinct FROM direct
 """
 
 
+# ---------------------------------------------------------------------------
+# q104 — duplicated-passage coverage (exact-substring dedup signal)
+#
+# Span-level complement of doc-level MinHash: positional k-gram
+# explode, groupBy corpus frequency (map-side combine, never a window
+# over the gram), left-semi probe, exact interval-union coverage per
+# doc via a bounded per-doc window.  Integer arithmetic until one
+# final division (operators/dataprep.py:duplicated_passage_stats).
+# ---------------------------------------------------------------------------
+
+Q104_K = 5
+Q104_MIN_COUNT = 2
+
+
+def q104_passage_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.duplicated_passage_stats(
+        d, "doc_id", "text", gram_k=Q104_K, min_count=Q104_MIN_COUNT
+    )
+
+
+Q104_SQL = f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS n_tokens, t
+  FROM (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= {Q104_K}
+),
+ex AS (
+  SELECT doc_id, n_tokens,
+         unnest([{{'pos': i,
+                   'g': array_to_string(t[i+1:i+{Q104_K}], ' ')}}
+                 FOR i IN range(len(t) - {Q104_K - 1})]) AS e
+  FROM base
+),
+pos_g AS (SELECT doc_id, e.pos AS pos, e.g AS g FROM ex),
+dup AS (SELECT g FROM pos_g GROUP BY g HAVING count(*) >= {Q104_MIN_COUNT}),
+cov AS (
+  SELECT doc_id, pos,
+         max(pos + {Q104_K}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+  FROM pos_g WHERE g IN (SELECT g FROM dup)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(GREATEST(0, pos + {Q104_K}
+                           - GREATEST(COALESCE(prev_e, pos), pos)))
+              AS BIGINT) AS covered
+  FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(a.covered, 0) AS n_dup_tokens,
+       round(CAST(COALESCE(a.covered, 0) AS DOUBLE) / b.n_tokens, 6)
+         AS dup_ratio
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q105 — shingle-containment pairs (asymmetric near-dup)
+#
+# C = |S_a ∩ S_b| / min(|S_a|, |S_b|): the quote-inclusion signal
+# symmetric Jaccard misses.  Same sparse-intersection pipeline (and
+# q26's hot-shingle df cap) as jaccard_within_key — only the measure
+# differs (operators/dedupe.py:containment_pairs).
+# ---------------------------------------------------------------------------
+
+Q105_THRESHOLD = 0.5
+Q105_DF_MAX = 64
+
+
+def q105_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.containment_pairs(
+        d,
+        "doc_id",
+        "text",
+        "source",
+        threshold=Q105_THRESHOLD,
+        shingle_n=3,
+        df_max=Q105_DF_MAX,
+    )
+
+
+Q105_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(t[i+1:i+3], ' ')
+                        FOR i IN range(len(t) - 2)]) AS sh
+  FROM (SELECT doc_id, source, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, source, unnest(sh) AS s, len(sh) AS n_sh FROM sh),
+kept AS (
+  SELECT *, count(*) OVER (PARTITION BY source, s) AS df
+  FROM ex QUALIFY df > 1 AND df <= {Q105_DF_MAX}
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter,
+         min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
+  FROM kept a JOIN kept b
+    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_contained,
+         CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_container,
+         round(CAST(n_inter AS DOUBLE) / LEAST(n_a, n_b), 6) AS containment
+  FROM inter
+) WHERE containment >= {Q105_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -421,6 +540,8 @@ QUERIES = {
     "q99_triangle_counts": q99_triangle_counts,
     "q102_video_frame_sample": q102_video_frame_sample,
     "q103_mergeable_sketches": q103_mergeable_sketches,
+    "q104_passage_dup_coverage": q104_passage_dup_coverage,
+    "q105_containment_pairs": q105_containment_pairs,
 }
 
 ORACLES = {
@@ -432,4 +553,6 @@ ORACLES = {
     "q99_triangle_counts": Q99_SQL,
     "q102_video_frame_sample": Q102_SQL,
     "q103_mergeable_sketches": Q103_SQL,
+    "q104_passage_dup_coverage": Q104_SQL,
+    "q105_containment_pairs": Q105_SQL,
 }

@@ -35,11 +35,13 @@ def _modules():
     # freshest row predates the change: q61/q70/q79/q83/q93 — CC
     # pointer jumping; q86 — simhash refactor; q84/q85 — image
     # synthesis refactor; q90 — parallelized z-order write) and
-    # data_prep (the q50–q57 r07 wave).  That is 53 candidates for 50
-    # slots, so _GATE_BACK demotes the 3 with the freshest rows AND
-    # unchanged code: q87/q88 (official r08 rows) and
-    # q68_orc_roundtrip (r07, untouched since).  q42–q45 (r07 rows,
-    # unchanged) stay outside as the next rotation's filler.
+    # data_prep (the q50–q57 r07 wave).  With the two round-9
+    # additions (q104/q105, in-window on arrival — the r08 lesson)
+    # and the q26 pin that is 56 candidates for 50 slots, so
+    # _GATE_BACK demotes the 3 with the freshest rows AND unchanged
+    # code — q87/q88 (official r08 rows) and q68_orc_roundtrip (r07,
+    # untouched since) — and the window cut drops q55–q57 (r07 rows,
+    # unchanged code; next rotation's filler along with q42–q45).
     # Every query keeps its oracle regardless of position — the full
     # catalog is attested end-to-end by tests/test_oracle_parity.py
     # in every pytest run.
@@ -70,13 +72,16 @@ def _modules():
 #: (ADVICE r08 high — rounding-boundary pairs could be dropped) and
 #: q49's KMV construction was rewritten two-level (value-identical,
 #: but the code changed) — both live in llm_ops, outside the rotated
-#: window.  q103 (same KMV change) and q95/q99/q102 (de-skewed
-#: boilerplate, degree-capped triangles, all-or-nothing video decode)
-#: also changed this round but already sit inside the corpus_ops
-#: window.
+#: window.  q26 shares the sparse-intersection pipeline refactored
+#: this round into ``_sparse_pair_counts`` (now also feeding the new
+#: q105 containment_pairs).  q103 (same KMV change) and q95/q99/q102
+#: (de-skewed boilerplate, degree-capped triangles, all-or-nothing
+#: video decode) also changed this round but already sit inside the
+#: corpus_ops window.
 _GATE_FRONT = (
     "q31_embedding_near_dups",
     "q49_sketch_stats",
+    "q26_jaccard_pairs",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):

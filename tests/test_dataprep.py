@@ -430,3 +430,67 @@ def test_source_divergence_detects_disjoint_vocab(spark):
     # each source: its token is 100% local vs 50% global, plus the
     # other token 0% vs 50% -> TVD = 0.5
     assert out["a"] == pytest.approx(0.5) and out["b"] == pytest.approx(0.5)
+
+
+def test_duplicated_passage_coverage_interval_union(spark):
+    """q104 semantics on a planted case: overlapping duplicated grams
+    must union (never double-count), clean docs score 0, a fully
+    duplicated doc scores 1, and docs shorter than the gram are
+    absent."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "intro text then the quick brown fox jumps over the lazy dog here"),
+        (3, "completely unrelated text about shuffles and joins on clusters"),
+        (4, "the quick brown fox jumps"),
+        (5, "tiny doc"),  # < gram_k tokens: absent
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dataprep.duplicated_passage_stats(
+            d, "doc_id", "text", gram_k=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: grams at 0..4 duplicated -> covers tokens 0..8 = 9 of 12
+    assert out[1]["n_dup_tokens"] == 9
+    assert out[1]["dup_ratio"] == 0.75
+    # doc 2 shares the same 9-token passage at offset 3
+    assert out[2]["n_dup_tokens"] == 9
+    assert out[3]["n_dup_tokens"] == 0 and out[3]["dup_ratio"] == 0.0
+    assert out[4]["dup_ratio"] == 1.0
+
+    # abutting intervals: doc pair sharing two disjoint passages
+    rows2 = [
+        (10, "alpha beta gamma delta eps one two three four five filler x"),
+        (11, "alpha beta gamma delta eps other words here one two three four five"),
+    ]
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {
+        r["doc_id"]: r
+        for r in dataprep.duplicated_passage_stats(
+            d2, "doc_id", "text", gram_k=5
+        ).collect()
+    }
+    assert out2[10]["n_dup_tokens"] == 10  # two 5-token passages
+    assert out2[11]["n_dup_tokens"] == 10
+
+
+def test_duplicated_passage_no_gram_window(spark):
+    """q104's corpus gram frequency must come from groupBy (map-side
+    combine), never a window partitioned by the gram — the same
+    hot-key rule as q95; only the bounded per-DOC window may appear."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f z")], "doc_id long, text string"
+    )
+    out = dataprep.duplicated_passage_stats(d, "doc_id", "text", gram_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window node must partition by the doc id, none by the gram
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "doc_id" in spec, f"gram-partitioned window in plan:\n{plan}"

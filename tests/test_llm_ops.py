@@ -948,3 +948,33 @@ def test_video_corrupt_payload_all_or_nothing(spark):
         [(6, bytearray(clean[:-3]))], "media_id long, payload binary"
     )
     assert multimodal.video_frame_dims(trunc).count() == 0
+
+
+def test_containment_pairs_planted(spark):
+    """q105 semantics: a short doc verbatim inside a long one scores
+    containment 1.0 even though its Jaccard is low; orientation puts
+    the smaller shingle set first; unrelated docs never pair."""
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog while the cat "
+                 "watches from the windowsill and many other words follow "
+                 "in a long tail of filler content here"),
+        (2, "a", "the quick brown fox jumps over the lazy dog"),
+        (3, "a", "completely different text about spark and shuffles"),
+        (4, "b", "the quick brown fox jumps over the lazy dog"),  # other key
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in dedupe.containment_pairs(
+            d, "doc_id", "text", "src", threshold=0.9
+        ).collect()
+    }
+    assert got == {(2, 1): 1.0}, got
+    # jaccard for the same pair is far below the containment
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedupe.jaccard_within_key(
+            d, "doc_id", "text", "src"
+        ).collect()
+    }
+    assert j[(1, 2)] < 0.5
