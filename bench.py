@@ -102,6 +102,7 @@ HEADLINE = [
     # asymmetric containment
     "q104_passage_dup_coverage",
     "q105_containment_pairs",
+    "q106_sketch_overlap",
 ]
 
 

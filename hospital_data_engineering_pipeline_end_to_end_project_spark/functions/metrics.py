@@ -163,6 +163,97 @@ def kmv_bottom_k(
     )
 
 
+def kmv_pair_overlap(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups, computed from
+    their bottom-k sketches ALONE — the cross-shard diagnostic a
+    100 TB corpus runs without rescanning raw data: each shard ships
+    ``k`` hash rows, and every pairwise distinct/union/intersection/
+    Jaccard estimate derives from sketch algebra.
+
+    For each group pair (a < b): union the two sketch row sets (a
+    value present in both carries the same md5 hash, so plain
+    ``distinct`` dedupes it), re-rank to bottom-k — by the
+    mergeability identity this IS the union's sketch — and estimate
+    ``|A ∪ B|``; then ``|A ∩ B| = |A| + |B| - |A ∪ B|`` by
+    inclusion-exclusion (clamped at 0 — estimator noise can push the
+    difference negative) and ``J = |A ∩ B| / |A ∪ B|``.  Every
+    quantity is integer until the single final division, so the
+    DuckDB oracle replays bit-for-bit; when both groups hold fewer
+    than k distinct values the sketches ARE the full sets and every
+    number is exact.
+
+    Scale shape: per-group estimates reuse :func:`kmv_estimate`; the
+    pair frame is |groups|² rows (groups = shards/sources — small by
+    definition) joined against the sketch frame (≤ groups x k rows),
+    and each pair's re-rank window holds at most 2k rows.  Returns
+    ``(group_a, group_b, est_a, est_b, est_union, est_inter,
+    jaccard_est)``.
+    """
+    ga, gb = "group_a", "group_b"
+    est = kmv_estimate(sketch, [group_col], k)
+    gs = sketch.select(F.col(group_col).alias("__g")).distinct()
+    pairs = (
+        gs.select(F.col("__g").alias(ga))
+        .join(gs.select(F.col("__g").alias(gb)), F.col(ga) < F.col(gb))
+    )
+    both = (
+        pairs.join(
+            sketch.select(F.col(group_col).alias(ga), "h"), ga
+        )
+        .select(ga, gb, "h")
+        .unionByName(
+            pairs.join(
+                sketch.select(F.col(group_col).alias(gb), "h"), gb
+            ).select(ga, gb, "h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(ga, gb).orderBy("h")
+    ranked = both.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    union_est = ranked.groupBy(ga, gb).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    ).select(
+        ga,
+        gb,
+        F.when(F.col("nd") < k, F.col("nd"))
+        .otherwise(F.floor((k - 1) / F.col("hk")))
+        .cast("long")
+        .alias("est_union"),
+    )
+    ea = est.select(
+        F.col(group_col).alias(ga), F.col("approx_distinct").alias("est_a")
+    )
+    eb = est.select(
+        F.col(group_col).alias(gb), F.col("approx_distinct").alias("est_b")
+    )
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+    )
+    return (
+        union_est.join(F.broadcast(ea), ga)
+        .join(F.broadcast(eb), gb)
+        .select(
+            ga,
+            gb,
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_inter"),
+            F.round(
+                inter.cast("double") / F.col("est_union"), 6
+            ).alias("jaccard_est"),
+        )
+    )
+
+
 def kmv_estimate(
     sketch: DataFrame,
     group_cols: list[str],

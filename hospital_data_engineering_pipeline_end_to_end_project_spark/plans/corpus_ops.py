@@ -1,4 +1,4 @@
-"""Corpus-curation query catalog (q94-q105, rounds 8-9).
+"""Corpus-curation query catalog (q94-q106, rounds 8-9).
 
 Second wave of LLM-data-pipeline extensions over ``documents``
 (complement-of-reference: the reference pipeline has none of these —
@@ -18,6 +18,8 @@ SURVEY.md §2 inventories its surface as cleanse + SCD2 + star gold):
   duplication with exact interval-union coverage per doc (round 9)
 - q105 shingle-containment pairs — asymmetric near-dup (quote
   inclusion) over the shared sparse-intersection pipeline (round 9)
+- q106 sketch-only cross-source overlap — pairwise distinct/union/
+  intersection/Jaccard from KMV sketch algebra alone (round 9)
 
 Every query has a bit-exact DuckDB oracle; the exactness arguments
 live on the operators (``operators/dataprep.py``,
@@ -531,6 +533,106 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q106 — sketch-only cross-source overlap (KMV set algebra)
+#
+# The cross-shard diagnostic a 100 TB corpus runs WITHOUT rescanning
+# raw data: every source ships k hash rows (the q103 sketches), and
+# all pairwise distinct/union/intersection/Jaccard estimates derive
+# from sketch algebra — union via the mergeability re-rank,
+# intersection via inclusion-exclusion.  Integer until one final
+# division (functions/metrics.py:kmv_pair_overlap).
+# ---------------------------------------------------------------------------
+
+
+def q106_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import metrics, text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d.select("source", "text")).select(
+        "source",
+        F.explode(F.array_distinct(TX.shingles("text", 3))).alias("t"),
+    )
+    # the sketch feeds per-source estimates AND both sides of the
+    # pair union (three consumers) — materialize the parts x k rows
+    sk = metrics.kmv_bottom_k(tok, ["source"], "t", k=Q103_K).localCheckpoint()
+    return metrics.kmv_pair_overlap(sk, "source", k=Q103_K)
+
+
+Q106_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_shingles_sql(3)}) AS t
+  FROM (SELECT source, {TOKS_SQL} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT source, t,
+         CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)
+           / 4503599627370496e0 AS h
+  FROM tok
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {Q103_K}
+),
+est AS (
+  SELECT source,
+         CAST(CASE WHEN count(*) < {Q103_K} THEN count(*)
+              ELSE floor({Q103_K - 1} /
+                         max(CASE WHEN rn = {Q103_K} THEN h END))
+              END AS BIGINT) AS approx_distinct
+  FROM (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM (SELECT DISTINCT source, h FROM sk))
+  WHERE rn <= {Q103_K}
+  GROUP BY source
+),
+gs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b
+  FROM gs a JOIN gs b ON a.source < b.source
+),
+uni AS (
+  SELECT DISTINCT group_a, group_b, h FROM (
+    SELECT p.group_a, p.group_b, s.h
+    FROM pairs p JOIN sk s ON s.source = p.group_a
+    UNION ALL
+    SELECT p.group_a, p.group_b, s.h
+    FROM pairs p JOIN sk s ON s.source = p.group_b
+  )
+),
+uest AS (
+  SELECT group_a, group_b,
+         CAST(CASE WHEN count(*) < {Q103_K} THEN count(*)
+              ELSE floor({Q103_K - 1} /
+                         max(CASE WHEN rn = {Q103_K} THEN h END))
+              END AS BIGINT) AS est_union
+  FROM (SELECT group_a, group_b, h,
+               row_number() OVER (PARTITION BY group_a, group_b
+                                  ORDER BY h) AS rn
+        FROM uni)
+  WHERE rn <= {Q103_K}
+  GROUP BY group_a, group_b
+)
+SELECT u.group_a, u.group_b,
+       ea.approx_distinct AS est_a,
+       eb.approx_distinct AS est_b,
+       u.est_union,
+       CAST(GREATEST(0, ea.approx_distinct + eb.approx_distinct
+                        - u.est_union) AS BIGINT) AS est_inter,
+       round(CAST(GREATEST(0, ea.approx_distinct + eb.approx_distinct
+                              - u.est_union) AS DOUBLE)
+             / u.est_union, 6) AS jaccard_est
+FROM uest u
+JOIN est ea ON ea.source = u.group_a
+JOIN est eb ON eb.source = u.group_b
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -542,6 +644,7 @@ QUERIES = {
     "q103_mergeable_sketches": q103_mergeable_sketches,
     "q104_passage_dup_coverage": q104_passage_dup_coverage,
     "q105_containment_pairs": q105_containment_pairs,
+    "q106_sketch_overlap": q106_sketch_overlap,
 }
 
 ORACLES = {
@@ -555,4 +658,5 @@ ORACLES = {
     "q103_mergeable_sketches": Q103_SQL,
     "q104_passage_dup_coverage": Q104_SQL,
     "q105_containment_pairs": Q105_SQL,
+    "q106_sketch_overlap": Q106_SQL,
 }

@@ -138,3 +138,46 @@ def test_two_level_kmv_bit_identical_to_one_level(spark):
     assert "__salt" in plan, "full-stream window must be salt-partitioned"
     first_window = plan[plan.rindex("Window") :]  # innermost = raw stream
     assert "__salt" in first_window.split("\n")[0]
+
+
+def test_kmv_pair_overlap_exact_below_k(spark):
+    """Sketch-only pairwise overlap: when both groups hold fewer than
+    k distinct values the sketches ARE the sets, so union /
+    intersection / Jaccard estimates are exact; the estimator path is
+    sanity-checked against truth at small k."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import metrics
+
+    rows = (
+        [("A", f"v{i}") for i in range(60)]
+        + [("B", f"v{i}") for i in range(40, 120)]
+        + [("C", f"w{i}") for i in range(30)]
+    )
+    d = spark.createDataFrame(rows, "g string, v string")
+    sk = metrics.kmv_bottom_k(d, ["g"], "v", k=128)
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in metrics.kmv_pair_overlap(sk, "g", k=128).collect()
+    }
+    ab = got[("A", "B")]
+    assert (ab["est_a"], ab["est_b"], ab["est_union"], ab["est_inter"]) == (
+        60, 80, 120, 20,
+    )
+    assert ab["jaccard_est"] == round(20 / 120, 6)
+    assert got[("A", "C")]["est_inter"] == 0
+    assert got[("B", "C")]["jaccard_est"] == 0.0
+
+    # estimator branch: big overlapping sets at small k land near truth
+    import random as _r
+
+    rng = _r.Random(7)
+    big = (
+        [("X", f"t{i}") for i in range(3000)]
+        + [("Y", f"t{i}") for i in range(1500, 4500)]
+    )
+    db = spark.createDataFrame(big, "g string, v string")
+    k = 128
+    est = metrics.kmv_pair_overlap(
+        metrics.kmv_bottom_k(db, ["g"], "v", k=k), "g", k=k
+    ).collect()[0]
+    true_j = 1500 / 4500
+    assert abs(est["jaccard_est"] - true_j) < 0.15, est
