@@ -612,11 +612,36 @@ def simhash_novel(
 
     Returns every batch row's (id, simhash, is_novel).
     """
+    csh = simhash_agg(corpus, id_col, text_col, bits)
+    return simhash_novel_against_index(
+        csh, batch, id_col, text_col, bits, bands, max_hamming,
+        materialize_mode,
+    )
+
+
+def simhash_novel_against_index(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """:func:`simhash_novel` against a PRE-COMPUTED fingerprint index
+    ``(id_col, simhash)`` — the form a continuously-ingesting corpus
+    actually runs: the 16-byte-per-doc index is stored state (see
+    ``streaming/corpus_ingest.py``), updated per admitted batch, and
+    the corpus text is never re-fingerprinted.  Semantics and the
+    pigeonhole exactness argument are identical to
+    :func:`simhash_novel` (which delegates here after fingerprinting
+    its corpus side)."""
     _check_band_knobs(bits, bands, max_hamming)
     bsh = materialize(
         simhash_agg(batch, id_col, text_col, bits), materialize_mode
     )
-    csh = simhash_agg(corpus, id_col, text_col, bits)
+    csh = index
     matched = (
         _band_slices(bsh, id_col, bits, bands)
         .alias("b")

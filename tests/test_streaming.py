@@ -387,3 +387,134 @@ def test_scd2_batch_merger_crash_between_commit_and_marker(spark, tmp_path):
     )
     assert store.read("users").count() == 3
     assert store.last_applied("users") == 1
+
+
+def test_novelty_ingest_gates_across_batches(spark, tmp_path):
+    """Streaming corpus ingestion: batch 0 admits everything novel,
+    batch 1's near-duplicate of an ALREADY-ADMITTED doc is rejected
+    by the stored fingerprint index while its genuinely new doc is
+    admitted; replay (marker lost after commit) is a no-op."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    ingest = corpus_ingest.make_novelty_batch_ingestor(store)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    near = base.replace("afternoon", "evening")
+    other = (
+        "completely different text about spark shuffles partitions and "
+        "broadcast joins running on large clusters with many executors"
+    )
+    third = (
+        "yet another unrelated document describing medallion layers "
+        "bronze silver gold and the merge semantics between them all"
+    )
+    b0 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base)], "doc_id long, text string"
+    )
+    ingest(b0, 0)
+    # doc 3 is an identical twin of doc 1 INSIDE the batch: the
+    # intra-batch guard keeps the lowest id only
+    acc0 = spark.read.parquet(
+        corpus_ingest.accepted_batch_path(store.root, 0)
+    )
+    assert sorted(r["doc_id"] for r in acc0.collect()) == [1, 2]
+    assert store.read(corpus_ingest.INDEX_ENTITY).count() == 2
+
+    b1 = spark.createDataFrame(
+        [(10, near), (11, third)], "doc_id long, text string"
+    )
+    ingest(b1, 1)
+    acc1 = spark.read.parquet(
+        corpus_ingest.accepted_batch_path(store.root, 1)
+    )
+    # the near-dup of admitted doc 1 is rejected by the INDEX (its
+    # text was never re-read); the new doc is admitted
+    assert [r["doc_id"] for r in acc1.collect()] == [11]
+    idx = store.read(corpus_ingest.INDEX_ENTITY)
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 11]
+    assert store.last_applied(corpus_ingest.INDEX_ENTITY) == 1
+
+    # crash window: marker lost after the index commit -> replay must
+    # not re-append fingerprints or duplicate accepted output
+    marker = os.path.join(
+        store.root, "silver",
+        f"{corpus_ingest.INDEX_ENTITY}__applied", "batch-1",
+    )
+    os.remove(marker)
+    ingest(b1, 1)
+    assert store.read(corpus_ingest.INDEX_ENTITY).count() == 3
+    assert os.path.exists(marker)
+
+
+def test_novelty_ingest_streaming_end_to_end(spark, tmp_path):
+    """The same gate driven by a real file-backed micro-batch stream
+    (foreachBatch, availableNow): accepted output across all batches
+    equals the batch-mode expectation."""
+    import glob
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    other = (
+        "completely different text about spark shuffles partitions and "
+        "broadcast joins running on large clusters with many executors"
+    )
+    third = (
+        "yet another unrelated document describing medallion layers "
+        "bronze silver gold and the merge semantics between them all"
+    )
+    fresh = (
+        "a genuinely new document arriving later about watermarks "
+        "state stores and exactly once semantics in streaming engines"
+    )
+    import json as _json
+
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        for i, t in [(0, base), (1, other), (2, third)]:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    with open(os.path.join(src, "b.json"), "w") as fh:
+        # 100 is a one-token edit of the ALREADY-streamed doc 0;
+        # 101 is genuinely new
+        for i, t in [
+            (100, base.replace("afternoon", "evening")),
+            (101, fresh),
+        ]:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    q = corpus_ingest.novelty_ingest_sink(
+        stream,
+        store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    accepted = spark.read.parquet(
+        os.path.join(store.root, "accepted")
+    )
+    got = sorted(r["doc_id"] for r in accepted.collect())
+    # file order within a listing batch is deterministic (a.json
+    # before b.json at one file per trigger): the 3 originals and the
+    # genuinely-new doc are admitted, the near-dup of doc 0 is
+    # rejected by the stored index
+    assert got == [0, 1, 2, 101], got
+    assert store.read(corpus_ingest.INDEX_ENTITY).count() == 4
