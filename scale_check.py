@@ -263,6 +263,12 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
     - ``foreachBatch`` SCD2 sink (every micro-batch through the full
       batch merge engine into parquet Silver state)
 
+    Plus the corpus-ingestion loop on the ``documents`` table (10
+    NDJSON files, 2 per trigger): every micro-batch through the
+    SimHash novelty gate against the growing fingerprint index
+    (``streaming/corpus_ingest.py``) — reported separately since its
+    unit is documents, not events.
+
     Reported as rows/sec over end-to-end wall clock (source listing +
     all micro-batches + sink commits included) — the regression line
     BASELINE.md tracks per round.
@@ -316,6 +322,30 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    doc_src = os.path.join(scratch_dir, "doc_stream_src")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    docs.repartition(10).write.mode("overwrite").json(doc_src)
+    nov_store = SilverStore(spark, os.path.join(scratch_dir, "corpus_state"))
+    doc_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .json(doc_src)
+    )
+    t0 = time.monotonic()
+    q = corpus_ingest.novelty_ingest_sink(
+        doc_stream,
+        nov_store,
+        checkpoint_dir=os.path.join(scratch_dir, "doc_ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    nov_sec = time.monotonic() - t0
+    n_admitted = nov_store.read(corpus_ingest.INDEX_ENTITY).count()
+
     return {
         "rows": n_rows,
         "files": n_files,
@@ -325,6 +355,10 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "dedup_rows_per_sec": int(n_rows / dedup_sec),
         "scd2_sink_sec": round(scd2_sec, 2),
         "scd2_sink_rows_per_sec": int(n_rows / scd2_sec),
+        "novelty_ingest_docs": n_docs,
+        "novelty_ingest_admitted": n_admitted,
+        "novelty_ingest_sec": round(nov_sec, 2),
+        "novelty_ingest_docs_per_sec": int(n_docs / nov_sec),
     }
 
 
