@@ -365,3 +365,88 @@ def test_bm25_scores_replay_exactly_in_python(spark, docs):
         if hit:
             expect[i] = total
     assert got == expect
+
+
+passage_doc = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=14
+).map(" ".join)
+
+
+@SLOW
+@given(st.lists(passage_doc, min_size=1, max_size=6))
+def test_passage_coverage_matches_python_reference(spark, docs):
+    """q104's interval-union coverage replayed by a brute-force
+    Python reference over arbitrary small-alphabet corpora (small
+    alphabet forces gram collisions, so the duplicated-gram and
+    overlap-union branches are genuinely exercised)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    k = 3
+    rows = [(i, t) for i, t in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"])
+        for r in dataprep.duplicated_passage_stats(
+            d, "doc_id", "text", gram_k=k
+        ).collect()
+    }
+
+    toks = {i: [w for w in t.split(" ") if w] for i, t in rows}
+    from collections import Counter
+
+    all_grams = Counter()
+    per_doc = {}
+    for i, ts in toks.items():
+        gs = [
+            (p, " ".join(ts[p : p + k])) for p in range(len(ts) - k + 1)
+        ]
+        per_doc[i] = gs
+        all_grams.update(g for _, g in gs)
+    expect = {}
+    for i, ts in toks.items():
+        if len(ts) < k:
+            continue
+        ivs = sorted(
+            p for p, g in per_doc[i] if all_grams[g] >= 2
+        )
+        covered, prev_end = 0, -1
+        for p in ivs:
+            covered += max(0, p + k - max(prev_end, p))
+            prev_end = max(prev_end, p + k)
+        expect[i] = (len(ts), covered)
+    assert got == expect
+
+
+@SLOW
+@given(st.lists(passage_doc, min_size=2, max_size=6))
+def test_containment_bounds_and_consistency(spark, docs):
+    """Containment is bounded by [jaccard, 1], emitted for exactly
+    the intersecting pairs jaccard emits, and its orientation puts
+    the smaller (or equal, lower-id) shingle set first."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    rows = [(i, "k", t) for i, t in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedupe.jaccard_within_key(d, "doc_id", "text", "src").collect()
+    }
+    con = {
+        tuple(sorted((r["id_contained"], r["id_container"]))): r
+        for r in dedupe.containment_pairs(
+            d, "doc_id", "text", "src", threshold=0.0
+        ).collect()
+    }
+    assert set(jac) == set(con)
+    sets = {
+        i: {
+            " ".join(t.split()[p : p + 3])
+            for p in range(len([w for w in t.split(" ") if w]) - 2)
+        }
+        for i, _, t in rows
+    }
+    for pair, j in jac.items():
+        c = con[pair]["containment"]
+        assert j - 1e-9 <= c <= 1.0 + 1e-9
+        a, b = con[pair]["id_contained"], con[pair]["id_container"]
+        assert (len(sets[a]), a) <= (len(sets[b]), b)
