@@ -59,6 +59,11 @@ QUERIES = (
     "q99_triangle_counts",
     "q102_video_frame_sample",
     "q103_mergeable_sketches",
+    # round-9 additions: positional passage coverage, asymmetric
+    # containment, sketch-only cross-source overlap
+    "q104_passage_dup_coverage",
+    "q105_containment_pairs",
+    "q106_sketch_overlap",
 )
 
 #: TPC-H-style correlated subqueries scale on the FACT tables: the
