@@ -79,13 +79,14 @@ def make_novelty_batch_ingestor(
             return
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
         if store.exists(INDEX_ENTITY):
             index = store.read(INDEX_ENTITY)
         else:
-            index = spark.createDataFrame(
-                [], f"{id_col} long, simhash long"
+            # empty index with the id type taken from the batch, so
+            # string/int/composite-typed ids union cleanly
+            index = batch.select(id_col).limit(0).withColumn(
+                "simhash", F.lit(0).cast("long")
             )
         verdicts = dedupe.simhash_novel_against_index(
             index, batch, id_col, text_col, bits, bands, max_hamming

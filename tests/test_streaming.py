@@ -518,3 +518,22 @@ def test_novelty_ingest_streaming_end_to_end(spark, tmp_path):
     # rejected by the stored index
     assert got == [0, 1, 2, 101], got
     assert store.read(corpus_ingest.INDEX_ENTITY).count() == 4
+
+
+def test_novelty_ingest_string_ids(spark, tmp_path):
+    """The empty-index bootstrap derives the id type from the batch —
+    string-keyed corpora ingest identically."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    ingest = corpus_ingest.make_novelty_batch_ingestor(store)
+    b = spark.createDataFrame(
+        [("u-1", "some document text with several words inside it here"),
+         ("u-2", "a different document about entirely other topics now")],
+        "doc_id string, text string",
+    )
+    ingest(b, 0)
+    idx = store.read(corpus_ingest.INDEX_ENTITY)
+    assert idx.schema["doc_id"].dataType.simpleString() == "string"
+    assert sorted(r["doc_id"] for r in idx.collect()) == ["u-1", "u-2"]
