@@ -103,6 +103,7 @@ HEADLINE = [
     "q104_passage_dup_coverage",
     "q105_containment_pairs",
     "q106_sketch_overlap",
+    "q107_contamination_scrub",
 ]
 
 

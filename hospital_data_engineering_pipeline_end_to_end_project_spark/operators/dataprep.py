@@ -700,6 +700,24 @@ def boilerplate_stats(
     )
 
 
+def _positional_grams(frame: DataFrame, id_col: str, gram_k: int) -> DataFrame:
+    """``(id, pos, g)`` — every k-token gram of every doc WITH its
+    start offset (overlapping, position-keyed — unlike the distinct
+    shingle sets of the Jaccard family).  ``frame`` carries the token
+    array as ``__t`` and is pre-filtered to ``size >= gram_k``
+    (``sequence`` would run descending otherwise).  Shared by
+    :func:`duplicated_passage_stats` and :func:`contamination_scrub`."""
+    return frame.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {gram_k}), i -> "
+                f"struct(i AS pos, concat_ws(' ', slice(__t, i + 1, {gram_k})) AS g))"
+            )
+        ).alias("__e"),
+    ).select(id_col, "__e.pos", "__e.g")
+
+
 def duplicated_passage_stats(
     docs: DataFrame,
     id_col: str,
@@ -740,21 +758,10 @@ def duplicated_passage_stats(
     toks = docs.select(
         F.col(id_col), TX.tokens(text_col).alias("__t")
     ).filter(F.size("__t") >= gram_k)
-    grams = (
-        fan_out(toks, by=id_col)
-        .select(
-            F.col(id_col),
-            F.size("__t").alias("n_tokens"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(__t) - {gram_k}), i -> "
-                    f"struct(i AS pos, concat_ws(' ', slice(__t, i + 1, {gram_k})) AS g))"
-                )
-            ).alias("__e"),
-        )
-        .select(id_col, "n_tokens", "__e.pos", "__e.g")
+    grams = materialize(
+        _positional_grams(fan_out(toks, by=id_col), id_col, gram_k),
+        materialize_mode,
     )
-    grams = materialize(grams, materialize_mode)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -798,6 +805,76 @@ def duplicated_passage_stats(
             / F.col("n_tokens"),
             6,
         ).alias("dup_ratio"),
+    )
+
+
+def contamination_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_bench,
+    gram_k: int = 5,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: instead of flagging or
+    dropping whole training documents (:func:`contamination` / q55),
+    remove exactly the token SPANS that collide with the benchmark —
+    every token covered by a ``gram_k``-gram that appears anywhere in
+    the benchmark slice is masked out, and the rest of the document
+    survives.  The span-level policy keeps the ~99% of a lightly
+    contaminated doc that doc-level dropping would throw away.
+
+    Shape: benchmark k-grams (an eval suite — small by definition)
+    broadcast into a left-semi probe of the training side's
+    positional gram stream (:func:`_positional_grams` — the corpus
+    never shuffles); hit intervals ``[pos, pos + k)`` explode to
+    covered positions, collect per doc (order-independent: the set is
+    only probed), and the cleaned text re-joins the surviving tokens.
+    Returns every TRAINING row's ``(id, n_tokens, n_masked,
+    clean_text)`` — zero-hit docs pass through with their tokens
+    re-joined (single-space normalized, like every token-level
+    operator here); benchmark rows are excluded from the output.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    bench_grams = (
+        df.filter(is_bench)
+        .select(F.explode(TX.shingles(text_col, gram_k)).alias("g"))
+        .distinct()
+    )
+    train = df.filter(~is_bench).select(
+        F.col(id_col), TX.tokens(text_col).alias("__t")
+    )
+    grams = _positional_grams(
+        fan_out(train.filter(F.size("__t") >= gram_k), by=id_col),
+        id_col,
+        gram_k,
+    )
+    hits = grams.join(F.broadcast(bench_grams), "g", "left_semi")
+    cov = (
+        hits.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (gram_k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("__cov"))
+    )
+    joined = train.join(cov, id_col, "left").withColumn(
+        "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__t"), lambda x, i: ~F.array_contains(F.col("__cov"), i)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size("__cov").cast("long").alias("n_masked"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
 
 

@@ -1,4 +1,4 @@
-"""Corpus-curation query catalog (q94-q106, rounds 8-9).
+"""Corpus-curation query catalog (q94-q107, rounds 8-9).
 
 Second wave of LLM-data-pipeline extensions over ``documents``
 (complement-of-reference: the reference pipeline has none of these —
@@ -20,6 +20,8 @@ SURVEY.md §2 inventories its surface as cleanse + SCD2 + star gold):
   inclusion) over the shared sparse-intersection pipeline (round 9)
 - q106 sketch-only cross-source overlap — pairwise distinct/union/
   intersection/Jaccard from KMV sketch algebra alone (round 9)
+- q107 surgical span-level decontamination — remove exactly the
+  benchmark-colliding token spans, keep the rest (round 9)
 
 Every query has a bit-exact DuckDB oracle; the exactness arguments
 live on the operators (``operators/dataprep.py``,
@@ -633,6 +635,66 @@ JOIN est eb ON eb.source = u.group_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q107 — surgical span-level decontamination
+#
+# q55 flags contaminated docs; q107 removes exactly the colliding
+# token spans and keeps the rest of the document — every token
+# covered by a benchmark 5-gram is masked (position-exact via the
+# shared positional-gram machinery), and the cleaned text re-joins
+# the survivors.  Benchmark slice = q55's doc_id % 20 == 0 so the
+# two policies are directly comparable on the same contamination
+# (operators/dataprep.py:contamination_scrub).
+# ---------------------------------------------------------------------------
+
+Q107_K = 5
+Q107_MOD = 20
+
+
+def q107_contamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.contamination_scrub(
+        d, "doc_id", "text", F.col("doc_id") % Q107_MOD == 0, gram_k=Q107_K
+    )
+
+
+Q107_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t, (doc_id % {Q107_MOD} = 0) AS b
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT unnest({_shingles_sql(Q107_K)}) AS g
+  FROM (SELECT t FROM toks WHERE b) WHERE len(t) >= {Q107_K}
+),
+ex AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'g': array_to_string(t[i+1:i+{Q107_K}], ' ')}}
+                 FOR i IN range(len(t) - {Q107_K - 1})]) AS e
+  FROM toks WHERE NOT b AND len(t) >= {Q107_K}
+),
+hit AS (
+  SELECT doc_id, e.pos AS pos FROM ex WHERE e.g IN (SELECT g FROM bg)
+),
+cpos AS (
+  SELECT DISTINCT doc_id, unnest([pos + i FOR i IN range({Q107_K})]) AS p
+  FROM hit
+),
+cov AS (SELECT doc_id, list(p) AS cov FROM cpos GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_masked,
+       CASE WHEN t.t IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(
+              [t.t[i+1] FOR i IN range(len(t.t))
+               IF NOT list_contains(COALESCE(cov, []), i)], ' '), '')
+       END AS clean_text
+FROM toks t LEFT JOIN cov USING (doc_id)
+WHERE NOT t.b
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -645,6 +707,7 @@ QUERIES = {
     "q104_passage_dup_coverage": q104_passage_dup_coverage,
     "q105_containment_pairs": q105_containment_pairs,
     "q106_sketch_overlap": q106_sketch_overlap,
+    "q107_contamination_scrub": q107_contamination_scrub,
 }
 
 ORACLES = {
@@ -659,4 +722,5 @@ ORACLES = {
     "q104_passage_dup_coverage": Q104_SQL,
     "q105_containment_pairs": Q105_SQL,
     "q106_sketch_overlap": Q106_SQL,
+    "q107_contamination_scrub": Q107_SQL,
 }

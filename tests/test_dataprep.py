@@ -494,3 +494,35 @@ def test_duplicated_passage_no_gram_window(spark):
     # every Window node must partition by the doc id, none by the gram
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "doc_id" in spec, f"gram-partitioned window in plan:\n{plan}"
+
+
+def test_contamination_scrub_masks_exact_spans(spark):
+    """q107: only the tokens covered by benchmark 5-grams are removed;
+    clean docs pass through re-joined; under-length docs untouched;
+    benchmark rows never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    bench = "the famous benchmark question appears here verbatim"
+    rows = [
+        (1, f"leading words then {bench} and the doc continues with original prose"),
+        (2, "totally original document nothing shared with any benchmark at all"),
+        (3, "short doc"),
+        (100, bench),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dataprep.contamination_scrub(
+            d, "doc_id", "text", F.col("doc_id") >= 100, gram_k=5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_masked"] == 7  # exactly the 7-token passage
+    assert out[1]["clean_text"] == (
+        "leading words then and the doc continues with original prose"
+    )
+    assert out[2]["n_masked"] == 0
+    assert out[2]["clean_text"].startswith("totally original")
+    assert out[3]["clean_text"] == "short doc"
