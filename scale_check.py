@@ -64,6 +64,7 @@ QUERIES = (
     "q104_passage_dup_coverage",
     "q105_containment_pairs",
     "q106_sketch_overlap",
+    "q107_contamination_scrub",
 )
 
 #: TPC-H-style correlated subqueries scale on the FACT tables: the
