@@ -11,14 +11,20 @@ equi-join of the batch against warm state
 (``operators/dedupe.simhash_novel_against_index``, exact by the
 pigeonhole argument).
 
-Exactly-once posture mirrors the SCD2 sink
-(``streaming/ingest.make_scd2_batch_merger``): accepted docs land in
-a DETERMINISTIC per-batch directory (``accepted/batch_id=N`` —
-replaying a batch overwrites its own output, never duplicates it),
-the index publishes through ``SilverStore.write(applied_batch=...)``
-(the batch id rides INSIDE the atomic state rename), and the
-applied-batch marker ledger short-circuits replays — with the
-index epoch covering a crash between commit and marker.
+The index is SHARDED per batch (``fingerprints/batch_id=N``), so the
+per-batch write cost is proportional to the batch — never to the
+accumulated index (a monolithic rewrite-per-batch would be quadratic
+over the stream's lifetime); readers union the shards through plain
+partition discovery.  Exactly-once posture mirrors the SCD2 sink
+(``streaming/ingest.make_scd2_batch_merger``): both the accepted docs
+and the fingerprint shard land in DETERMINISTIC per-batch directories
+(replaying a batch overwrites its own output, never duplicates it),
+and the applied-batch marker ledger short-circuits replays — a crash
+between the shard commit and the marker is recovered by the shard's
+own ``_SUCCESS`` (the shard IS the epoch), and a crash mid-write
+leaves no ``_SUCCESS``, so the replay recomputes and overwrites.
+Small-file pressure from many tiny shards is the standard trade the
+repo's ``sources/compaction.py`` exists for.
 """
 
 from __future__ import annotations
@@ -32,12 +38,31 @@ from pyspark.sql.window import Window
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
 from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
 
-#: entity name of the fingerprint index inside the SilverStore root
-INDEX_ENTITY = "corpus_fingerprints"
+#: directory names under the store root
+INDEX_DIR = "fingerprints"
+ACCEPTED_DIR = "accepted"
+
+#: entity name kept for BC with the r09 SilverStore-backed layout
+INDEX_ENTITY = INDEX_DIR
 
 
 def accepted_batch_path(root: str, batch_id: int) -> str:
-    return os.path.join(root, "accepted", f"batch_id={batch_id}")
+    return os.path.join(root, ACCEPTED_DIR, f"batch_id={batch_id}")
+
+
+def index_shard_path(root: str, batch_id: int) -> str:
+    return os.path.join(root, INDEX_DIR, f"batch_id={batch_id}")
+
+
+def read_index(spark, root: str, id_col: str = "doc_id") -> DataFrame:
+    """Union of all committed fingerprint shards (partition
+    discovery); empty-typed frame when no shard exists yet."""
+    p = os.path.join(root, INDEX_DIR)
+    if os.path.isdir(p) and any(
+        e.startswith("batch_id=") for e in os.listdir(p)
+    ):
+        return spark.read.parquet(p).select(id_col, "simhash")
+    return None
 
 
 def make_novelty_batch_ingestor(
@@ -59,11 +84,12 @@ def make_novelty_batch_ingestor(
     near-dup pairs *within* one batch are admitted and then block all
     future look-alikes — the standard streaming-dedup horizon trade,
     documented rather than hidden); (2) batch-vs-index banded
-    membership test; (3) novel docs written to the batch's own
-    ``accepted/batch_id=N`` directory (idempotent under replay);
-    (4) index state advanced via the epoch-carrying atomic swap.
+    membership test; (3) novel docs and their fingerprint shard each
+    written to the batch's own deterministic directory (idempotent
+    under replay; shard cost ∝ batch, not ∝ index).
     """
-    ledger = os.path.join(store.root, "silver", f"{INDEX_ENTITY}__applied")
+    root = store.root
+    ledger = os.path.join(root, "silver", f"{INDEX_DIR}__applied")
 
     def _write_marker(marker: str) -> None:
         os.makedirs(ledger, exist_ok=True)
@@ -74,17 +100,23 @@ def make_novelty_batch_ingestor(
         marker = os.path.join(ledger, f"batch-{batch_id}")
         if skip_applied and os.path.exists(marker):
             return
-        if skip_applied and store.last_applied(INDEX_ENTITY) == batch_id:
+        shard = index_shard_path(root, batch_id)
+        if skip_applied and os.path.exists(
+            os.path.join(shard, "_SUCCESS")
+        ):
+            # crash landed between the shard commit and the marker on
+            # a previous run of this very batch — the shard IS the
+            # epoch: restore the marker and skip the re-apply
             _write_marker(marker)
             return
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
-        if store.exists(INDEX_ENTITY):
-            index = store.read(INDEX_ENTITY)
-        else:
+        index = read_index(spark, root, id_col)
+        if index is None:
             # empty index with the id type taken from the batch, so
-            # string/int/composite-typed ids union cleanly
+            # string/int-typed ids union cleanly
             index = batch.select(id_col).limit(0).withColumn(
                 "simhash", F.lit(0).cast("long")
             )
@@ -102,13 +134,9 @@ def make_novelty_batch_ingestor(
         )
         accepted = batch.join(novel.select(id_col), id_col, "left_semi")
         accepted.write.mode("overwrite").parquet(
-            accepted_batch_path(store.root, batch_id)
+            accepted_batch_path(root, batch_id)
         )
-        store.write(
-            INDEX_ENTITY,
-            index.unionByName(novel),
-            applied_batch=batch_id if skip_applied else None,
-        )
+        novel.write.mode("overwrite").parquet(shard)
         if skip_applied:
             _write_marker(marker)
 

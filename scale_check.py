@@ -350,7 +350,7 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
     ).trigger(availableNow=True).start()
     q.awaitTermination()
     nov_sec = time.monotonic() - t0
-    n_admitted = nov_store.read(corpus_ingest.INDEX_ENTITY).count()
+    n_admitted = corpus_ingest.read_index(spark, nov_store.root).count()
 
     return {
         "rows": n_rows,

@@ -425,7 +425,7 @@ def test_novelty_ingest_gates_across_batches(spark, tmp_path):
         corpus_ingest.accepted_batch_path(store.root, 0)
     )
     assert sorted(r["doc_id"] for r in acc0.collect()) == [1, 2]
-    assert store.read(corpus_ingest.INDEX_ENTITY).count() == 2
+    assert corpus_ingest.read_index(spark, store.root).count() == 2
 
     b1 = spark.createDataFrame(
         [(10, near), (11, third)], "doc_id long, text string"
@@ -437,19 +437,22 @@ def test_novelty_ingest_gates_across_batches(spark, tmp_path):
     # the near-dup of admitted doc 1 is rejected by the INDEX (its
     # text was never re-read); the new doc is admitted
     assert [r["doc_id"] for r in acc1.collect()] == [11]
-    idx = store.read(corpus_ingest.INDEX_ENTITY)
+    idx = corpus_ingest.read_index(spark, store.root)
     assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 11]
-    assert store.last_applied(corpus_ingest.INDEX_ENTITY) == 1
+    # the shard IS the epoch: batch 1's shard committed with _SUCCESS
+    assert os.path.exists(os.path.join(
+        corpus_ingest.index_shard_path(store.root, 1), "_SUCCESS"
+    ))
 
-    # crash window: marker lost after the index commit -> replay must
+    # crash window: marker lost after the shard commit -> replay must
     # not re-append fingerprints or duplicate accepted output
     marker = os.path.join(
         store.root, "silver",
-        f"{corpus_ingest.INDEX_ENTITY}__applied", "batch-1",
+        f"{corpus_ingest.INDEX_DIR}__applied", "batch-1",
     )
     os.remove(marker)
     ingest(b1, 1)
-    assert store.read(corpus_ingest.INDEX_ENTITY).count() == 3
+    assert corpus_ingest.read_index(spark, store.root).count() == 3
     assert os.path.exists(marker)
 
 
@@ -517,7 +520,7 @@ def test_novelty_ingest_streaming_end_to_end(spark, tmp_path):
     # genuinely-new doc are admitted, the near-dup of doc 0 is
     # rejected by the stored index
     assert got == [0, 1, 2, 101], got
-    assert store.read(corpus_ingest.INDEX_ENTITY).count() == 4
+    assert corpus_ingest.read_index(spark, store.root).count() == 4
 
 
 def test_novelty_ingest_string_ids(spark, tmp_path):
@@ -534,6 +537,6 @@ def test_novelty_ingest_string_ids(spark, tmp_path):
         "doc_id string, text string",
     )
     ingest(b, 0)
-    idx = store.read(corpus_ingest.INDEX_ENTITY)
+    idx = corpus_ingest.read_index(spark, store.root)
     assert idx.schema["doc_id"].dataType.simpleString() == "string"
     assert sorted(r["doc_id"] for r in idx.collect()) == ["u-1", "u-2"]
