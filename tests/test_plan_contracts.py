@@ -34,6 +34,12 @@ BNLJ_ALLOWED = {
     "q94_temperature_resample",
     # 1-row broadcast grand token total, same idiom as q77
     "q96_source_divergence",
+    # |groups|-row broadcast pair generation (a.source < b.source over
+    # the DISTINCT groups of the sketch frame): the broadcast side is
+    # sketch metadata bounded by the number of shards/sources, never
+    # the corpus — the pairwise output is itself |groups|^2 by the
+    # operator's contract (functions/metrics.py:kmv_pair_overlap)
+    "q106_sketch_overlap",
 }
 
 
