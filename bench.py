@@ -104,6 +104,7 @@ HEADLINE = [
     "q105_containment_pairs",
     "q106_sketch_overlap",
     "q107_contamination_scrub",
+    "q108_shuffled_export",
 ]
 
 

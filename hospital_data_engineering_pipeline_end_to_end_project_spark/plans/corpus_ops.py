@@ -1,4 +1,4 @@
-"""Corpus-curation query catalog (q94-q107, rounds 8-9).
+"""Corpus-curation query catalog (q94-q108, rounds 8-9).
 
 Second wave of LLM-data-pipeline extensions over ``documents``
 (complement-of-reference: the reference pipeline has none of these —
@@ -22,6 +22,8 @@ SURVEY.md §2 inventories its surface as cleanse + SCD2 + star gold):
   intersection/Jaccard from KMV sketch algebra alone (round 9)
 - q107 surgical span-level decontamination — remove exactly the
   benchmark-colliding token spans, keep the rest (round 9)
+- q108 deterministic globally-shuffled export — the training-data
+  writer (salted-md5 buckets, auditable permutation, round 9)
 
 Every query has a bit-exact DuckDB oracle; the exactness arguments
 live on the operators (``operators/dataprep.py``,
@@ -695,6 +697,66 @@ WHERE NOT t.b
 """
 
 
+# ---------------------------------------------------------------------------
+# q108 — deterministic globally-shuffled export (training-data writer)
+#
+# The sample order a trainer consumes IS the curriculum: it must be
+# well-mixed, reproducible from (salt, id) alone, and auditable for
+# resume-from-step.  write_shuffled lays the corpus out as salted-md5
+# buckets each sorted by hash — one hash exchange + bounded per-bucket
+# sorts, never a global total-order sort — and writes the position
+# columns with the payload.  The audit re-ranks every bucket from the
+# read-back bytes and the oracle recomputes the whole permutation
+# independently in DuckDB: the positional checksum Σ pos·id pins the
+# exact global order, so a lost, duplicated, misbucketed or misordered
+# row anywhere in the write path flips the gate hash
+# (sources/writers.py:write_shuffled / audit_shuffled).
+# ---------------------------------------------------------------------------
+
+Q108_BUCKETS = 16
+Q108_SALT = "shuf-r9:"
+
+
+def q108_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.writers import audit_shuffled, write_shuffled
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    tmp = scratch_path("q108", "documents_shuffled")
+    write_shuffled(
+        d, tmp, "doc_id", num_buckets=Q108_BUCKETS, salt=Q108_SALT
+    )
+    return audit_shuffled(spark, tmp, "doc_id")
+
+
+Q108_SQL = f"""
+WITH k AS (
+  SELECT doc_id, md5('{Q108_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {Q108_BUCKETS}
+           AS bucket
+  FROM k
+),
+r AS (
+  SELECT doc_id, h, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+           AS pos
+  FROM b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_order_violations,
+       CAST(sum(pos * doc_id) AS BIGINT) AS checksum,
+       min(h) AS h_first,
+       max(h) AS h_last
+FROM r
+GROUP BY bucket
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -708,6 +770,7 @@ QUERIES = {
     "q105_containment_pairs": q105_containment_pairs,
     "q106_sketch_overlap": q106_sketch_overlap,
     "q107_contamination_scrub": q107_contamination_scrub,
+    "q108_shuffled_export": q108_shuffled_export,
 }
 
 ORACLES = {
@@ -723,4 +786,5 @@ ORACLES = {
     "q105_containment_pairs": Q105_SQL,
     "q106_sketch_overlap": Q106_SQL,
     "q107_contamination_scrub": Q107_SQL,
+    "q108_shuffled_export": Q108_SQL,
 }

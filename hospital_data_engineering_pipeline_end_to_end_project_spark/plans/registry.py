@@ -35,12 +35,12 @@ def _modules():
     # freshest row predates the change: q61/q70/q79/q83/q93 — CC
     # pointer jumping; q86 — simhash refactor; q84/q85 — image
     # synthesis refactor; q90 — parallelized z-order write) and
-    # data_prep (the q50–q57 r07 wave).  With the two round-9
-    # additions (q104/q105, in-window on arrival — the r08 lesson)
-    # and the q26 pin that is 56 candidates for 50 slots, so
+    # data_prep (the q50–q57 r07 wave).  With the five round-9
+    # additions (q104–q108, in-window on arrival — the r08 lesson)
+    # and the q26 pin that is more candidates than the 50 slots, so
     # _GATE_BACK demotes the 3 with the freshest rows AND unchanged
     # code — q87/q88 (official r08 rows) and q68_orc_roundtrip (r07,
-    # untouched since) — and the window cut drops q55–q57 (r07 rows,
+    # untouched since) — and the window cut drops q52–q57 (r07 rows,
     # unchanged code; next rotation's filler along with q42–q45).
     # Every query keeps its oracle regardless of position — the full
     # catalog is attested end-to-end by tests/test_oracle_parity.py

@@ -170,6 +170,91 @@ def with_zorder_key(
     ).withColumn("__zkey", F.expr(" + ".join(terms)))
 
 
+def write_shuffled(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_buckets: int = 32,
+    salt: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic globally-shuffled export — the training-data
+    writer: sample order must be (pseudo-)random, yet reproducible
+    and auditable, because the order IS the training curriculum and
+    resume-from-step needs the exact permutation back.
+
+    Every row gets ``__h = md5(salt || id)``; the global order
+    (``__bucket`` asc, ``__h`` asc) is a deterministic permutation
+    fixed entirely by ``(salt, id)`` — reshuffling between epochs is
+    a salt change, not a new mechanism.  ``__bucket`` is the first 8
+    hex chars of ``__h`` mod ``num_buckets`` (uniform by
+    construction — a salted hash key cannot be hot, so the per-bucket
+    sort below is exempt from the hot-key-window hazard), ``__pos``
+    is the 1-based rank within the bucket.  All three audit columns
+    are written alongside the payload.
+
+    Scale shape: ONE hash exchange on ``__bucket`` (the rank
+    window's requirement is satisfied by the explicit repartition, so
+    it adds no second shuffle) + a per-bucket sort of ~N/num_buckets
+    rows — never a global total-order sort.  Size ``num_buckets`` to
+    the target file size (100 TB / 1 GiB ≈ 100k buckets); each
+    bucket lands in exactly one task, so files are whole buckets and
+    concatenating them in bucket order replays the permutation.
+    ``id_col`` must be non-null and unique.
+    """
+    from pyspark.sql import Window, functions as F
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("__h", h).withColumn(
+        "__bucket",
+        (
+            F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("long")
+            % F.lit(num_buckets)
+        ).cast("int"),
+    )
+    w = Window.partitionBy("__bucket").orderBy("__h", id_col)
+    (
+        keyed.repartition(num_buckets, F.col("__bucket"))
+        # row_number both ranks and SORTS each task by
+        # (__bucket, __h, id) — the written row order is the claimed
+        # permutation, no separate sortWithinPartitions needed
+        .withColumn("__pos", F.row_number().over(w).cast("long"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def audit_shuffled(spark, path: str, id_col: str) -> DataFrame:
+    """Read back a :func:`write_shuffled` export and verify the
+    claimed permutation: re-rank each bucket by ``(__h, id)`` and
+    count rows whose written ``__pos`` disagrees (must be 0), plus a
+    positional checksum ``Σ __pos * id`` and the bucket's hash span.
+    Against an independent oracle the checksum pins the EXACT
+    permutation — any lost, duplicated, misbucketed or misordered
+    row flips it."""
+    from pyspark.sql import Window, functions as F
+
+    back = spark.read.parquet(path)
+    w = Window.partitionBy("__bucket").orderBy("__h", id_col)
+    return (
+        back.withColumn("__rank", F.row_number().over(w).cast("long"))
+        .groupBy(F.col("__bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("__pos") != F.col("__rank"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_order_violations"),
+            F.sum(F.col("__pos") * F.col(id_col))
+            .cast("long")
+            .alias("checksum"),
+            F.min("__h").alias("h_first"),
+            F.max("__h").alias("h_last"),
+        )
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
