@@ -105,6 +105,7 @@ HEADLINE = [
     "q106_sketch_overlap",
     "q107_contamination_scrub",
     "q108_shuffled_export",
+    "q109_pq_adc_topk",
 ]
 
 

@@ -1457,3 +1457,169 @@ def _local_lloyd(
                     for j in range(dim)
                 ]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory side of the 100 TB ANN design
+# ---------------------------------------------------------------------------
+
+#: Bounded-sample size per PQ centroid (same md5-ordered draw as the
+#: IVF trainer — content-derived, partition-independent, replayable).
+PQ_TRAIN_PER_CENTROID = 32
+
+
+def build_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    train_per_centroid: int = PQ_TRAIN_PER_CENTROID,
+) -> list[list[list[float]]]:
+    """Train ``n_sub`` independent per-subspace codebooks (product
+    quantization): split the ``dim`` dimensions into ``n_sub``
+    contiguous slices and run Lloyd's k-means with ``k`` centroids on
+    each slice.  A vector is then stored as ``n_sub`` small codes
+    (``n_sub * log2(k)`` bits) instead of ``dim`` floats — with
+    ``n_sub=4, k=16`` a 64-dim float32 vector compresses 256 B -> 2 B,
+    which is what lets a 100 TB embedding corpus keep its ANN index
+    RAM-resident (IVF partitions the search, PQ compresses the
+    residency; together they are the canonical IVF-PQ layout).
+
+    Training mirrors :func:`build_ivf_centroids`' exact-replay path:
+    ONE bounded lowest-md5 sample (``train_per_centroid * k`` rows,
+    collected once — the subspaces slice the same sample), seeds =
+    first ``k`` sample rows per slice, :func:`_local_lloyd`'s
+    sequential-fold arithmetic with dyadic-snapped means — so a SQL
+    oracle re-derives every codebook bit-for-bit from
+    ``ORDER BY md5(id), id LIMIT cap``.  Only ``n_sub * k * ds``
+    floats ever reach the driver.
+    """
+    cap = train_per_centroid * k
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    rows = [
+        [float(x) for x in r["__tv"]]
+        for r in df.select(F.col(id_col), V.as_double(vec_col).alias("__tv"))
+        .orderBy(*order)
+        .limit(cap)
+        .collect()
+    ]
+    if not rows:
+        return []
+    dim = len(rows[0])
+    if dim % n_sub:
+        raise ValueError(
+            f"PQ needs dim divisible by n_sub: dim={dim}, n_sub={n_sub}"
+        )
+    ds = dim // n_sub
+    return [
+        _local_lloyd(
+            [v[m * ds : (m + 1) * ds] for v in rows],
+            min(k, len(rows)),
+            iterations,
+        )
+        for m in range(n_sub)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode every vector as ``n_sub`` 0-based centroid codes
+    (``code_0 .. code_{n_sub-1}``) — per subspace, the argmin
+    squared-distance over that subspace's codebook.
+
+    Pure Column expressions over the broadcast-literal codebooks
+    (:func:`_centroid_dists` on a :func:`~pyspark.sql.functions.slice`
+    of the vector): ONE corpus scan, no shuffle, no UDF; ties break
+    to the lower code (``array_position`` finds the first minimum),
+    and the sequential distance folds make the codes replayable by a
+    SQL oracle.  Scale: cost is ``n_sub * k * ds = dim * k`` fused
+    multiply-adds per row — identical to flat IVF assignment at equal
+    K, and embarrassingly parallel."""
+    ds = len(codebooks[0][0])
+    out = df.select(F.col(id_col), V.as_double(vec_col).alias("__xd"))
+    for m, book in enumerate(codebooks):
+        d = _centroid_dists(F.slice(F.col("__xd"), m * ds + 1, ds), book)
+        out = out.withColumn(
+            f"code_{m}",
+            (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        )
+    return out.drop("__xd")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k_top: int = 5,
+    round_scale: int = 6,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    a raw vector, the corpus is only its codes, and the distance is
+    ``Σ_m dt_m[code_m]`` where ``dt_m`` is the query's precomputed
+    distance table to subspace ``m``'s centroids.
+
+    This is the PQ scoring asymmetry that matters at 100 TB: per
+    query the ``n_sub x k`` table costs one ``dim * k`` pass, after
+    which every corpus vector is scored with ``n_sub`` table lookups
+    + adds — no float vector is ever read from the corpus side, so
+    scan bytes are the 2-byte codes, not the 256-byte embeddings.
+
+    Plan shape mirrors :func:`cosine_topk`: distance tables ride a
+    broadcast of the (contract-bounded, ``max_queries``-guarded)
+    query side past the un-shuffled corpus codes; the per-query
+    top-k ranks on the ROUNDED distance with the neighbor id as a
+    total tiebreak.  The lookup-and-add chain is written in fixed
+    subspace order, so scores replay bit-for-bit in SQL."""
+    if max_queries is not None:
+        probe = queries.limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"pq_adc_topk broadcasts the query side, but it has "
+                f">{max_queries} rows; pre-filter the queries or raise "
+                f"max_queries explicitly"
+            )
+    ds = len(codebooks[0][0])
+    codes = pq_encode(corpus, id_col, vec_col, codebooks).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("__qd")
+    )
+    for m, book in enumerate(codebooks):
+        q = q.withColumn(
+            f"__qt{m}",
+            _centroid_dists(F.slice(F.col("__qd"), m * ds + 1, ds), book),
+        )
+    q = q.drop("__qd")
+    # fixed left-to-right subspace order — the oracle writes the same
+    # chain, so the float sum is bit-identical
+    score = F.expr(
+        " + ".join(
+            f"element_at(__qt{m}, code_{m} + 1)"
+            for m in range(len(codebooks))
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.lit(True))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_scale).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_top
+    )

@@ -878,6 +878,154 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# q109 — product quantization + asymmetric-distance top-k (PQ-ADC)
+#
+# The memory half of the canonical 100 TB ANN layout (IVF partitions
+# the search — q48; PQ compresses the residency): vectors are stored
+# as n_sub small centroid codes (64-dim float32 256 B -> 2 B at
+# n_sub=4, k=16), and queries score the codes through per-subspace
+# distance TABLES — n_sub lookups + adds per corpus vector, the raw
+# embeddings never read on the corpus side.  Like q48 the oracle
+# re-derives the whole construction in SQL: the same bounded
+# lowest-md5 sample, per-subspace seeded unrolled Lloyd with
+# dyadic-snapped means, argmin codes (first-min ties), the query
+# distance tables, and the fixed-order lookup-sum — every float op is
+# a sequential fold or a left-to-right chain, so the replay is
+# bit-exact (operators/similarity.py:build_pq_codebooks / pq_encode /
+# pq_adc_topk).
+# ---------------------------------------------------------------------------
+
+Q109_SUB, Q109_K, Q109_ITERS, Q109_NQ, Q109_TOPK = 4, 16, 2, 4, 5
+Q109_DS = Q48_DIM // Q109_SUB
+Q109_TRAIN_CAP = similarity.PQ_TRAIN_PER_CENTROID * Q109_K
+
+
+def q109_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    books = similarity.build_pq_codebooks(
+        e,
+        "embedding",
+        "vec_id",
+        n_sub=Q109_SUB,
+        k=Q109_K,
+        iterations=Q109_ITERS,
+    )
+    out = similarity.pq_adc_topk(
+        e,
+        e.filter(F.col("vec_id") < Q109_NQ),
+        "vec_id",
+        "embedding",
+        books,
+        k_top=Q109_TOPK,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q109_dist(vec: str, cent: str) -> str:
+    """Squared L2 over ONE subspace slice — the same sequential fold
+    as the Spark side (see ``_q48_dist``)."""
+    diffs = (
+        f"list_transform(range(1, {Q109_DS + 1}),"
+        f" i -> ({vec})[i] - ({cent})[i])"
+    )
+    return f"list_dot_product({diffs}, {diffs})"
+
+
+def _q109_subspace(m: int) -> str:
+    """CTE chain for subspace ``m``: sliced sample, seeds, unrolled
+    Lloyd (dyadic-snapped means, empty clusters keep coordinates),
+    full-corpus codes, and the query distance table."""
+    lo = m * Q109_DS
+    sl = f"dv[{lo + 1}:{lo + Q109_DS}]"
+    parts = [
+        f"""s{m}v AS (SELECT vec_id, {sl} AS sdv FROM sv),
+s{m}seeds AS (
+  SELECT row_number() OVER (ORDER BY {_Q48_ORD}) - 1 AS c, sdv AS cent
+  FROM s{m}v ORDER BY {_Q48_ORD} LIMIT {Q109_K}
+),
+s{m}c0 AS (
+  SELECT s.c, i.i AS dim, s.cent[i.i] AS val
+  FROM s{m}seeds s CROSS JOIN sidx i
+),
+s{m}c0l AS (SELECT c, list(val ORDER BY dim) AS cent FROM s{m}c0 GROUP BY c)"""
+    ]
+    for it in range(1, Q109_ITERS + 1):
+        parts.append(
+            f"""s{m}r{it} AS (
+  SELECT v.vec_id, v.sdv, cl.c,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {_q109_dist('v.sdv', 'cl.cent')}, cl.c) AS rn
+  FROM s{m}v v CROSS JOIN s{m}c{it - 1}l cl
+),
+s{m}a{it} AS (SELECT vec_id, sdv, c AS cluster FROM s{m}r{it} WHERE rn = 1),
+s{m}u{it} AS (
+  SELECT a.cluster, i.i AS dim,
+         floor(avg(a.sdv[i.i]) * 1024 + 0.5) / 1024 AS mn
+  FROM s{m}a{it} a CROSS JOIN sidx i GROUP BY a.cluster, i.i
+),
+s{m}c{it} AS (
+  SELECT s.c, s.dim, coalesce(u.mn, s.val) AS val
+  FROM s{m}c{it - 1} s LEFT JOIN s{m}u{it} u
+    ON u.cluster = s.c AND u.dim = s.dim
+),
+s{m}c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM s{m}c{it} GROUP BY c)"""
+        )
+    parts.append(
+        f"""s{m}all AS (
+  SELECT v.vec_id, cl.c,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY {_q109_dist(f'(v.{sl})', 'cl.cent')}, cl.c) AS rn
+  FROM v CROSS JOIN s{m}c{Q109_ITERS}l cl
+),
+s{m}code AS (SELECT vec_id, c AS code FROM s{m}all WHERE rn = 1),
+s{m}qt AS (
+  SELECT q.vec_id, cl.c, {_q109_dist(f'(q.{sl})', 'cl.cent')} AS d
+  FROM qv q CROSS JOIN s{m}c{Q109_ITERS}l cl
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _q109_sql() -> str:
+    subs = ",\n".join(_q109_subspace(m) for m in range(Q109_SUB))
+    ksel = ", ".join(f"c{m}.code AS k{m}" for m in range(Q109_SUB))
+    kjoin = " ".join(
+        f"JOIN s{m}code c{m} USING (vec_id)" for m in range(1, Q109_SUB)
+    )
+    tjoin = "\n".join(
+        f"  JOIN s{m}qt t{m} ON t{m}.vec_id = q.vec_id AND t{m}.c = s.k{m}"
+        for m in range(Q109_SUB)
+    )
+    sumexpr = " + ".join(f"t{m}.d" for m in range(Q109_SUB))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+sv AS (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q109_TRAIN_CAP}),
+sidx AS (SELECT unnest(range(1, {Q109_DS + 1})) AS i),
+qv AS (SELECT vec_id, dv FROM v WHERE vec_id < {Q109_NQ}),
+{subs},
+codes AS (
+  SELECT c0.vec_id, {ksel}
+  FROM s0code c0 {kjoin}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+         round({sumexpr}, 6) AS adc_dist
+  FROM codes s CROSS JOIN qv q
+{tjoin}
+  WHERE q.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {Q109_TOPK}
+"""
+
+
+Q109_SQL = _q109_sql()
+
+
 QUERIES = {
     "q20_exact_dup_groups": q20_exact_dup_groups,
     "q58_quantize_embeddings": q58_quantize_embeddings,
@@ -899,6 +1047,7 @@ QUERIES = {
     "q28_cosine_topk": q28_cosine_topk,
     "q30_multimodal_features": q30_multimodal_features,
     "q31_embedding_near_dups": q31_embedding_near_dups,
+    "q109_pq_adc_topk": q109_pq_adc_topk,
 }
 
 ORACLES = {
@@ -919,4 +1068,5 @@ ORACLES = {
     "q30_multimodal_features": Q30_SQL,
     "q31_embedding_near_dups": Q31_SQL,
     "q49_sketch_stats": Q49_SQL,
+    "q109_pq_adc_topk": Q109_SQL,
 }

@@ -34,6 +34,9 @@ BNLJ_ALLOWED = {
     "q94_temperature_resample",
     # 1-row broadcast grand token total, same idiom as q77
     "q96_source_divergence",
+    # bounded top-k probe set broadcast past the un-shuffled corpus
+    # codes, same contract as q28 (max_queries-guarded)
+    "q109_pq_adc_topk",
     # |groups|-row broadcast pair generation (a.source < b.source over
     # the DISTINCT groups of the sketch frame): the broadcast side is
     # sketch metadata bounded by the number of shards/sources, never
