@@ -106,6 +106,7 @@ HEADLINE = [
     "q107_contamination_scrub",
     "q108_shuffled_export",
     "q109_pq_adc_topk",
+    "q110_ivf_pq_topk",
 ]
 
 

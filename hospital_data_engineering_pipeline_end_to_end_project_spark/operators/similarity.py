@@ -1623,3 +1623,213 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k_top
     )
+
+
+def build_ivf_pq(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    coarse_iterations: int = 2,
+    n_sub: int = 4,
+    k_codes: int = 16,
+    pq_iterations: int = 2,
+    train_per_centroid: int = PQ_TRAIN_PER_CENTROID,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the full residual IVF-PQ index model: the coarse IVF
+    quantizer (:func:`build_ivf_centroids`, exact-replay path) plus
+    per-subspace PQ codebooks over the coarse RESIDUALS
+    ``x - c_assign(x)`` — quantizing residuals instead of raw vectors
+    is what makes IVF-PQ canonical: the coarse centroid absorbs the
+    vector's position, so the codebooks only span the (much tighter)
+    within-cell displacement and the same code budget buys far less
+    distortion.
+
+    Exact-replay arithmetic throughout: the PQ sample is the SAME
+    bounded lowest-md5 draw as the coarse trainer; its residual
+    assignment runs the sequential ``acc + (a-b)*(a-b)`` fold with
+    first-min ties (matching ``array_position`` / ``ORDER BY d, c``),
+    and the per-slice Lloyd is :func:`_local_lloyd` — so a SQL oracle
+    re-derives the coarse centroids, the residuals, and every
+    codebook bit-for-bit."""
+    coarse = build_ivf_centroids(
+        df, vec_col, id_col, k=n_clusters, iterations=coarse_iterations
+    )
+    cap = train_per_centroid * k_codes
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    rows = [
+        [float(x) for x in r["__tv"]]
+        for r in df.select(F.col(id_col), V.as_double(vec_col).alias("__tv"))
+        .orderBy(*order)
+        .limit(cap)
+        .collect()
+    ]
+    if not rows:
+        return coarse, []
+    dim = len(rows[0])
+    if dim % n_sub:
+        raise ValueError(
+            f"PQ needs dim divisible by n_sub: dim={dim}, n_sub={n_sub}"
+        )
+    ds = dim // n_sub
+    resid = []
+    for v in rows:
+        best, best_d = 0, None
+        for ci, c in enumerate(coarse):
+            acc = 0.0
+            for a, b in zip(v, c):
+                acc = acc + (a - b) * (a - b)
+            if best_d is None or acc < best_d:
+                best_d, best = acc, ci
+        cc = coarse[best]
+        resid.append([a - b for a, b in zip(v, cc)])
+    books = [
+        _local_lloyd(
+            [r[m * ds : (m + 1) * ds] for r in resid],
+            min(k_codes, len(resid)),
+            pq_iterations,
+        )
+        for m in range(n_sub)
+    ]
+    return coarse, books
+
+
+def ivf_pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_sub: int = 4,
+    k_codes: int = 16,
+    k_top: int = 5,
+    round_scale: int = 6,
+    model: tuple[list[list[float]], list[list[list[float]]]] | None = None,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Residual IVF-PQ search — the composed 100 TB ANN design this
+    repo builds up to: IVF prunes the SEARCH (each query scores only
+    its ``nprobe`` probed cells, ~``n * nprobe / n_clusters``
+    candidates instead of ``n``), PQ compresses the RESIDENCY (each
+    corpus vector is ``n_sub`` small codes of its coarse residual),
+    and ADC scores candidates with table lookups — the corpus's raw
+    embeddings are read once at index build and never again at query
+    time.
+
+    Plan shape: corpus -> coarse assignment + residual codes (one
+    scan, broadcast-literal centroids/codebooks, no UDF); queries ->
+    per-(query, probed-cell) residual distance TABLES (bounded:
+    ``|queries| * nprobe`` rows, ``n_sub * k_codes`` doubles each),
+    broadcast into an EQUI-join on the cell id — unlike the flat-scan
+    paths there is no cross join anywhere, and the candidate volume
+    is the pruned set by construction.  Every float op is the
+    sequential fold / fixed-order lookup-add chain the SQL oracle
+    replays, ranked on the rounded distance with the neighbor id as a
+    total tiebreak.
+
+    A corpus vector is scored for a query iff ITS one cell is among
+    the query's probes, so each (query, neighbor) pair appears at
+    most once — no dedup step is needed (cf. multi-table LSH)."""
+    if max_queries is not None:
+        probe_n = queries.limit(max_queries + 1).count()
+        if probe_n > max_queries:
+            raise ValueError(
+                f"ivf_pq_adc_topk broadcasts the query side, but it "
+                f"has >{max_queries} rows; pre-filter the queries or "
+                f"raise max_queries explicitly"
+            )
+    coarse, books = (
+        model
+        if model is not None
+        else build_ivf_pq(
+            corpus,
+            id_col,
+            vec_col,
+            n_clusters=n_clusters,
+            n_sub=n_sub,
+            k_codes=k_codes,
+        )
+    )
+    ds = len(books[0][0])
+    n_sub = len(books)
+
+    # --- corpus side: one scan -> (id, cell, code_0..code_{M-1}) ---
+    assigned = assign_ivf_cluster(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            V.as_double(vec_col).alias("__xd"),
+        ),
+        coarse,
+        "__xd",
+    ).withColumn("__cm", _dmatrix(coarse))
+    resid = assigned.withColumn(
+        "__rd",
+        F.expr("zip_with(__xd, element_at(__cm, cluster + 1), (a, b) -> a - b)"),
+    )
+    for m, book in enumerate(books):
+        d = _centroid_dists(F.slice(F.col("__rd"), m * ds + 1, ds), book)
+        resid = resid.withColumn(
+            f"code_{m}",
+            (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        )
+    codes = resid.select(
+        "neighbor_id", "cluster", *[f"code_{m}" for m in range(n_sub)]
+    )
+
+    # --- query side: nprobe cells + per-cell residual tables ---
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("__qd")
+    )
+    cd = _centroid_dists(F.col("__qd"), coarse)
+    probes = (
+        q.select(
+            "query_id",
+            "__qd",
+            F.posexplode(cd).alias("__c0", "__cd"),
+        )
+        .withColumn(
+            "__crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("__cd"), F.asc("__c0")
+                )
+            ),
+        )
+        .filter(F.col("__crank") <= nprobe)
+        .select("query_id", F.col("__c0").alias("cluster"), "__qd")
+        .withColumn("__cm", _dmatrix(coarse))
+        .withColumn(
+            "__qr",
+            F.expr(
+                "zip_with(__qd, element_at(__cm, cluster + 1), (a, b) -> a - b)"
+            ),
+        )
+    )
+    for m, book in enumerate(books):
+        probes = probes.withColumn(
+            f"__qt{m}",
+            _centroid_dists(F.slice(F.col("__qr"), m * ds + 1, ds), book),
+        )
+    probes = probes.drop("__qd", "__cm", "__qr")
+
+    score = F.expr(
+        " + ".join(
+            f"element_at(__qt{m}, code_{m} + 1)" for m in range(n_sub)
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_scale).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_top
+    )

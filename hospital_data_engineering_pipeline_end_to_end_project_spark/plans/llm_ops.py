@@ -932,14 +932,17 @@ def _q109_dist(vec: str, cent: str) -> str:
     return f"list_dot_product({diffs}, {diffs})"
 
 
-def _q109_subspace(m: int) -> str:
-    """CTE chain for subspace ``m``: sliced sample, seeds, unrolled
-    Lloyd (dyadic-snapped means, empty clusters keep coordinates),
-    full-corpus codes, and the query distance table."""
+def _pq_train_ctes(m: int, sample: str, vcol: str) -> str:
+    """Per-subspace PQ codebook training CTE chain (``s{m}v`` ..
+    ``s{m}c{ITERS}l``): slice ``vcol`` of the ``sample`` CTE, seeds =
+    first-k in (md5, id) order, unrolled Lloyd with dyadic-snapped
+    means and empty-cluster carryover.  Interpolated by BOTH the q109
+    (raw-vector PQ) and q110 (residual IVF-PQ) oracles — only the
+    sample source differs."""
     lo = m * Q109_DS
-    sl = f"dv[{lo + 1}:{lo + Q109_DS}]"
+    sl = f"{vcol}[{lo + 1}:{lo + Q109_DS}]"
     parts = [
-        f"""s{m}v AS (SELECT vec_id, {sl} AS sdv FROM sv),
+        f"""s{m}v AS (SELECT vec_id, {sl} AS sdv FROM {sample}),
 s{m}seeds AS (
   SELECT row_number() OVER (ORDER BY {_Q48_ORD}) - 1 AS c, sdv AS cent
   FROM s{m}v ORDER BY {_Q48_ORD} LIMIT {Q109_K}
@@ -971,8 +974,19 @@ s{m}c{it} AS (
 ),
 s{m}c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM s{m}c{it} GROUP BY c)"""
         )
-    parts.append(
-        f"""s{m}all AS (
+    return ",\n".join(parts)
+
+
+def _q109_subspace(m: int) -> str:
+    """q109's full chain for subspace ``m``: training over the raw
+    sample ``sv``, then full-corpus codes and the query distance
+    table over raw ``dv`` slices."""
+    lo = m * Q109_DS
+    sl = f"dv[{lo + 1}:{lo + Q109_DS}]"
+    return ",\n".join(
+        [
+            _pq_train_ctes(m, "sv", "dv"),
+            f"""s{m}all AS (
   SELECT v.vec_id, cl.c,
          row_number() OVER (PARTITION BY v.vec_id
            ORDER BY {_q109_dist(f'(v.{sl})', 'cl.cent')}, cl.c) AS rn
@@ -982,9 +996,9 @@ s{m}code AS (SELECT vec_id, c AS code FROM s{m}all WHERE rn = 1),
 s{m}qt AS (
   SELECT q.vec_id, cl.c, {_q109_dist(f'(q.{sl})', 'cl.cent')} AS d
   FROM qv q CROSS JOIN s{m}c{Q109_ITERS}l cl
-)"""
+)""",
+        ]
     )
-    return ",\n".join(parts)
 
 
 def _q109_sql() -> str:
@@ -1026,6 +1040,124 @@ SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
 Q109_SQL = _q109_sql()
 
 
+# ---------------------------------------------------------------------------
+# q110 — residual IVF-PQ search (the composed 100 TB ANN design)
+#
+# q48's IVF prunes the SEARCH (nprobe cells per query), q109's PQ
+# compresses the RESIDENCY — and the canonical composition quantizes
+# the coarse RESIDUAL x - c(x), so the same code budget spans only
+# the within-cell displacement.  The oracle interpolates q48's
+# quantizer prefix VERBATIM (same coarse centroids, same sample),
+# derives residuals for the whole corpus, re-trains the per-subspace
+# codebooks on the residual sample via the shared _pq_train_ctes
+# chain, and scores candidates through per-(query, probed-cell)
+# residual distance tables joined on the cell id — no cross join
+# anywhere, matching the Spark plan's equi-join pruning
+# (operators/similarity.py:build_ivf_pq / ivf_pq_adc_topk).
+# ---------------------------------------------------------------------------
+
+
+def q110_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_pq_adc_topk(
+        e,
+        e.filter(F.col("vec_id") < Q109_NQ),
+        "vec_id",
+        "embedding",
+        n_clusters=Q48_CLUSTERS,
+        nprobe=Q48_NPROBE,
+        n_sub=Q109_SUB,
+        k_codes=Q109_K,
+        k_top=Q109_TOPK,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q110_subspace(m: int) -> str:
+    """q110's chain for subspace ``m``: codebooks trained on the
+    residual sample ``srv``, corpus codes over ``rv``, and the
+    per-(query, probed-cell) residual distance table over ``qrv``."""
+    lo = m * Q109_DS
+    sl = f"rdv[{lo + 1}:{lo + Q109_DS}]"
+    return ",\n".join(
+        [
+            _pq_train_ctes(m, "srv", "rdv"),
+            f"""s{m}all AS (
+  SELECT r.vec_id, cl.c,
+         row_number() OVER (PARTITION BY r.vec_id
+           ORDER BY {_q109_dist(f'(r.{sl})', 'cl.cent')}, cl.c) AS rn
+  FROM rv r CROSS JOIN s{m}c{Q109_ITERS}l cl
+),
+s{m}code AS (SELECT vec_id, c AS code FROM s{m}all WHERE rn = 1),
+s{m}qt AS (
+  SELECT q.vec_id, q.cluster, cl.c,
+         {_q109_dist(f'(q.{sl})', 'cl.cent')} AS d
+  FROM qrv q CROSS JOIN s{m}c{Q109_ITERS}l cl
+)""",
+        ]
+    )
+
+
+def _q110_sql() -> str:
+    subs = ",\n".join(_q110_subspace(m) for m in range(Q109_SUB))
+    ksel = ", ".join(f"c{m}.code AS k{m}" for m in range(Q109_SUB))
+    kjoin = " ".join(
+        f"JOIN s{m}code c{m} ON c{m}.vec_id = a.vec_id"
+        for m in range(1, Q109_SUB)
+    )
+    tjoin = "\n".join(
+        f"  JOIN s{m}qt t{m} ON t{m}.vec_id = t0.vec_id"
+        f" AND t{m}.cluster = s.cluster AND t{m}.c = s.k{m}"
+        for m in range(1, Q109_SUB)
+    )
+    sumexpr = " + ".join(f"t{m}.d" for m in range(Q109_SUB))
+    rdv64 = (
+        "list_transform(range(1, 65), i -> v.dv[i] - cl.cent[i])"
+    )
+    return f"""
+WITH {_q48_quantizer_prefix()},
+sidx AS (SELECT unnest(range(1, {Q109_DS + 1})) AS i),
+rv AS (
+  SELECT a.vec_id, a.cluster, {rdv64} AS rdv
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id
+  JOIN c{Q48_ITERS}l cl ON cl.c = a.cluster
+),
+srv AS (
+  SELECT vec_id, rdv FROM rv ORDER BY {_Q48_ORD} LIMIT {Q109_TRAIN_CAP}
+),
+probes AS (
+  SELECT vec_id, c AS cluster FROM rf
+  WHERE rn <= {Q48_NPROBE} AND vec_id < {Q109_NQ}
+),
+qrv AS (
+  SELECT p.vec_id, p.cluster, {rdv64} AS rdv
+  FROM probes p JOIN v ON v.vec_id = p.vec_id
+  JOIN c{Q48_ITERS}l cl ON cl.c = p.cluster
+),
+{subs},
+codesw AS (
+  SELECT a.vec_id, a.cluster, {ksel}
+  FROM assigned a JOIN s0code c0 ON c0.vec_id = a.vec_id {kjoin}
+),
+scored AS (
+  SELECT t0.vec_id AS query_id, s.vec_id AS neighbor_id,
+         round({sumexpr}, 6) AS adc_dist
+  FROM codesw s
+  JOIN s0qt t0 ON t0.cluster = s.cluster AND t0.c = s.k0
+{tjoin}
+  WHERE t0.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {Q109_TOPK}
+"""
+
+
+Q110_SQL = _q110_sql()
+
+
 QUERIES = {
     "q20_exact_dup_groups": q20_exact_dup_groups,
     "q58_quantize_embeddings": q58_quantize_embeddings,
@@ -1048,6 +1180,7 @@ QUERIES = {
     "q30_multimodal_features": q30_multimodal_features,
     "q31_embedding_near_dups": q31_embedding_near_dups,
     "q109_pq_adc_topk": q109_pq_adc_topk,
+    "q110_ivf_pq_topk": q110_ivf_pq_topk,
 }
 
 ORACLES = {
@@ -1069,4 +1202,5 @@ ORACLES = {
     "q31_embedding_near_dups": Q31_SQL,
     "q49_sketch_stats": Q49_SQL,
     "q109_pq_adc_topk": Q109_SQL,
+    "q110_ivf_pq_topk": Q110_SQL,
 }

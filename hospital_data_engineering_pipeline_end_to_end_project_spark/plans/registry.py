@@ -40,7 +40,7 @@ def _modules():
     # and the q26 pin that is more candidates than the 50 slots, so
     # _GATE_BACK demotes the 3 with the freshest rows AND unchanged
     # code — q87/q88 (official r08 rows) and q68_orc_roundtrip (r07,
-    # untouched since) — and the window cut drops q51–q57 (r07 rows,
+    # untouched since) — and the window cut drops q50–q57 (r07 rows,
     # unchanged code; next rotation's filler along with q42–q45).
     # Every query keeps its oracle regardless of position — the full
     # catalog is attested end-to-end by tests/test_oracle_parity.py
@@ -82,10 +82,12 @@ _GATE_FRONT = (
     "q31_embedding_near_dups",
     "q49_sketch_stats",
     "q26_jaccard_pairs",
-    # new arrival this round (lives in llm_ops, outside the rotated
-    # window — pinned so it lands in-window on arrival, the r08
-    # lesson); its oracle replays the PQ codebooks in SQL like q48
+    # new arrivals this round (live in llm_ops, outside the rotated
+    # window — pinned so they land in-window on arrival, the r08
+    # lesson); their oracles replay the PQ codebooks / residual
+    # IVF-PQ composition in SQL like q48
     "q109_pq_adc_topk",
+    "q110_ivf_pq_topk",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):

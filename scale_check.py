@@ -65,7 +65,17 @@ QUERIES = (
     "q105_containment_pairs",
     "q106_sketch_overlap",
     "q107_contamination_scrub",
+    # round-9 closing addition: the shuffled training-data export
+    # (one hash exchange + bounded per-bucket sorts + write + audit)
+    "q108_shuffled_export",
 )
+
+#: Embedding-table queries timed against the scaled embeddings in the
+#: ann family: PQ is corpus-size-INDEPENDENT in its tuning (the
+#: codebook is n_sub x k regardless of n — bounded-sample training,
+#: linear encode, table-lookup scoring), so the 10x row runs the same
+#: parameters and should grow ~linearly.
+EMB_QUERIES = ("q109_pq_adc_topk", "q110_ivf_pq_topk")
 
 #: TPC-H-style correlated subqueries scale on the FACT tables: the
 #: 10x corpus multiplies lineitem/orders (new order keys over the
@@ -426,6 +436,13 @@ def main() -> None:
         }
     if family in ("ann", "all"):
         out["ann_family"] = time_ann_family(spark, SF_DIR, scaled_dir, copies)
+        e_base = time_queries(spark, SF_DIR, names=EMB_QUERIES)
+        e_scaled = time_queries(spark, scaled_dir, names=EMB_QUERIES)
+        out["emb_base_sec"] = e_base
+        out["emb_scaled_sec"] = e_scaled
+        out["emb_growth_ratio"] = {
+            q: round(e_scaled[q] / e_base[q], 2) for q in EMB_QUERIES
+        }
     if family in ("stream", "all"):
         out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)
     print(json.dumps(out))
