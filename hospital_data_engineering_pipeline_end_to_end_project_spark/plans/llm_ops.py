@@ -12,8 +12,10 @@ Every approximate operator here carries a *deterministic replayed
 oracle* — none settles for the weaker rows-only check: q29/q31
 interpolate their seeded hyperplanes into the DuckDB SQL as literals;
 q48 re-derives its k-means quantizer in chained CTEs (dyadic-snapped
-means); q49's sketches are md5-KMV + hash-sampled discrete quantiles
-instead of engine-specific HLL/KLL.  Recall/accuracy vs the exact
+means), and q109/q110 extend the same replay to product-quantization
+codebooks (q110 over the coarse RESIDUALS, composing q48's quantizer
+prefix verbatim); q49's sketches are md5-KMV + hash-sampled discrete
+quantiles instead of engine-specific HLL/KLL.  Recall/accuracy vs the exact
 counterparts (q28, q38/q39) is additionally tolerance-tested in
 ``tests/test_llm_ops.py`` / ``tests/test_metrics.py``.
 """
