@@ -1513,8 +1513,30 @@ def build_pq_codebooks(
             f"PQ needs dim divisible by n_sub: dim={dim}, n_sub={n_sub}"
         )
     ds = dim // n_sub
+    return _pq_lloyd_per_slice(rows, n_sub, ds, k, iterations)
+
+
+def _pq_lloyd_per_slice(
+    rows: list[list[float]], n_sub: int, ds: int, k: int, iterations: int
+) -> list[list[list[float]]]:
+    """One Lloyd run per subspace slice of an already-collected
+    sample, with the same flop-budget routing as
+    :func:`build_ivf_centroids`: gate-sized trainings
+    (``cap * k * iterations`` within the exact budget — every
+    oracle-replayed fixture) run :func:`_local_lloyd`'s
+    bit-replayable sequential folds; larger ``k`` (e.g. 8-bit PQ at
+    k=256, where the pure-python pass is minutes of driver time)
+    routes to the vectorized :func:`_numpy_lloyd` — deterministic
+    (md5-ordered sample, first-min ties, dyadic-snapped means) but
+    not fold-bit-identical, so large-k configs are not
+    oracle-gated."""
+    lloyd = (
+        _local_lloyd
+        if len(rows) * k * iterations <= 65_536
+        else _numpy_lloyd
+    )
     return [
-        _local_lloyd(
+        lloyd(
             [v[m * ds : (m + 1) * ds] for v in rows],
             min(k, len(rows)),
             iterations,
@@ -1672,25 +1694,36 @@ def build_ivf_pq(
             f"PQ needs dim divisible by n_sub: dim={dim}, n_sub={n_sub}"
         )
     ds = dim // n_sub
-    resid = []
-    for v in rows:
-        best, best_d = 0, None
-        for ci, c in enumerate(coarse):
-            acc = 0.0
-            for a, b in zip(v, c):
-                acc = acc + (a - b) * (a - b)
-            if best_d is None or acc < best_d:
-                best_d, best = acc, ci
-        cc = coarse[best]
-        resid.append([a - b for a, b in zip(v, cc)])
-    books = [
-        _local_lloyd(
-            [r[m * ds : (m + 1) * ds] for r in resid],
-            min(k_codes, len(resid)),
-            pq_iterations,
+    # the sample's coarse assignment, on the same flop-budget routing
+    # as the Lloyd runs: the sequential python fold is the
+    # bit-replayable path (first-min ties matching ORDER BY d, c);
+    # beyond the budget (large n_clusters) numpy argmin is
+    # deterministic and the config is not oracle-gated anyway
+    if len(rows) * len(coarse) * 1 <= 65_536:
+        resid = []
+        for v in rows:
+            best, best_d = 0, None
+            for ci, c in enumerate(coarse):
+                acc = 0.0
+                for a, b in zip(v, c):
+                    acc = acc + (a - b) * (a - b)
+                if best_d is None or acc < best_d:
+                    best_d, best = acc, ci
+            cc = coarse[best]
+            resid.append([a - b for a, b in zip(v, cc)])
+    else:
+        import numpy as np
+
+        pts = np.asarray(rows, dtype=np.float64)
+        cents = np.asarray(coarse, dtype=np.float64)
+        d2 = (
+            (pts * pts).sum(axis=1)[:, None]
+            - 2.0 * (pts @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
         )
-        for m in range(n_sub)
-    ]
+        r = pts - cents[d2.argmin(axis=1)]
+        resid = [[float(x) for x in row] for row in r]
+    books = _pq_lloyd_per_slice(resid, n_sub, ds, k_codes, pq_iterations)
     return coarse, books
 
 
