@@ -173,3 +173,34 @@ def test_ivf_pq_topk_contract(spark):
         # 8 cells and nprobe=2 there are always >= k_top candidates
         # on this fixture
         assert len(rs) == k_top
+
+
+def test_codes_storage_is_fraction_of_raw(spark):
+    """The residency claim, measured on disk: the PQ codes table
+    (id + n_sub small ints) must be a small fraction of the raw
+    embeddings parquet.  Parquet encodes int32 codes with value
+    widths, so the exact ratio varies — the contract is the order of
+    magnitude, not a byte count."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
+
+    e = _emb(spark)
+    books = _books(spark)
+    codes = similarity.pq_encode(e, "vec_id", "embedding", books)
+    raw_p = scratch_path("test_pq", "raw")
+    codes_p = scratch_path("test_pq", "codes")
+    e.select("vec_id", "embedding").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(raw_p)
+    codes.coalesce(1).write.mode("overwrite").parquet(codes_p)
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    raw_b, codes_b = psize(raw_p), psize(codes_p)
+    assert codes_b < raw_b / 5, (codes_b, raw_b)
