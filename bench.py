@@ -107,6 +107,11 @@ HEADLINE = [
     "q108_shuffled_export",
     "q109_pq_adc_topk",
     "q110_ivf_pq_topk",
+    # late round-9 additions: scalar-quantization search, mergeable
+    # quantile sketches, time-weighted average
+    "q111_int8_sdc_topk",
+    "q112_quantile_sketches",
+    "q113_time_weighted_avg",
 ]
 
 

@@ -286,3 +286,99 @@ def kmv_estimate(
     return grouped.select(
         *group_cols, est.cast("long").alias("approx_distinct")
     )
+
+
+def hash_sample_bottom_k(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group deterministic uniform ROW sample in mergeable
+    bottom-k form — the quantile-sketch counterpart of
+    :func:`kmv_bottom_k` (which samples the distinct VALUE set; this
+    samples rows, which is what order statistics need).
+
+    Every row hashes its unique ``id_col`` to the canonical 52-bit
+    md5 fraction and the k smallest hashes win: a uniform sample
+    that, unlike ``rand()``, is reproducible from the ids alone and
+    — by the same order-by-key subset identity as KMV — MERGEABLE:
+    the k smallest of a union are a subset of the union of each
+    part's k smallest, so disjoint shards can sketch independently
+    and a coordinator re-rank reproduces the direct sketch
+    bit-for-bit (q112 proves this through the gate hash).
+
+    Construction is the same two-level shape as :func:`kmv_bottom_k`
+    (bottom-k per (group, md5-salt-bucket), then a merge re-rank over
+    at most ``salt_buckets x k`` rows per group) so no window
+    partition ever sorts a group's full row set.  Ties on ``h``
+    (md5 collisions) break on the value, keeping every rank total
+    and engine-replayable.  Returns ``group_cols + [h, val_col]``."""
+    md5c = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        *group_cols,
+        F.col(val_col),
+        _hash_fraction_from_md5(md5c).alias("h"),
+        (
+            F.conv(F.substring(md5c, 14, 2), 16, 10).cast("int")
+            % _KMV_SALT_BUCKETS
+        ).alias("__salt"),
+    )
+    w_part = Window.partitionBy(*group_cols, "__salt").orderBy("h", val_col)
+    partial = (
+        base.withColumn("rn", F.row_number().over(w_part))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h", val_col)
+    )
+    w_merge = Window.partitionBy(*group_cols).orderBy("h", val_col)
+    return (
+        partial.withColumn("rn", F.row_number().over(w_merge))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h", val_col)
+    )
+
+
+def sample_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    k: int = 256,
+) -> DataFrame:
+    """Quantile estimates from (possibly merged) bottom-k row-sample
+    sketches: re-rank the unioned sketch rows by ``(h, value)`` and
+    keep k (the merge — bit-identical to a direct sketch of the
+    combined rows by the subset identity), then per group take the
+    LOWER discrete order statistic ``value[(floor(p * (n-1)))]``
+    (0-based) of the sample sorted by value.
+
+    Discrete selection — never interpolation — means the estimate is
+    an actual data value and the whole computation is rank
+    arithmetic: exact cross-engine, and exact-exact (not just
+    sketch-exact) whenever the group has <= k rows, where the sample
+    IS the group.  Every window is bounded by construction (<=
+    parts x k rows reach the merge; <= k the selection).  Returns
+    ``group_cols + [p, q_value]``, one row per (group, p)."""
+    dh = sketch.select(*group_cols, "h", val_col).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h", val_col)
+    samp = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(F.col(val_col), F.col("h"))
+    wn = Window.partitionBy(*group_cols)
+    ranked = samp.withColumn("rv", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    pf = ranked.select(
+        *group_cols,
+        F.col(val_col),
+        "rv",
+        "n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+    )
+    return pf.filter(
+        F.col("rv") == F.floor(F.col("p") * (F.col("n") - 1)) + 1
+    ).select(*group_cols, "p", F.col(val_col).alias("q_value"))

@@ -1977,3 +1977,197 @@ def _pq_codes_blas(
             yield pd.DataFrame(out)
 
     return df.select(*in_cols).mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric-distance (SDC) search — the scalar-quantization
+# counterpart of PQ-ADC
+# ---------------------------------------------------------------------------
+
+#: Auto-routing threshold for the int8 SDC scorer: with
+#: ``scorer=None``, :func:`int8_sdc_topk` switches from the
+#: expression path (per-pair interpreted ``zip_with`` fold) to the
+#: Arrow-batched integer-gemm kernel once the broadcast query side
+#: reaches this many rows.  Unlike every float fast path in this
+#: module the two routes are BIT-IDENTICAL (the kernel only computes
+#: the integer dot matrix; all float scoring stays in one shared
+#: Spark expression), so the threshold is purely a latency crossover,
+#: measured like :data:`PQ_ENCODER_AUTO_MIN_K`.
+INT8_SCORER_AUTO_MIN_QUERIES = 8
+
+
+def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector absmax int8 quantization (the q58 storage scheme,
+    `plans/llm_ops.py:Q58_SQL`): ``scale = absmax/127``, codes are
+    half-away-up rounded ``floor(x/scale + 0.5)``.  Keeps the float
+    L2 norm and scale alongside the codes — exactly what symmetric
+    int8 scoring needs — and drops zero vectors (unquantizable, and
+    their cosine is NULL anyway).  Every step is a correctly-rounded
+    single IEEE op, so codes, scales and norms replay bit-for-bit in
+    SQL.  Returns ``(id_col, __s, __n, __qv)``."""
+    v = V.as_double(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return df.select(
+        F.col(id_col),
+        (amax / F.lit(127.0)).alias("__s"),
+        V.norm(v).alias("__n"),
+        F.transform(
+            v, lambda x: F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast("int")
+        ).alias("__qv"),
+    ).filter(F.col("__s") > 0)
+
+
+def _int8_idot_blas(codes: DataFrame, qrows: list) -> DataFrame:
+    """Arrow-batched integer dot kernel: per corpus batch, ONE
+    ``(batch x dim) @ (dim x nq)`` int64 gemm against the broadcast
+    query code matrix — exact by construction (|code| <= 127, so a
+    dim-length accumulation is < 2^53 for any dim < 5e8; numpy
+    accumulates in int64).  The query-side scale/norm floats ride
+    along VERBATIM (tiled, never arithmetic) so the downstream
+    scoring expression sees exactly the values the expr path would.
+    ``qrows`` are collected rows ``(query_id, __s_q, __n_q,
+    __qv_q)``; emits ``(neighbor_id, __s_c, __n_c, query_id, __s_q,
+    __n_q, __idot)``."""
+    import numpy as np
+    import pandas as pd
+
+    Q = np.array([list(r["__qv_q"]) for r in qrows], dtype=np.int64).T
+    qids = np.array([r["query_id"] for r in qrows])
+    qs = np.array([r["__s_q"] for r in qrows], dtype=np.float64)
+    qn = np.array([r["__n_q"] for r in qrows], dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([list(v) for v in pdf["__qv"]], dtype=np.int64)
+            I = C @ Q  # (batch x nq), exact int64
+            b, nq = I.shape
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf.iloc[:, 0].to_numpy().repeat(nq),
+                    "__s_c": pdf["__s"].to_numpy().repeat(nq),
+                    "__n_c": pdf["__n"].to_numpy().repeat(nq),
+                    "query_id": np.tile(qids, b),
+                    "__s_q": np.tile(qs, b),
+                    "__n_q": np.tile(qn, b),
+                    "__idot": I.reshape(-1),
+                }
+            )
+
+    id_type = codes.schema.fields[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("neighbor_id", id_type),
+            T.StructField("__s_c", T.DoubleType()),
+            T.StructField("__n_c", T.DoubleType()),
+            T.StructField("query_id", id_type),
+            T.StructField("__s_q", T.DoubleType()),
+            T.StructField("__n_q", T.DoubleType()),
+            T.StructField("__idot", T.LongType()),
+        ]
+    )
+    return codes.mapInPandas(gen, schema=schema)
+
+
+def int8_sdc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_top: int = 5,
+    round_scale: int = 6,
+    max_queries: int | None = 10_000,
+    scorer: str | None = None,
+) -> DataFrame:
+    """Symmetric-distance top-k over int8 scalar-quantized vectors —
+    the search half of the q58 storage op, and the third compression
+    point on this module's ANN spectrum (flat float64 -> int8 SDC at
+    4x compression -> PQ-ADC at 128x):
+
+        cos_q8 = (s_q * s_c * <qv_q, qv_c>) / (|v_q| * |v_c|)
+
+    The corpus side is read as 1-byte codes plus two floats — at
+    100 TB that is the difference between scanning 256 B and 40 B per
+    vector — and the integer dot product is EXACT, so unlike PQ the
+    only error is the quantization itself (and unlike the float
+    blocked scorers, the fast path here is bit-identical, not
+    last-ulp: integer gemm has no rounding).
+
+    Plan shape mirrors :func:`pq_adc_topk`: the (``max_queries``-
+    guarded) query codes broadcast past the un-shuffled corpus codes;
+    ``scorer='expr'`` scores each pair with an interpreted integer
+    ``zip_with`` fold, ``scorer='blas'`` computes the whole integer
+    dot MATRIX per Arrow batch (:func:`_int8_idot_blas`) and both
+    feed the SAME float scoring expression — fixed chain
+    ``((s_q*s_c)*idot)/(n_q*n_c)``, rounded, neighbor-id tiebreak —
+    so the two routes and the SQL oracle agree bit-for-bit."""
+    if max_queries is not None:
+        probe = queries.limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"int8_sdc_topk broadcasts the query side, but it has "
+                f">{max_queries} rows; pre-filter the queries or raise "
+                f"max_queries explicitly"
+            )
+    c = int8_quantize(corpus, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    q = int8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__s").alias("__s_q"),
+        F.col("__n").alias("__n_q"),
+        F.col("__qv").alias("__qv_q"),
+    )
+    if scorer is None:
+        nq = queries.limit(INT8_SCORER_AUTO_MIN_QUERIES + 1).count()
+        scorer = "blas" if nq >= INT8_SCORER_AUTO_MIN_QUERIES else "expr"
+    if scorer not in ("expr", "blas"):
+        raise ValueError(f"unknown int8 scorer {scorer!r}")
+    if scorer == "blas":
+        qrows = q.collect()  # bounded by the max_queries guard above
+        if not qrows:
+            scorer = "expr"  # empty query side: the join is empty anyway
+        else:
+            paired = _int8_idot_blas(
+                c.select("neighbor_id", "__s", "__n", "__qv"), qrows
+            )
+    if scorer == "expr":
+        paired = (
+            c.join(F.broadcast(q), F.lit(True))
+            .select(
+                "neighbor_id",
+                F.col("__s").alias("__s_c"),
+                F.col("__n").alias("__n_c"),
+                "query_id",
+                "__s_q",
+                "__n_q",
+                F.aggregate(
+                    F.zip_with(
+                        "__qv", "__qv_q", lambda a, b: (a * b).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("__idot"),
+            )
+        )
+    scored = (
+        paired.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_q8",
+            F.round(
+                F.col("__s_q")
+                * F.col("__s_c")
+                * F.col("__idot").cast("double")
+                / (F.col("__n_q") * F.col("__n_c")),
+                round_scale,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cos_q8")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q8"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_top
+    )

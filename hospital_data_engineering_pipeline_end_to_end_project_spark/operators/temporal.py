@@ -158,3 +158,62 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ) + 1,
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Time-weighted average (TWAP) of ``value_col`` per
+    ``group_col``: each observation holds until the key's NEXT
+    observation, so its weight is the integer duration to that next
+    timestamp — the step-function integral divided by total time,
+    the standard aggregate for irregularly-sampled series (sensor
+    states, prices, queue depths) where a plain AVG over-weights
+    bursts.
+
+    Segments come from one ``lead`` window per key (ordered by
+    ``(ts, id)`` — the id tiebreak keeps equal-timestamp orders
+    total, so the fold is deterministic); a key's LAST observation
+    has no duration and is dropped, and each segment is attributed
+    to its STARTING row's group.  The weighted sum is exact decimal
+    arithmetic — ``DECIMAL(18,6) value x DECIMAL(18,0) integer
+    duration`` products summed as decimals (order-independent, the
+    `plans/relational.py` dsum discipline) — with ONE final double
+    division, so the result replays bit-for-bit in SQL.
+
+    Plan shape: one shuffle on ``key_col`` for the lead window, then
+    a map-side-combinable groupBy on ``group_col`` — both scale-safe
+    (keys are users/devices: many and unskewed; a hot key would be
+    one device's full history, the irreducible unit of this
+    computation).  ``ts_col`` must be an integer timestamp (exact
+    epoch micros here); returns ``(group_col, n_segments,
+    total_dur, twap)``."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    seg = (
+        df.select(group_col, key_col, ts_col, id_col, value_col)
+        .withColumn("__dur", F.lead(ts_col).over(w) - F.col(ts_col))
+        .filter(F.col("__dur").isNotNull())
+    )
+    # DECIMAL(20,0) duration: wide enough that the product runs in
+    # 128-bit on both engines (DuckDB overflows the int64 fast path
+    # at DECIMAL(18,0) for month-scale micro durations)
+    wv = F.col(value_col).cast("decimal(18,6)") * F.col("__dur").cast(
+        "decimal(20,0)"
+    )
+    return seg.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("__dur").alias("total_dur"),
+        F.round(
+            F.sum(wv).cast("double")
+            / F.nullif(F.sum("__dur").cast("double"), F.lit(0.0)),
+            round_scale,
+        ).alias("twap"),
+    )

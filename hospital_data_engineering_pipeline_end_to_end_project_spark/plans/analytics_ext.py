@@ -1599,6 +1599,52 @@ SELECT node, min(r) AS component FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# q113 — time-weighted average (TWAP) per event type
+#
+# The temporal-integration aggregate q35/q36/q37's join family leads
+# up to: each observation's value holds until the user's next event,
+# so its weight is the integer micros to that event — the
+# step-function integral / total time, the standard aggregate for
+# irregularly-sampled series where plain AVG over-weights bursts.
+# One lead window per user (ordered by (ts_us, event_id) — the id
+# tiebreak keeps equal-micros orders total, and DuckDB sees the same
+# micros via epoch_us), exact DECIMAL(18,6) x DECIMAL(18,0) weighted
+# sums, ONE final double division
+# (operators/temporal.py:time_weighted_avg).
+# ---------------------------------------------------------------------------
+
+
+def q113_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", "user_id", "ts_us", "event_id", "value"
+    )
+    return temporal.time_weighted_avg(
+        e, "user_id", "ts_us", "event_id", "value", "event_type"
+    ).withColumnRenamed("total_dur", "total_dur_us")
+
+
+Q113_SQL = """
+WITH seg AS (
+  SELECT event_type, value,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS dur
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_segments,
+       CAST(sum(dur) AS BIGINT) AS total_dur_us,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(dur AS DECIMAL(20,0))) AS DOUBLE)
+             / nullif(CAST(sum(dur) AS DOUBLE), 0e0), 6) AS twap
+FROM seg WHERE dur IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1633,6 +1679,7 @@ QUERIES = {
     "q91_event_funnel": q91_event_funnel,
     "q92_retention_cohorts": q92_retention_cohorts,
     "q93_multi_signal_clusters": q93_multi_signal_clusters,
+    "q113_time_weighted_avg": q113_time_weighted_avg,
 }
 
 ORACLES = {
@@ -1669,4 +1716,5 @@ ORACLES = {
     "q91_event_funnel": Q91_SQL,
     "q92_retention_cohorts": Q92_SQL,
     "q93_multi_signal_clusters": Q93_SQL,
+    "q113_time_weighted_avg": Q113_SQL,
 }

@@ -757,6 +757,113 @@ GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# q112 — mergeable quantile sketches (hash-sampled order statistics)
+#
+# The quantile sibling of q103's KMV distinct sketches: a
+# deterministic bottom-k ROW sample (md5 of the unique event id — the
+# same 52-bit fraction, so reproducible and engine-replayable) whose
+# order statistics estimate per-group quantiles, and which merges by
+# the same order-by-key subset identity.  The gate hash PROVES the
+# mergeability: the 'merged' rows re-rank the per-type sketches into
+# a global one, the 'direct' rows sketch the raw rows globally, and
+# the oracle emits one set of numbers for both — any divergence
+# between the two Spark constructions flips the hash.  Estimates are
+# discrete order statistics (actual data values, never
+# interpolation), exact whenever a group holds <= k rows
+# (functions/metrics.py:hash_sample_bottom_k / sample_quantiles).
+# ---------------------------------------------------------------------------
+
+Q112_K = 256
+Q112_PS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q112_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import metrics
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # the per-type sketch feeds its own estimates AND the merged
+    # global construction (two consumers) — materialize the
+    # |types| x k rows once
+    sk = metrics.hash_sample_bottom_k(
+        e, ["event_type"], "event_id", "value", k=Q112_K
+    ).localCheckpoint()
+    per = metrics.sample_quantiles(
+        sk, ["event_type"], "value", ps=Q112_PS, k=Q112_K
+    ).select(
+        F.lit("per_type").alias("scope"),
+        F.col("event_type").alias("grp"),
+        "p",
+        "q_value",
+    )
+    merged = metrics.sample_quantiles(
+        sk.select("h", "value"), [], "value", ps=Q112_PS, k=Q112_K
+    ).select(
+        F.lit("merged").alias("scope"),
+        F.lit("__ALL__").alias("grp"),
+        "p",
+        "q_value",
+    )
+    direct = metrics.sample_quantiles(
+        metrics.hash_sample_bottom_k(e, [], "event_id", "value", k=Q112_K),
+        [],
+        "value",
+        ps=Q112_PS,
+        k=Q112_K,
+    ).select(
+        F.lit("direct").alias("scope"),
+        F.lit("__ALL__").alias("grp"),
+        "p",
+        "q_value",
+    )
+    return per.unionByName(merged).unionByName(direct)
+
+
+Q112_SQL = f"""
+WITH h AS (
+  SELECT event_type, value,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+              AS BIGINT) / 4503599627370496e0 AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY h, value) AS rn
+    FROM h
+  ) WHERE rn <= {Q112_K}
+),
+skg AS (
+  SELECT h, value FROM (
+    SELECT h, value, row_number() OVER (ORDER BY h, value) AS rn FROM h
+  ) WHERE rn <= {Q112_K}
+),
+pt AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, h)
+           AS rv,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM sk
+),
+pg AS (
+  SELECT value, row_number() OVER (ORDER BY value, h) AS rv,
+         count(*) OVER () AS n
+  FROM skg
+),
+ps AS (SELECT unnest([2.5e-1, 5e-1, 7.5e-1, 9e-1]) AS p)
+SELECT 'per_type' AS scope, event_type AS grp, p, value AS q_value
+FROM pt CROSS JOIN ps WHERE rv = floor(p * (n - 1)) + 1
+UNION ALL
+SELECT 'merged' AS scope, '__ALL__' AS grp, p, value AS q_value
+FROM pg CROSS JOIN ps WHERE rv = floor(p * (n - 1)) + 1
+UNION ALL
+SELECT 'direct' AS scope, '__ALL__' AS grp, p, value AS q_value
+FROM pg CROSS JOIN ps WHERE rv = floor(p * (n - 1)) + 1
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -771,6 +878,7 @@ QUERIES = {
     "q106_sketch_overlap": q106_sketch_overlap,
     "q107_contamination_scrub": q107_contamination_scrub,
     "q108_shuffled_export": q108_shuffled_export,
+    "q112_quantile_sketches": q112_quantile_sketches,
 }
 
 ORACLES = {
@@ -787,4 +895,5 @@ ORACLES = {
     "q106_sketch_overlap": Q106_SQL,
     "q107_contamination_scrub": Q107_SQL,
     "q108_shuffled_export": Q108_SQL,
+    "q112_quantile_sketches": Q112_SQL,
 }

@@ -1160,6 +1160,62 @@ SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
 Q110_SQL = _q110_sql()
 
 
+# ---------------------------------------------------------------------------
+# q111 — int8 symmetric-distance top-k (scalar-quantization search)
+#
+# The search half of q58's storage op and the third point on the
+# ANN compression spectrum (flat float64 -> int8 SDC 4x -> PQ-ADC
+# 128x): both sides carry q58's absmax int8 codes and the score is
+# (s_q*s_c*<qv_q,qv_c>)/(n_q*n_c) — the dot product is EXACT integer
+# arithmetic, so unlike every float fast path the BLAS route is
+# bit-identical to the expression route, and the only error vs true
+# cosine is the quantization itself.  The oracle replays the q58
+# quantizer and the fixed float chain verbatim
+# (operators/similarity.py:int8_sdc_topk).
+# ---------------------------------------------------------------------------
+
+Q111_NQ, Q111_TOPK = 4, 5
+
+
+def q111_int8_sdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.int8_sdc_topk(
+        e,
+        e.filter(F.col("vec_id") < Q111_NQ),
+        "vec_id",
+        "embedding",
+        k_top=Q111_TOPK,
+    )
+
+
+Q111_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS n,
+         list_max([abs(x) FOR x IN embedding::DOUBLE[]]) / 127.0 AS s
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id, n, s,
+         [CAST(floor(x / s + 0.5) AS INT) FOR x IN v] AS qv
+  FROM s WHERE s > 0
+),
+qq AS (SELECT * FROM q8 WHERE vec_id < {Q111_NQ}),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(q.s * c.s * list_dot_product(q.qv::DOUBLE[], c.qv::DOUBLE[])
+               / (q.n * c.n), 6) AS cos_q8
+  FROM qq q JOIN q8 c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_q8, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_q8 DESC, neighbor_id ASC) AS rank
+  FROM sc
+) WHERE rank <= {Q111_TOPK}
+"""
+
+
 QUERIES = {
     "q20_exact_dup_groups": q20_exact_dup_groups,
     "q58_quantize_embeddings": q58_quantize_embeddings,
@@ -1183,6 +1239,7 @@ QUERIES = {
     "q31_embedding_near_dups": q31_embedding_near_dups,
     "q109_pq_adc_topk": q109_pq_adc_topk,
     "q110_ivf_pq_topk": q110_ivf_pq_topk,
+    "q111_int8_sdc_topk": q111_int8_sdc_topk,
 }
 
 ORACLES = {
@@ -1205,4 +1262,5 @@ ORACLES = {
     "q49_sketch_stats": Q49_SQL,
     "q109_pq_adc_topk": Q109_SQL,
     "q110_ivf_pq_topk": Q110_SQL,
+    "q111_int8_sdc_topk": Q111_SQL,
 }

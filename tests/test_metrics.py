@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import observed_write
 from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
 from tests.conftest import SF_SMOKE
@@ -181,3 +183,98 @@ def test_kmv_pair_overlap_exact_below_k(spark):
     ).collect()[0]
     true_j = 1500 / 4500
     assert abs(est["jaccard_est"] - true_j) < 0.15, est
+
+
+def test_hash_sample_quantiles_exact_below_k(spark):
+    """A group with <= k rows keeps ALL rows in the sample, so the
+    discrete quantile estimate equals the exact lower order
+    statistic."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import (
+        hash_sample_bottom_k,
+        sample_quantiles,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    sk = hash_sample_bottom_k(e, ["event_type"], "event_id", "value", k=10_000)
+    got = {
+        (r["event_type"], r["p"]): r["q_value"]
+        for r in sample_quantiles(
+            sk, ["event_type"], "value", ps=(0.5,), k=10_000
+        ).collect()
+    }
+    for t, vals in (
+        e.groupby("event_type")
+        .agg(F.collect_list("value").alias("v"))
+        .collect()
+    ):
+        sv = sorted(vals)
+        assert got[(t, 0.5)] == sv[int(0.5 * (len(sv) - 1))], t
+
+
+def test_hash_sample_sketches_merge_exactly(spark):
+    """The merged global sketch (re-rank of per-type sketches) must
+    reproduce the direct global sketch bit-for-bit — the q112
+    identity at unit level, including under the estimator branch
+    (k far below the row count)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import (
+        hash_sample_bottom_k,
+        sample_quantiles,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    k = 64  # << 1000 rows: real sampling, not the degenerate case
+    per = hash_sample_bottom_k(e, ["event_type"], "event_id", "value", k=k)
+    merged = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                per.select("h", "value"), [], "value", k=k
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                hash_sample_bottom_k(e, [], "event_id", "value", k=k),
+                [],
+                "value",
+                k=k,
+            ).collect(),
+        )
+    )
+    assert merged == direct and len(merged) == 4
+
+
+def test_hash_sample_two_level_matches_one_level(spark):
+    """The salted two-level construction must equal a naive global
+    rank — the same subset identity the KMV sketch proves."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import (
+        hash_fraction,
+        hash_sample_bottom_k,
+    )
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "value"
+    )
+    k = 32
+    two = sorted(
+        (r["h"], r["value"])
+        for r in hash_sample_bottom_k(e, [], "event_id", "value", k=k).collect()
+    )
+    w = Window.orderBy("h", "value")
+    one = sorted(
+        (r["h"], r["value"])
+        for r in e.select(
+            hash_fraction(F.col("event_id")).alias("h"), "value"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    assert two == one

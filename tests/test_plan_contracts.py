@@ -37,6 +37,10 @@ BNLJ_ALLOWED = {
     # bounded top-k probe set broadcast past the un-shuffled corpus
     # codes, same contract as q28 (max_queries-guarded)
     "q109_pq_adc_topk",
+    # same contract: max_queries-guarded int8 query codes broadcast
+    # past the un-shuffled corpus codes (expr scorer at the gated
+    # fixture size; the blas scorer replaces the join entirely)
+    "q111_int8_sdc_topk",
     # |groups|-row broadcast pair generation (a.source < b.source over
     # the DISTINCT groups of the sketch frame): the broadcast side is
     # sketch metadata bounded by the number of shards/sources, never

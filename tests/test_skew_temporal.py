@@ -161,3 +161,59 @@ def test_sessionize_gap_boundaries(spark):
     assert got[(1, 101)] == 1
     assert got[(1, 300)] == 2, "gap 199 > 100 starts a new session"
     assert got[(2, 0)] == 1
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """One key, three observations: value 10 holds 2us, value 20
+    holds 6us -> twap = (10*2 + 20*6) / 8 = 17.5; the last
+    observation has no duration and is dropped."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        ("a", 1, 100, 1, 10.0),
+        ("a", 1, 102, 2, 20.0),
+        ("a", 1, 108, 3, 99.0),  # last: no next ts, dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, t long, id int, v double")
+    got = time_weighted_avg(df, "k", "t", "id", "v", "g").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["g"], r["n_segments"], r["total_dur"]) == ("a", 2, 8)
+    assert r["twap"] == 17.5
+
+
+def test_time_weighted_avg_groups_by_starting_row(spark):
+    """A segment belongs to the group of its STARTING observation,
+    even when the next observation has a different group."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        ("x", 1, 0, 1, 1.0),
+        ("y", 1, 4, 2, 3.0),
+        ("x", 1, 10, 3, 5.0),
+        ("x", 1, 12, 4, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, t long, id int, v double")
+    got = {r["g"]: r for r in time_weighted_avg(df, "k", "t", "id", "v", "g").collect()}
+    # x: 1.0 holds [0,4) and 5.0 holds [10,12) -> (4 + 10)/6
+    assert got["x"]["n_segments"] == 2 and got["x"]["total_dur"] == 6
+    assert got["x"]["twap"] == round((1.0 * 4 + 5.0 * 2) / 6, 6)
+    # y: 3.0 holds [4,10)
+    assert got["y"]["total_dur"] == 6 and got["y"]["twap"] == 3.0
+
+
+def test_time_weighted_avg_tie_deterministic(spark):
+    """Equal timestamps order by the id tiebreak: the earlier id's
+    segment has zero duration, so only the later row's value holds."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        ("a", 1, 5, 1, 100.0),
+        ("a", 1, 5, 2, 1.0),
+        ("a", 1, 15, 3, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, t long, id int, v double")
+    r = time_weighted_avg(df, "k", "t", "id", "v", "g").collect()[0]
+    # id=1 holds [5,5) = 0us, id=2 holds [5,15) = 10us
+    assert r["n_segments"] == 2 and r["total_dur"] == 10
+    assert r["twap"] == 1.0
