@@ -1991,9 +1991,13 @@ def _pq_codes_blas(
 #: reaches this many rows.  Unlike every float fast path in this
 #: module the two routes are BIT-IDENTICAL (the kernel only computes
 #: the integer dot matrix; all float scoring stays in one shared
-#: Spark expression), so the threshold is purely a latency crossover,
-#: measured like :data:`PQ_ENCODER_AUTO_MIN_K`.
-INT8_SCORER_AUTO_MIN_QUERIES = 8
+#: Spark expression), so the threshold is purely a latency crossover.
+#: MEASURED (50k-vector corpus, local[32], min-of-2): the gemm wins
+#: or ties at EVERY query count — nq=2: 1.11 s vs 1.33 s, nq=8:
+#: 0.92 vs 0.97, nq=64: 1.06 vs 1.66, nq=256: 1.70 vs 3.78 — so the
+#: auto route always takes it; ``scorer='expr'`` remains the
+#: replayable reference path (and the empty-query fallback).
+INT8_SCORER_AUTO_MIN_QUERIES = 1
 
 
 def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -2110,9 +2114,12 @@ def int8_sdc_topk(
                 f">{max_queries} rows; pre-filter the queries or raise "
                 f"max_queries explicitly"
             )
-    c = int8_quantize(corpus, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    # a single-file corpus scan would serialize the quantize + score
+    # work in one task — balance the PROJECTED input first (no-op
+    # when the scan already has enough partitions)
+    c = int8_quantize(
+        fan_out(corpus.select(id_col, vec_col)), id_col, vec_col
+    ).withColumnRenamed(id_col, "neighbor_id")
     q = int8_quantize(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("__s").alias("__s_q"),

@@ -19,7 +19,7 @@ The 10x corpus preserves the distribution that matters:
   into giant cross-copy components.  Cluster size stays O(1), count
   grows O(n): the shape a real 10x crawl has.
 
-Usage: ``python scale_check.py [copies] [docs|ann|tpch|stream|all]``
+Usage: ``python scale_check.py [copies] [docs|ann|tpch|events|stream|all]``
 (default 10, all).  Prints one JSON line; paste the ratios into BASELINE.md.
 Data goes to a pid-scoped scratch dir (removed at exit), never into
 /root/testdata.
@@ -75,7 +75,20 @@ QUERIES = (
 #: codebook is n_sub x k regardless of n — bounded-sample training,
 #: linear encode, table-lookup scoring), so the 10x row runs the same
 #: parameters and should grow ~linearly.
-EMB_QUERIES = ("q109_pq_adc_topk", "q110_ivf_pq_topk")
+EMB_QUERIES = (
+    "q109_pq_adc_topk",
+    "q110_ivf_pq_topk",
+    # int8 SDC: linear encode + integer-gemm scoring — corpus-size-
+    # independent tuning like PQ, should grow ~linearly
+    "q111_int8_sdc_topk",
+)
+
+#: Events-table queries timed against the scaled events in their own
+#: family: q112's sketch windows are bounded by construction
+#: (salt-bucket partials then a <= buckets x k merge) and q113 is one
+#: lead window + a map-side-combined agg — both should grow
+#: ~linearly with rows.
+EVENTS_QUERIES = ("q112_quantile_sketches", "q113_time_weighted_avg")
 
 #: TPC-H-style correlated subqueries scale on the FACT tables: the
 #: 10x corpus multiplies lineitem/orders (new order keys over the
@@ -155,6 +168,25 @@ def make_scaled_tpch(src_dir: str, dst_dir: str, copies: int) -> None:
         dst = os.path.join(dst_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
+
+
+def make_scaled_events(src_dir: str, dst_dir: str, copies: int) -> None:
+    """10x ``events``: copy c offsets user_id (and event_id for
+    uniqueness) over the SAME time range — more users emitting at the
+    same rate, the axis an event stream actually grows on.  Window
+    partitions (per-user histories) multiply in count but keep their
+    size, and per-type value distributions are preserved exactly."""
+    base = pd.read_parquet(os.path.join(src_dir, "events.parquet"))
+    out = []
+    for c in range(copies):
+        cp = base.copy()
+        cp["event_id"] = cp["event_id"] + c * 10_000_000_000
+        cp["user_id"] = cp["user_id"] + c * 10_000_000
+        out.append(cp)
+    os.makedirs(dst_dir, exist_ok=True)
+    pd.concat(out, ignore_index=True).to_parquet(
+        os.path.join(dst_dir, "events.parquet"), index=False
+    )
 
 
 def time_ann_family(spark, sf_dir: str, scaled_dir: str, copies: int) -> dict:
@@ -409,6 +441,8 @@ def main() -> None:
         make_scaled_embeddings(SF_DIR, scaled_dir, copies)
     if family in ("tpch", "all"):
         make_scaled_tpch(SF_DIR, scaled_dir, copies)
+    if family in ("events", "all"):
+        make_scaled_events(SF_DIR, scaled_dir, copies)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -442,6 +476,14 @@ def main() -> None:
         out["emb_scaled_sec"] = e_scaled
         out["emb_growth_ratio"] = {
             q: round(e_scaled[q] / e_base[q], 2) for q in EMB_QUERIES
+        }
+    if family in ("events", "all"):
+        ev_base = time_queries(spark, SF_DIR, names=EVENTS_QUERIES)
+        ev_scaled = time_queries(spark, scaled_dir, names=EVENTS_QUERIES)
+        out["events_base_sec"] = ev_base
+        out["events_scaled_sec"] = ev_scaled
+        out["events_growth_ratio"] = {
+            q: round(ev_scaled[q] / ev_base[q], 2) for q in EVENTS_QUERIES
         }
     if family in ("stream", "all"):
         out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)

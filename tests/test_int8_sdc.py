@@ -9,7 +9,8 @@ parity suites; these pin the operator's semantic properties:
 - quantized cosine approximates true cosine to the int8 grid error;
 - top-k recall vs the exact float cosine top-k is far above chance
   on the concentrated synthetic embeddings;
-- auto-routing picks expr below the measured query-count threshold.
+- the auto route (always the integer gemm — it won at every measured
+  query count) agrees with the pinned reference path.
 """
 
 from __future__ import annotations
@@ -85,7 +86,7 @@ def test_topk_recall_above_chance(spark):
     assert len(g & x) / len(x) >= 0.3
 
 
-def test_auto_routing_threshold(spark):
+def test_auto_route_matches_reference(spark):
     e = _emb(spark)
     small = e.filter(F.col("vec_id") < 2)
     auto = sorted(

@@ -38,8 +38,10 @@ BNLJ_ALLOWED = {
     # codes, same contract as q28 (max_queries-guarded)
     "q109_pq_adc_topk",
     # same contract: max_queries-guarded int8 query codes broadcast
-    # past the un-shuffled corpus codes (expr scorer at the gated
-    # fixture size; the blas scorer replaces the join entirely)
+    # past the un-shuffled corpus codes when scorer='expr' is pinned
+    # (the default integer-gemm scorer replaces the join entirely,
+    # so the gated plan normally has no BNLJ — the entry covers the
+    # pinned reference path)
     "q111_int8_sdc_topk",
     # |groups|-row broadcast pair generation (a.source < b.source over
     # the DISTINCT groups of the sketch frame): the broadcast side is
