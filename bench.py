@@ -112,6 +112,8 @@ HEADLINE = [
     "q111_int8_sdc_topk",
     "q112_quantile_sketches",
     "q113_time_weighted_avg",
+    "q114_power_iteration_pc",
+    "q115_ols_trend",
 ]
 
 

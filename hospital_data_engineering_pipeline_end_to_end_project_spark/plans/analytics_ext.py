@@ -1645,6 +1645,96 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q115 — per-group OLS trend (exact power sums, one IEEE finish)
+#
+# Least-squares slope/intercept/r2 of value-over-time per event type —
+# the drift/trend diagnostic a monitoring pipeline runs per segment.
+# Same exactness grammar as q65: x = seconds since a FIXED epoch
+# offset (integer), y = cents (integer), the five power sums
+# accumulate in DECIMAL(38,0) (order-independent, map-side
+# combinable, overflow-free to ~1e10 rows with the offset), and the
+# closed-form finish is ONE fixed double chain written identically in
+# both engines.  Scale shape: a single scan + one groupBy with six
+# accumulators — the cheapest possible distributed regression.
+# ---------------------------------------------------------------------------
+
+#: Fixed epoch offset (2020-09-13T12:26:40Z) — conditioning only;
+#: any constant works, but it must be a literal (never data-derived)
+#: so the plan stays one pass and the oracle replays it verbatim.
+Q115_X0 = 1_600_000_000
+
+
+def q115_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    x = (F.col("ts_sec") - F.lit(Q115_X0)).cast("decimal(19,0)")
+    y = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = nd * sxy - sx * sy
+    den = nd * sxx - sx * sx
+    slope = num / den  # cents per second
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope / F.lit(100.0), 6).alias("slope_per_sec"),
+        F.round((sy - slope * sx) / nd / F.lit(100.0), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num) / (den * (nd * syy - sy * sy)), 6
+        ).alias("r2"),
+    )
+
+
+Q115_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(epoch_us(ts) // 1000000 - {Q115_X0}
+                       AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(value * 100) AS DECIMAL(19,0))) AS DOUBLE)
+           AS sy,
+         CAST(sum(CAST(epoch_us(ts) // 1000000 - {Q115_X0}
+                       AS DECIMAL(19,0))
+                  * CAST(epoch_us(ts) // 1000000 - {Q115_X0}
+                         AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(value * 100) AS DECIMAL(19,0))
+                  * CAST(round(value * 100) AS DECIMAL(19,0))) AS DOUBLE)
+           AS syy,
+         CAST(sum(CAST(epoch_us(ts) // 1000000 - {Q115_X0}
+                       AS DECIMAL(19,0))
+                  * CAST(round(value * 100) AS DECIMAL(19,0))) AS DOUBLE)
+           AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) / 100.0, 6)
+         AS slope_per_sec,
+       round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+       round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
 QUERIES = {
     "q61_dup_clusters": q61_dup_clusters,
     "q62_skew_salted_counts": q62_skew_salted_counts,
@@ -1680,6 +1770,7 @@ QUERIES = {
     "q92_retention_cohorts": q92_retention_cohorts,
     "q93_multi_signal_clusters": q93_multi_signal_clusters,
     "q113_time_weighted_avg": q113_time_weighted_avg,
+    "q115_ols_trend": q115_ols_trend,
 }
 
 ORACLES = {
@@ -1717,4 +1808,5 @@ ORACLES = {
     "q92_retention_cohorts": Q92_SQL,
     "q93_multi_signal_clusters": Q93_SQL,
     "q113_time_weighted_avg": Q113_SQL,
+    "q115_ols_trend": Q115_SQL,
 }

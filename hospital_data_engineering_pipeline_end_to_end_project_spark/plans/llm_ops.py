@@ -1216,6 +1216,95 @@ SELECT query_id, neighbor_id, cos_q8, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q114 — power-iteration principal component (distributed PCA projection)
+#
+# The covariance numerator needs only dim + dim(dim+1)/2 exact power
+# sums — one scan, a few thousand map-side-combinable DECIMAL
+# accumulators, no shuffle of vectors — then the tiny dim x dim
+# matrix iterates on the driver in IEEE doubles (sequential folds ==
+# DuckDB list_dot_product) and the corpus is scored once against the
+# literal direction.  The oracle re-derives EVERYTHING in SQL:
+# integer-grid snaps, HUGEINT covariance, three unrolled power steps
+# as CTEs, projection, top-k (operators/similarity.py:
+# power_iteration_pc — determinism argument there).
+# ---------------------------------------------------------------------------
+
+Q114_ITERS, Q114_TOPK, Q114_SCALE = 3, 20, 1_000_000
+
+
+def q114_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_pc(
+        e,
+        "vec_id",
+        "embedding",
+        dim=Q48_DIM,
+        iterations=Q114_ITERS,
+        k_top=Q114_TOPK,
+        quant_scale=Q114_SCALE,
+    )
+
+
+def _q114_sql() -> str:
+    d = Q48_DIM
+    steps = []
+    prev = "v0"
+    for t in range(1, Q114_ITERS + 1):
+        steps.append(
+            f"w{t} AS (SELECT [list_dot_product(M.m[i+1], {prev}.v) "
+            f"FOR i IN range({d})] AS w FROM M, {prev})"
+        )
+        steps.append(
+            f"v{t} AS (SELECT [x / sqrt(list_dot_product(w, w)) "
+            f"FOR x IN w] AS v FROM w{t})"
+        )
+        prev = f"v{t}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH X AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev,
+         [CAST(floor(x * {Q114_SCALE} + 0.5) AS DECIMAL(19,0))
+          FOR x IN embedding::DOUBLE[]] AS q
+  FROM embeddings
+),
+cnt AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM X),
+sij AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(q[a.i+1] * q[b.i+1]) AS HUGEINT) AS s
+  FROM X, range({d}) a(i), range({d}) b(i)
+  GROUP BY a.i, b.i
+),
+si AS (
+  SELECT a.i AS i, CAST(sum(q[a.i+1]) AS HUGEINT) AS s
+  FROM X, range({d}) a(i) GROUP BY a.i
+),
+C AS (
+  SELECT p.i, p.j, CAST(n * p.s - a.s * b.s AS DOUBLE) AS c
+  FROM sij p
+  JOIN si a ON a.i = p.i
+  JOIN si b ON b.i = p.j
+  CROSS JOIN cnt
+),
+cm AS (SELECT i, list(c ORDER BY j) AS r FROM C GROUP BY i),
+M AS (SELECT list(r ORDER BY i) AS m FROM cm),
+v0 AS (SELECT [CASE WHEN k = 0 THEN 1e0 ELSE 0e0 END
+               FOR k IN range({d})] AS v),
+{chain},
+proj AS (
+  SELECT vec_id, round(list_dot_product(ev, {prev}.v), 6) AS pc1_proj
+  FROM X, {prev}
+)
+SELECT vec_id, pc1_proj, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY pc1_proj DESC, vec_id ASC) AS rank
+  FROM proj
+) WHERE rank <= {Q114_TOPK}
+"""
+
+
+Q114_SQL = _q114_sql()
+
+
 QUERIES = {
     "q20_exact_dup_groups": q20_exact_dup_groups,
     "q58_quantize_embeddings": q58_quantize_embeddings,
@@ -1240,6 +1329,7 @@ QUERIES = {
     "q109_pq_adc_topk": q109_pq_adc_topk,
     "q110_ivf_pq_topk": q110_ivf_pq_topk,
     "q111_int8_sdc_topk": q111_int8_sdc_topk,
+    "q114_power_iteration_pc": q114_power_iteration_pc,
 }
 
 ORACLES = {
@@ -1263,4 +1353,5 @@ ORACLES = {
     "q109_pq_adc_topk": Q109_SQL,
     "q110_ivf_pq_topk": Q110_SQL,
     "q111_int8_sdc_topk": Q111_SQL,
+    "q114_power_iteration_pc": Q114_SQL,
 }

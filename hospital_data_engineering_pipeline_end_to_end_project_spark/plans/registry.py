@@ -88,12 +88,14 @@ _GATE_FRONT = (
     # IVF-PQ composition in SQL like q48
     "q109_pq_adc_topk",
     "q110_ivf_pq_topk",
-    # late round-9 arrivals (q111 lives in llm_ops, q113 in
-    # analytics_ext's tail — both would otherwise fall outside the
+    # late round-9 arrivals (q111/q114 live in llm_ops, q113/q115 in
+    # analytics_ext's tail — all would otherwise fall outside the
     # window; q112 sits in corpus_ops and is in-window by position):
-    # int8 SDC search, TWAP
+    # int8 SDC search, TWAP, power-iteration PC, OLS trend
     "q111_int8_sdc_topk",
     "q113_time_weighted_avg",
+    "q114_power_iteration_pc",
+    "q115_ols_trend",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -104,13 +106,15 @@ _GATE_BACK = (
     "q68_orc_roundtrip",
     "q87_bm25_topk",
     "q88_semantic_dedup",
-    # displaced by the three late round-9 arrivals (q111/q112/q113):
+    # displaced by the five late round-9 arrivals (q111–q115):
     # pure-plan analytics_ext queries, official r07 rows, module file
-    # changed this round ONLY by appending q113 — their own plan code
-    # and every operator they call are untouched
+    # changed this round ONLY by appending q113/q115 — their own plan
+    # code and every operator they call are untouched
     "q66_unpivot_part",
     "q73_gap_fill_months",
     "q76_price_histogram",
+    "q63_stratified_sample",
+    "q72_window_suite",
 )
 
 

@@ -81,6 +81,10 @@ EMB_QUERIES = (
     # int8 SDC: linear encode + integer-gemm scoring — corpus-size-
     # independent tuning like PQ, should grow ~linearly
     "q111_int8_sdc_topk",
+    # power-iteration PC: one batched covariance scan + a driver-side
+    # dim x dim iteration + one projection scan — the driver step is
+    # corpus-size-free, so growth should track the two scans
+    "q114_power_iteration_pc",
 )
 
 #: Events-table queries timed against the scaled events in their own
@@ -88,7 +92,13 @@ EMB_QUERIES = (
 #: (salt-bucket partials then a <= buckets x k merge) and q113 is one
 #: lead window + a map-side-combined agg — both should grow
 #: ~linearly with rows.
-EVENTS_QUERIES = ("q112_quantile_sketches", "q113_time_weighted_avg")
+EVENTS_QUERIES = (
+    "q112_quantile_sketches",
+    "q113_time_weighted_avg",
+    # OLS trend: one scan + six accumulators per group — should be
+    # near-flat (the regression cost is the scan)
+    "q115_ols_trend",
+)
 
 #: TPC-H-style correlated subqueries scale on the FACT tables: the
 #: 10x corpus multiplies lineitem/orders (new order keys over the
