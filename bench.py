@@ -114,6 +114,7 @@ HEADLINE = [
     "q113_time_weighted_avg",
     "q114_power_iteration_pc",
     "q115_ols_trend",
+    "q116_pca_project",
 ]
 
 

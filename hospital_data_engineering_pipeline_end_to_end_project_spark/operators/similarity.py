@@ -2231,8 +2231,38 @@ def power_iteration_pc(
     deterministic 3-step direction.  The one ``collect`` is bounded
     driver control flow: dim(dim+3)/2 + 1 scalar rows.  Returns
     ``(id_col, pc1_proj, rank)``."""
-    import math
+    v = V.as_double(vec_col)
+    C = _exact_covariance(df, vec_col, dim, quant_scale)
+    vec = _power_steps(C, dim, iterations)
 
+    proj = F.round(
+        F.aggregate(
+            F.zip_with(v, _darray(vec), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_scale,
+    )
+    scored = df.select(F.col(id_col), proj.alias("pc1_proj"))
+    # distributed top-k FIRST (TakeOrderedAndProject: per-partition
+    # partial top-k, merged at the driver), THEN rank the bounded k
+    # rows — a bare global row_number window would sort the whole
+    # corpus in one task
+    top = scored.orderBy(F.desc("pc1_proj"), F.asc(id_col)).limit(k_top)
+    w_rank = Window.orderBy(F.desc("pc1_proj"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w_rank))
+
+
+def _exact_covariance(
+    df: DataFrame, vec_col: str, dim: int, quant_scale: int
+) -> list[list[float]]:
+    """The exact covariance-numerator matrix ``n*S_ij - S_i*S_j`` of
+    the ``1/quant_scale``-grid-snapped vectors, as IEEE doubles —
+    the shared pass behind :func:`power_iteration_pc` and
+    :func:`pca_project` (exactness/scale argument documented there).
+    One Arrow-batched scan: per batch an exact int64 ``Q.T @ Q``,
+    ``dim(dim+3)/2 + 1`` (idx, value) partial rows, a DECIMAL(38,0)
+    groupBy fold, ONE bounded collect."""
     import numpy as np
     import pandas as pd
 
@@ -2276,6 +2306,17 @@ def power_iteration_pc(
             C[i][j] = c
             C[j][i] = c
             k += 1
+    return C
+
+
+def _power_steps(
+    C: list[list[float]], dim: int, iterations: int
+) -> list[float]:
+    """``iterations`` power steps from ``e_1`` in IEEE doubles —
+    every matvec a sequential fold, the norm a sqrt of the
+    self-fold: exactly the chains DuckDB's ``list_dot_product``
+    replays, so the direction is bit-reproducible cross-engine."""
+    import math
 
     vec = [1.0] + [0.0] * (dim - 1)
     for _ in range(iterations):
@@ -2290,20 +2331,74 @@ def power_iteration_pc(
             acc = acc + x * x
         nrm = math.sqrt(acc)
         vec = [x / nrm for x in w]
+    return vec
 
-    proj = F.round(
-        F.aggregate(
-            F.zip_with(v, _darray(vec), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        round_scale,
-    )
-    scored = df.select(F.col(id_col), proj.alias("pc1_proj"))
-    # distributed top-k FIRST (TakeOrderedAndProject: per-partition
-    # partial top-k, merged at the driver), THEN rank the bounded k
-    # rows — a bare global row_number window would sort the whole
-    # corpus in one task
-    top = scored.orderBy(F.desc("pc1_proj"), F.asc(id_col)).limit(k_top)
-    w_rank = Window.orderBy(F.desc("pc1_proj"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(w_rank))
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_components: int = 2,
+    iterations: int = 3,
+    round_scale: int = 6,
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """Project every vector onto its corpus's top ``n_components``
+    principal directions — the 2-D (or k-D) spectral map used for
+    embedding-space QA, cluster visualization and whitening-style
+    feature reduction.
+
+    Components come from :func:`power_iteration_pc`'s machinery plus
+    HOTELLING DEFLATION: after extracting direction ``v_m`` the
+    matrix is updated ``C <- C - lam * v_m v_m^T`` with
+    ``lam = v_m . (C v_m)`` (the Rayleigh quotient), and the next
+    power run starts from ``e_1`` again.  Every deflation entry is
+    the fixed chain ``c - lam*v_i*v_j`` and lam is two sequential
+    folds, so the whole component stack replays bit-for-bit in SQL
+    (the oracle unrolls deflation as one more matrix CTE).  With
+    only ``iterations`` steps per component the directions are the
+    DETERMINISTIC approximations the operator defines — on spectra
+    with real gaps they converge, on isotropic noise they are still
+    reproducible (same argument as the single-component op).
+
+    One covariance pass (Arrow-batched exact integer sums), a
+    driver-side dim x dim iteration per component, then ONE
+    projection scan emitting all components — corpus cost is two
+    scans regardless of n_components.  Returns
+    ``(id_col, pc1_proj .. pc{n}_proj)`` for EVERY row (no top-k:
+    the projection IS the product)."""
+    C = _exact_covariance(df, vec_col, dim, quant_scale)
+    dirs = []
+    for _ in range(n_components):
+        vec = _power_steps(C, dim, iterations)
+        # Rayleigh quotient, sequential folds (== list_dot_product)
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + C[i][j] * vec[j]
+            w.append(acc)
+        lam = 0.0
+        for a, b in zip(vec, w):
+            lam = lam + a * b
+        dirs.append(vec)
+        # Hotelling deflation, fixed chain c - lam*v_i*v_j
+        C = [
+            [C[i][j] - lam * vec[i] * vec[j] for j in range(dim)]
+            for i in range(dim)
+        ]
+    v = V.as_double(vec_col)
+    cols = [F.col(id_col)]
+    for m, d in enumerate(dirs):
+        cols.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, _darray(d), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_scale,
+            ).alias(f"pc{m + 1}_proj")
+        )
+    return df.select(*cols)

@@ -1246,23 +1246,12 @@ def q114_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q114_sql() -> str:
+def _pca_cov_prefix() -> str:
+    """Shared oracle prefix (q114/q116): grid-snapped X, HUGEINT
+    power sums, covariance-numerator matrix ``M`` and the ``e_1``
+    start vector ``v0``."""
     d = Q48_DIM
-    steps = []
-    prev = "v0"
-    for t in range(1, Q114_ITERS + 1):
-        steps.append(
-            f"w{t} AS (SELECT [list_dot_product(M.m[i+1], {prev}.v) "
-            f"FOR i IN range({d})] AS w FROM M, {prev})"
-        )
-        steps.append(
-            f"v{t} AS (SELECT [x / sqrt(list_dot_product(w, w)) "
-            f"FOR x IN w] AS v FROM w{t})"
-        )
-        prev = f"v{t}"
-    chain = ",\n".join(steps)
-    return f"""
-WITH X AS (
+    return f"""X AS (
   SELECT vec_id, embedding::DOUBLE[] AS ev,
          [CAST(floor(x * {Q114_SCALE} + 0.5) AS DECIMAL(19,0))
           FOR x IN embedding::DOUBLE[]] AS q
@@ -1288,11 +1277,36 @@ C AS (
 cm AS (SELECT i, list(c ORDER BY j) AS r FROM C GROUP BY i),
 M AS (SELECT list(r ORDER BY i) AS m FROM cm),
 v0 AS (SELECT [CASE WHEN k = 0 THEN 1e0 ELSE 0e0 END
-               FOR k IN range({d})] AS v),
+               FOR k IN range({d})] AS v)"""
+
+
+def _pca_power_steps(mat: str, start: str, tag: str) -> tuple[str, str]:
+    """CTE chain for Q114_ITERS power steps of matrix ``mat`` from
+    vector CTE ``start``; returns (sql, final_vector_cte)."""
+    d = Q48_DIM
+    steps = []
+    prev = start
+    for t in range(1, Q114_ITERS + 1):
+        steps.append(
+            f"w{tag}{t} AS (SELECT [list_dot_product({mat}.m[i+1], "
+            f"{prev}.v) FOR i IN range({d})] AS w FROM {mat}, {prev})"
+        )
+        steps.append(
+            f"v{tag}{t} AS (SELECT [x / sqrt(list_dot_product(w, w)) "
+            f"FOR x IN w] AS v FROM w{tag}{t})"
+        )
+        prev = f"v{tag}{t}"
+    return ",\n".join(steps), prev
+
+
+def _q114_sql() -> str:
+    chain, final = _pca_power_steps("M", "v0", "a")
+    return f"""
+WITH {_pca_cov_prefix()},
 {chain},
 proj AS (
-  SELECT vec_id, round(list_dot_product(ev, {prev}.v), 6) AS pc1_proj
-  FROM X, {prev}
+  SELECT vec_id, round(list_dot_product(ev, {final}.v), 6) AS pc1_proj
+  FROM X, {final}
 )
 SELECT vec_id, pc1_proj, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (
@@ -1303,6 +1317,61 @@ SELECT vec_id, pc1_proj, CAST(rank AS BIGINT) AS rank FROM (
 
 
 Q114_SQL = _q114_sql()
+
+
+# ---------------------------------------------------------------------------
+# q116 — two-component PCA projection (Hotelling deflation)
+#
+# q114 extracts ONE direction and top-ks; q116 is the projection
+# PRODUCT: every vector's coordinates on the top-2 principal
+# directions (the 2-D spectral map used for embedding-space QA).
+# Second component via deflation C <- C - lam*v v^T with the
+# Rayleigh lam — every entry a fixed float chain, so the oracle
+# unrolls the deflated matrix as one more CTE and re-runs the same
+# power-step chain on it (operators/similarity.py:pca_project).
+# ---------------------------------------------------------------------------
+
+
+def q116_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_project(
+        e,
+        "vec_id",
+        "embedding",
+        dim=Q48_DIM,
+        n_components=2,
+        iterations=Q114_ITERS,
+        quant_scale=Q114_SCALE,
+    )
+
+
+def _q116_sql() -> str:
+    d = Q48_DIM
+    chain1, d0 = _pca_power_steps("M", "v0", "a")
+    chain2, d1 = _pca_power_steps("M2", "v0", "b")
+    return f"""
+WITH {_pca_cov_prefix()},
+{chain1},
+lam0 AS (
+  SELECT list_dot_product({d0}.v,
+           [list_dot_product(M.m[i+1], {d0}.v) FOR i IN range({d})])
+         AS lam
+  FROM M, {d0}
+),
+M2 AS (
+  SELECT [[M.m[i+1][j+1] - lam0.lam * {d0}.v[i+1] * {d0}.v[j+1]
+           FOR j IN range({d})] FOR i IN range({d})] AS m
+  FROM M, {d0}, lam0
+),
+{chain2}
+SELECT vec_id,
+       round(list_dot_product(ev, {d0}.v), 6) AS pc1_proj,
+       round(list_dot_product(ev, {d1}.v), 6) AS pc2_proj
+FROM X, {d0}, {d1}
+"""
+
+
+Q116_SQL = _q116_sql()
 
 
 QUERIES = {
@@ -1330,6 +1399,7 @@ QUERIES = {
     "q110_ivf_pq_topk": q110_ivf_pq_topk,
     "q111_int8_sdc_topk": q111_int8_sdc_topk,
     "q114_power_iteration_pc": q114_power_iteration_pc,
+    "q116_pca_project": q116_pca_project,
 }
 
 ORACLES = {
@@ -1354,4 +1424,5 @@ ORACLES = {
     "q110_ivf_pq_topk": Q110_SQL,
     "q111_int8_sdc_topk": Q111_SQL,
     "q114_power_iteration_pc": Q114_SQL,
+    "q116_pca_project": Q116_SQL,
 }

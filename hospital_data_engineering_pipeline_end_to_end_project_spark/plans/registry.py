@@ -96,6 +96,7 @@ _GATE_FRONT = (
     "q113_time_weighted_avg",
     "q114_power_iteration_pc",
     "q115_ols_trend",
+    "q116_pca_project",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -106,7 +107,7 @@ _GATE_BACK = (
     "q68_orc_roundtrip",
     "q87_bm25_topk",
     "q88_semantic_dedup",
-    # displaced by the five late round-9 arrivals (q111–q115):
+    # displaced by the six late round-9 arrivals (q111–q116):
     # pure-plan analytics_ext queries, official r07 rows, module file
     # changed this round ONLY by appending q113/q115 — their own plan
     # code and every operator they call are untouched
@@ -115,6 +116,7 @@ _GATE_BACK = (
     "q76_price_histogram",
     "q63_stratified_sample",
     "q72_window_suite",
+    "q74_fuzzy_name_pairs",
 )
 
 

@@ -85,6 +85,9 @@ EMB_QUERIES = (
     # dim x dim iteration + one projection scan — the driver step is
     # corpus-size-free, so growth should track the two scans
     "q114_power_iteration_pc",
+    # 2-component deflated projection: same two scans as q114 (the
+    # extra component is driver-side only)
+    "q116_pca_project",
 )
 
 #: Events-table queries timed against the scaled events in their own

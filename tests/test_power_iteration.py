@@ -114,3 +114,51 @@ def test_ols_trend_matches_numpy_closed_form(spark):
         assert got[t]["intercept"] == pytest.approx(intercept / 100, rel=1e-6)
         r = np.corrcoef(x, y)[0, 1]
         assert got[t]["r2"] == pytest.approx(r * r, abs=1e-6)
+
+
+def test_pca_project_pc1_equals_single_component(spark):
+    """q116's first component must be q114's direction exactly: same
+    covariance, same power chain — the deflation only affects pc2."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    two = {
+        r["vec_id"]: r
+        for r in similarity.pca_project(
+            e, "vec_id", "embedding", dim=64, n_components=2
+        ).collect()
+    }
+    one = similarity.power_iteration_pc(
+        e, "vec_id", "embedding", dim=64, k_top=10
+    ).collect()
+    for r in one:
+        assert two[r["vec_id"]]["pc1_proj"] == r["pc1_proj"]
+    assert len(two) == 500  # full-table projection, no top-k
+
+
+def test_pca_project_recovers_planted_plane(spark):
+    """Two planted orthogonal directions with distinct strong
+    variances: the 2-D projection must separate them — pc1 tracks
+    the stronger axis, pc2 the weaker, noise stays small."""
+    rng = np.random.default_rng(11)
+    dim = 8
+    u = np.zeros(dim); u[0] = 1.0
+    w = np.zeros(dim); w[1] = 1.0
+    rows, a_coef, b_coef = [], {}, {}
+    for i in range(300):
+        a = float(rng.normal(0, 20.0))
+        b = float(rng.normal(0, 5.0))
+        a_coef[i], b_coef[i] = a, b
+        vec = a * u + b * w + rng.normal(0, 0.05, dim)
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in similarity.pca_project(
+            df, "vec_id", "embedding", dim=dim, n_components=2
+        ).collect()
+    }
+    p1 = np.array([got[i]["pc1_proj"] for i in range(300)])
+    p2 = np.array([got[i]["pc2_proj"] for i in range(300)])
+    a = np.array([a_coef[i] for i in range(300)])
+    b = np.array([b_coef[i] for i in range(300)])
+    assert abs(np.corrcoef(p1, a)[0, 1]) > 0.99
+    assert abs(np.corrcoef(p2, b)[0, 1]) > 0.99
