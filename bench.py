@@ -115,6 +115,7 @@ HEADLINE = [
     "q114_power_iteration_pc",
     "q115_ols_trend",
     "q116_pca_project",
+    "q117_robust_outliers",
 ]
 
 

@@ -382,3 +382,80 @@ def sample_quantiles(
     return pf.filter(
         F.col("rv") == F.floor(F.col("p") * (F.col("n") - 1)) + 1
     ).select(*group_cols, "p", F.col(val_col).alias("q_value"))
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    k: int = 256,
+    n_sigmas: float = 3.0,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Per-group robust (median/MAD) outlier statistics — the
+    monitoring diagnostic that survives the heavy tails a mean/stddev
+    z-score drowns in.
+
+    EXACT medians need a per-group total sort — a hot-key window at
+    100 TB — so the center and spread come from the deterministic
+    :func:`hash_sample_bottom_k` sketch instead (discrete order
+    statistics via :func:`sample_quantiles`'s selection rule, exact
+    whenever the group holds <= k rows), and only the cheap part
+    touches the full data: ONE scan flagging
+    ``|x - med| > n_sigmas * 1.4826 * mad`` against the broadcast
+    |groups|-row stats frame.  Every number is either a data value
+    (med/mad), an integer count, or one fixed float chain, so the
+    whole diagnostic replays bit-for-bit in SQL.
+
+    Plan shape: sketch construction (bounded two-level windows), a
+    <= k-row deviation re-rank per group, one broadcast equi-join
+    scan with a map-side-combinable count.  Returns ``group_cols +
+    (n, med_est, mad_est, n_outliers, outlier_ratio)``."""
+    sk = hash_sample_bottom_k(df, group_cols, id_col, val_col, k=k)
+    med = sample_quantiles(sk, group_cols, val_col, ps=(0.5,), k=k).select(
+        *group_cols, F.col("q_value").alias("__med")
+    )
+    # deviation median over the SAME sketch rows (<= k per group)
+    dev = sk.join(F.broadcast(med), group_cols).select(
+        *group_cols,
+        "h",
+        F.abs(F.col(val_col) - F.col("__med")).alias("__dev"),
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(F.col("__dev"), F.col("h"))
+    wn = Window.partitionBy(*group_cols)
+    mad = (
+        dev.withColumn("rv", F.row_number().over(wv))
+        .withColumn("ns", F.count(F.lit(1)).over(wn))
+        .filter(
+            F.col("rv")
+            == F.floor(F.lit(0.5) * (F.col("ns") - 1)) + 1
+        )
+        .select(*group_cols, F.col("__dev").alias("__mad"))
+    )
+    stats = med.join(mad, group_cols)
+    cut = F.lit(float(n_sigmas)) * F.lit(1.4826) * F.col("__mad")
+    flagged = df.join(F.broadcast(stats), group_cols).select(
+        *group_cols,
+        F.col("__med"),
+        F.col("__mad"),
+        (F.abs(F.col(val_col) - F.col("__med")) > cut).alias("__out"),
+    )
+    return (
+        flagged.groupBy(*group_cols, "__med", "__mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__out").cast("long")).alias("n_outliers"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            F.col("__med").alias("med_est"),
+            F.col("__mad").alias("mad_est"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+                round_scale,
+            ).alias("outlier_ratio"),
+        )
+    )

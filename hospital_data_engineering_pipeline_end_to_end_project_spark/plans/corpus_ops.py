@@ -864,6 +864,86 @@ FROM pg CROSS JOIN ps WHERE rv = floor(p * (n - 1)) + 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q117 — sketch-based robust outliers (median/MAD monitoring)
+#
+# The downstream CONSUMER of q112's sketch machinery: per-type
+# robust center/spread from the deterministic hash-sample (exact
+# medians would be a hot-key total sort at 100 TB), then ONE
+# broadcast-join scan flags |x - med| > 3 * 1.4826 * mad over the
+# full data.  Every number is a data value, an integer count, or a
+# fixed float chain — bit-replayable
+# (functions/metrics.py:robust_outlier_stats).
+# ---------------------------------------------------------------------------
+
+
+def q117_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import metrics
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return metrics.robust_outlier_stats(
+        e, ["event_type"], "event_id", "value", k=Q112_K
+    )
+
+
+Q117_SQL = f"""
+WITH h AS (
+  SELECT event_type, value,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+              AS BIGINT) / 4503599627370496e0 AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY h, value) AS rn
+    FROM h
+  ) WHERE rn <= {Q112_K}
+),
+med AS (
+  SELECT event_type, value AS med FROM (
+    SELECT event_type, value,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY value, h) AS rv,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM sk
+  ) WHERE rv = floor(0.5 * (n - 1)) + 1
+),
+dev AS (
+  SELECT s.event_type, s.h, abs(s.value - m.med) AS dev
+  FROM sk s JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev,
+           row_number() OVER (
+             PARTITION BY event_type ORDER BY dev, h) AS rv,
+           count(*) OVER (PARTITION BY event_type) AS ns
+    FROM dev
+  ) WHERE rv = floor(0.5 * (ns - 1)) + 1
+),
+fl AS (
+  SELECT e.event_type, m.med, d.mad,
+         (abs(e.value - m.med) > 3.0 * 1.4826 * d.mad) AS outp
+  FROM h e
+  JOIN med m USING (event_type)
+  JOIN mad d USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       med AS med_est,
+       mad AS mad_est,
+       CAST(sum(CASE WHEN outp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(CAST(sum(CASE WHEN outp THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS outlier_ratio
+FROM fl
+GROUP BY event_type, med, mad
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -879,6 +959,7 @@ QUERIES = {
     "q107_contamination_scrub": q107_contamination_scrub,
     "q108_shuffled_export": q108_shuffled_export,
     "q112_quantile_sketches": q112_quantile_sketches,
+    "q117_robust_outliers": q117_robust_outliers,
 }
 
 ORACLES = {
@@ -896,4 +977,5 @@ ORACLES = {
     "q107_contamination_scrub": Q107_SQL,
     "q108_shuffled_export": Q108_SQL,
     "q112_quantile_sketches": Q112_SQL,
+    "q117_robust_outliers": Q117_SQL,
 }

@@ -107,7 +107,7 @@ _GATE_BACK = (
     "q68_orc_roundtrip",
     "q87_bm25_topk",
     "q88_semantic_dedup",
-    # displaced by the six late round-9 arrivals (q111–q116):
+    # displaced by the seven late round-9 arrivals (q111–q117):
     # pure-plan analytics_ext queries, official r07 rows, module file
     # changed this round ONLY by appending q113/q115 — their own plan
     # code and every operator they call are untouched
@@ -117,6 +117,7 @@ _GATE_BACK = (
     "q63_stratified_sample",
     "q72_window_suite",
     "q74_fuzzy_name_pairs",
+    "q75_rolling_revenue",
 )
 
 

@@ -101,6 +101,9 @@ EVENTS_QUERIES = (
     # OLS trend: one scan + six accumulators per group — should be
     # near-flat (the regression cost is the scan)
     "q115_ols_trend",
+    # robust outliers: sketch (bounded windows) + one broadcast-join
+    # flagging scan — growth should track the scan
+    "q117_robust_outliers",
 )
 
 #: TPC-H-style correlated subqueries scale on the FACT tables: the

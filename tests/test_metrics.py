@@ -278,3 +278,25 @@ def test_hash_sample_two_level_matches_one_level(spark):
         .collect()
     )
     assert two == one
+
+
+def test_robust_outliers_flags_planted_anomalies(spark):
+    """Tight cluster + a few extreme points: the MAD rule must flag
+    exactly the planted anomalies (a mean/std z-score would already
+    be dragged by them — MAD isn't), and the sketch-estimated
+    med/mad must equal the exact ones below k."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import robust_outlier_stats
+    import statistics
+
+    vals = [100.0 + (i % 7) * 0.5 for i in range(200)] + [500.0, -300.0, 900.0]
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = robust_outlier_stats(
+        df, ["event_type"], "event_id", "value", k=1024
+    ).collect()[0]
+    assert r["n"] == 203
+    assert r["n_outliers"] == 3
+    sv = sorted(vals)
+    assert r["med_est"] == sv[(len(sv) - 1) // 2]  # exact below k
+    devs = sorted(abs(v - r["med_est"]) for v in vals)
+    assert r["mad_est"] == devs[(len(devs) - 1) // 2]
