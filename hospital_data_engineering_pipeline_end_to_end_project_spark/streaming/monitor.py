@@ -1,0 +1,91 @@
+"""Streaming sketch monitor — per-batch MERGEABLE sketch shards.
+
+The streaming use of the q112 identity: every micro-batch writes its
+own bottom-k row-sample shard (``functions/metrics.py:
+hash_sample_bottom_k``), and any reader re-ranks the accumulated
+shards into EXACTLY the sketch of all rows seen so far (the k
+smallest hashes of a union are a subset of the union of each part's
+k smallest).  That buys the three properties a 100 TB ingest monitor
+needs:
+
+- write cost ∝ batch (one ``|groups| x k``-row shard per batch,
+  never a rewrite of accumulated state — the same shard layout as
+  the novelty-ingest index);
+- replay idempotency: a re-run batch overwrites its OWN ``batch=N``
+  directory, so retries cannot double-count;
+- exact-identity reads: merged quantiles are BIT-IDENTICAL to a
+  batch-mode sketch of the full data (pinned by
+  ``tests/test_stream_monitor.py``), so streaming and batch
+  monitoring share one set of numbers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import (
+    hash_sample_bottom_k,
+    sample_quantiles,
+)
+
+
+def make_sketch_batch_writer(
+    out_dir: str,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    k: int = 256,
+):
+    """The ``foreachBatch`` body: sketch THIS batch, write its shard.
+    Deterministic given the batch's rows (md5 hashing, total rank
+    order), so a replayed batch rewrites an identical shard."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sk = hash_sample_bottom_k(batch_df, group_cols, id_col, val_col, k=k)
+        sk.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return handle
+
+
+def sketch_monitor_sink(
+    stream: DataFrame,
+    out_dir: str,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+):
+    """Attach the per-batch sketch writer to a stream (``foreachBatch``
+    — one code path for batch and streaming, the same Kappa idiom as
+    the SCD2 / novelty sinks)."""
+    writer = stream.writeStream.foreachBatch(
+        make_sketch_batch_writer(out_dir, group_cols, id_col, val_col, k=k)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def read_merged_quantiles(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: list[str],
+    val_col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    k: int = 256,
+) -> DataFrame:
+    """Quantile estimates over EVERYTHING the stream has ingested,
+    computed from the shards alone: union all per-batch sketches
+    (``parts x k`` rows, never raw data) and let
+    :func:`sample_quantiles`'s merge re-rank reproduce the direct
+    sketch bit-for-bit."""
+    shards = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    return sample_quantiles(
+        shards.select(*group_cols, "h", val_col), group_cols, val_col,
+        ps=ps, k=k,
+    )
