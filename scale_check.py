@@ -386,7 +386,21 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest, monitor
+
+    sk_dir = os.path.join(scratch_dir, "stream_sketches")
+    sk_sec = run_stream(
+        lambda s: monitor.sketch_monitor_sink(
+            s.select("event_id", "event_type", "value"),
+            sk_dir,
+            ["event_type"],
+            "event_id",
+            "value",
+            checkpoint_dir=os.path.join(scratch_dir, "sk_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
 
     doc_src = os.path.join(scratch_dir, "doc_stream_src")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -418,6 +432,8 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "dedup_sec": round(dedup_sec, 2),
         "dedup_rows_per_sec": int(n_rows / dedup_sec),
         "scd2_sink_sec": round(scd2_sec, 2),
+        "sketch_monitor_sec": round(sk_sec, 2),
+        "sketch_monitor_rows_per_sec": int(n_rows / sk_sec),
         "scd2_sink_rows_per_sec": int(n_rows / scd2_sec),
         "novelty_ingest_docs": n_docs,
         "novelty_ingest_admitted": n_admitted,
