@@ -459,3 +459,120 @@ def robust_outlier_stats(
             ).alias("outlier_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — the frequency counterpart of the KMV distinct
+# sketch: bounded mergeable state (depth x width int64 counters) that
+# upper-bounds every item's frequency
+# ---------------------------------------------------------------------------
+
+
+def countmin_counts(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """The count-min counter frame of an item stream: one row per
+    (hash row ``r``, bucket), ``cnt`` = number of stream items whose
+    ``r``-th hash lands in that bucket.
+
+    Bucket ``r`` of item ``t`` is ``md5("cm{r}:" || t)``'s first 8
+    hex digits mod ``width`` — a deterministic, engine-replayable
+    hash family (the repo-wide md5 idiom; DuckDB replays it as
+    ``CAST('0x' || substring(md5(..), 1, 8) AS BIGINT) % width``).
+
+    Scale properties (why a 100 TB pipeline keeps this instead of a
+    full ``groupBy(item)``): the output is AT MOST ``depth x width``
+    rows REGARDLESS of input size or cardinality — map-side partial
+    aggregation absorbs everything (each task emits <= depth*width
+    partial rows), no hot-key hazard exists because the state is the
+    whole point, and two frames built over different shards MERGE by
+    summing counts per (r, bucket) — counters are linear.  The
+    estimate ``min_r cnt[r][bucket_r(t)]`` never under-counts
+    (one-sided error), over-counts by collision mass ~N*depth/width.
+    """
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"cm{r}:"),
+                                    F.col(item_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(structs).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    counts: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: the estimate
+    is ``min`` over the ``depth`` hash rows of the candidate's bucket
+    count (``0`` when a bucket was never touched — left join +
+    coalesce, so unseen items probe to 0 rather than vanishing).
+
+    The counter frame is bounded (depth x width rows) and broadcasts;
+    the candidate side can be arbitrarily large and never shuffles
+    more than one small aggregate.  ``depth`` and ``width`` must
+    match the build call — the hash family is derived from them.
+    """
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"cm{r}:"),
+                                    F.col(item_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = candidates.select(
+        F.col(item_col), F.explode(structs).alias("rb")
+    ).select(item_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counts), ["r", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
+    )

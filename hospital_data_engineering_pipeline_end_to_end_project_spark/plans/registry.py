@@ -48,6 +48,7 @@ def _modules():
     mods = []
     for name in (
         "corpus_ops",
+        "scale_ops",
         "relational_ext",
         "analytics_ext",
         "data_prep",
@@ -97,6 +98,15 @@ _GATE_FRONT = (
     "q114_power_iteration_pc",
     "q115_ols_trend",
     "q116_pca_project",
+    # third round-9 wave (plans/scale_ops.py) — new queries land
+    # in-window on arrival; six unchanged-r07 analytics_ext queries
+    # are demoted below to make exactly this much room
+    "q118_binary_hamming_topk",
+    "q119_jl_projection",
+    "q120_bloom_semi_join",
+    "q121_copurchase_lift",
+    "q122_countmin_heavy",
+    "q123_pagerank",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -118,6 +128,15 @@ _GATE_BACK = (
     "q72_window_suite",
     "q74_fuzzy_name_pairs",
     "q75_rolling_revenue",
+    # displaced by the six q118-q123 arrivals: same eligibility
+    # argument (official r07 rows, own plan code and called
+    # operators untouched this round)
+    "q62_skew_salted_counts",
+    "q64_group_percentiles",
+    "q67_grouping_sets",
+    "q69_session_windows",
+    "q77_revenue_share",
+    "q78_dynamic_pivot",
 )
 
 

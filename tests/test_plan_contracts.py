@@ -49,6 +49,14 @@ BNLJ_ALLOWED = {
     # the corpus — the pairwise output is itself |groups|^2 by the
     # operator's contract (functions/metrics.py:kmv_pair_overlap)
     "q106_sketch_overlap",
+    # bounded top-k probe set broadcast past the un-shuffled packed
+    # corpus codes, same contract as q28/q109 (max_queries-guarded)
+    "q118_binary_hamming_topk",
+    # 1-row broadcast basket grand total, same idiom as q77/q94
+    "q121_copurchase_lift",
+    # 1-row broadcast token grand total (heavy-hitter threshold),
+    # same idiom
+    "q122_countmin_heavy",
 }
 
 
