@@ -116,6 +116,13 @@ HEADLINE = [
     "q115_ols_trend",
     "q116_pca_project",
     "q117_robust_outliers",
+    # round-9 third wave: scale techniques
+    "q118_binary_hamming_topk",
+    "q119_jl_projection",
+    "q120_bloom_semi_join",
+    "q121_copurchase_lift",
+    "q122_countmin_heavy",
+    "q123_pagerank",
 ]
 
 

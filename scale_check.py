@@ -68,6 +68,12 @@ QUERIES = (
     # round-9 closing addition: the shuffled training-data export
     # (one hash exchange + bounded per-bucket sorts + write + audit)
     "q108_shuffled_export",
+    # round-9 third wave (documents axis): count-min heavy hitters
+    # (bounded counter state — growth should track the token scan)
+    # and fixed-point PageRank on the banded near-dup graph (edges
+    # multiply ~10x, 3 fixed join+agg rounds)
+    "q122_countmin_heavy",
+    "q123_pagerank",
 )
 
 #: Embedding-table queries timed against the scaled embeddings in the
@@ -88,6 +94,12 @@ EMB_QUERIES = (
     # 2-component deflated projection: same two scans as q114 (the
     # extra component is driver-side only)
     "q116_pca_project",
+    # round-9 third wave: sign-pack + Hamming top-k (packed integer
+    # scan past a broadcast probe set — should grow ~linearly) and
+    # the JL projection (pure per-row map: the purest linear-growth
+    # shape in the catalog)
+    "q118_binary_hamming_topk",
+    "q119_jl_projection",
 )
 
 #: Events-table queries timed against the scaled events in their own
@@ -113,6 +125,12 @@ EVENTS_QUERIES = (
 TPCH_QUERIES = (
     "q100_cheapest_regional_supplier",
     "q101_sole_late_supplier",
+    # round-9 third wave (fact-table axis): Bloom-prefiltered semi
+    # join (bitmap build is dim-sized and fixed; probe scan grows
+    # 10x) and capped co-purchase lift (baskets multiply over the
+    # same supplier catalog — pair space fixed, counts grow)
+    "q120_bloom_semi_join",
+    "q121_copurchase_lift",
 )
 
 
