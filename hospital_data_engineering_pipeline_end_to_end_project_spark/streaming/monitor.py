@@ -89,3 +89,70 @@ def read_merged_quantiles(
         shards.select(*group_cols, "h", val_col), group_cols, val_col,
         ps=ps, k=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min monitor — the FREQUENCY counterpart of the quantile
+# monitor above: counters are linear, so per-batch shards merge by
+# summation instead of re-ranking
+# ---------------------------------------------------------------------------
+
+
+def make_countmin_batch_writer(
+    out_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """``foreachBatch`` body: count-min THIS batch's items, write the
+    counter shard (<= depth x width rows).  Deterministic given the
+    batch's rows; a replayed batch overwrites its own ``batch=N`` dir,
+    so retries cannot double-count — same contract as the sketch
+    writer above."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import countmin_counts
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cm = countmin_counts(batch_df, item_col, depth=depth, width=width)
+        cm.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return handle
+
+
+def countmin_monitor_sink(
+    stream: DataFrame,
+    out_dir: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    checkpoint_dir: str | None = None,
+):
+    """Attach the per-batch count-min writer to a stream — the
+    running heavy-hitter monitor: each micro-batch costs one bounded
+    aggregate and a <= depth x width-row shard write, and the
+    accumulated shards answer "what are the hot items so far" at any
+    time without touching raw data."""
+    writer = stream.writeStream.foreachBatch(
+        make_countmin_batch_writer(out_dir, item_col, depth=depth, width=width)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def read_merged_countmin(
+    spark: SparkSession,
+    out_dir: str,
+) -> DataFrame:
+    """The sketch of EVERYTHING ingested so far, from shards alone:
+    count-min counters are linear, so summing per-(r, bucket) across
+    batch shards IS the sketch of the concatenated stream —
+    bit-identical to a batch-mode build over all rows (pinned by
+    ``tests/test_stream_monitor.py``).  Feed the result to
+    :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics.countmin_estimate`
+    to probe candidates."""
+    from pyspark.sql import functions as F
+
+    shards = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    return shards.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))

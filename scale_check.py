@@ -420,6 +420,18 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         .start()
     )
 
+    cm_dir = os.path.join(scratch_dir, "stream_countmin")
+    cm_sec = run_stream(
+        lambda s: monitor.countmin_monitor_sink(
+            s.select("event_id", "event_type"),
+            cm_dir,
+            "event_type",
+            checkpoint_dir=os.path.join(scratch_dir, "cm_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
     doc_src = os.path.join(scratch_dir, "doc_stream_src")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
@@ -452,6 +464,8 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "scd2_sink_sec": round(scd2_sec, 2),
         "sketch_monitor_sec": round(sk_sec, 2),
         "sketch_monitor_rows_per_sec": int(n_rows / sk_sec),
+        "countmin_monitor_sec": round(cm_sec, 2),
+        "countmin_monitor_rows_per_sec": int(n_rows / cm_sec),
         "scd2_sink_rows_per_sec": int(n_rows / scd2_sec),
         "novelty_ingest_docs": n_docs,
         "novelty_ingest_admitted": n_admitted,

@@ -108,3 +108,85 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
         )
     )
     assert after == again
+
+
+# ---------------------------------------------------------------------------
+# count-min monitor
+# ---------------------------------------------------------------------------
+
+
+def _stream_tokens_countmin(spark, tmp_path, out_dir, depth=4, width=64):
+    src = str(tmp_path / "cm_src")
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_id", "event_type"
+    )
+    events.repartition(8).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .json(src)
+    )
+    q = (
+        monitor.countmin_monitor_sink(
+            stream, out_dir, "event_type", depth=depth, width=width,
+            checkpoint_dir=str(tmp_path / "cm_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return events
+
+
+def test_merged_stream_countmin_equals_batch_countmin(spark, tmp_path):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import (
+        countmin_counts,
+        countmin_estimate,
+    )
+
+    out = str(tmp_path / "cm_shards")
+    events = _stream_tokens_countmin(spark, tmp_path, out)
+    merged = monitor.read_merged_countmin(spark, out)
+    direct = countmin_counts(events, "event_type", depth=4, width=64)
+    diff = (
+        merged.exceptAll(direct).count() + direct.exceptAll(merged).count()
+    )
+    assert diff == 0  # counter linearity: shard sums ARE the sketch
+
+    # and the merged counters answer point queries exactly like a
+    # batch build would
+    cands = events.select("event_type").distinct().withColumnRenamed(
+        "event_type", "tok"
+    )
+    est_m = sorted(
+        map(
+            tuple,
+            countmin_estimate(
+                merged, cands, "tok", depth=4, width=64
+            ).collect(),
+        )
+    )
+    est_d = sorted(
+        map(
+            tuple,
+            countmin_estimate(
+                direct, cands, "tok", depth=4, width=64
+            ).collect(),
+        )
+    )
+    assert est_m == est_d
+
+
+def test_countmin_batch_replay_idempotent(spark, tmp_path):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import countmin_counts
+
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_id", "event_type"
+    )
+    out = str(tmp_path / "cm_replay")
+    writer = monitor.make_countmin_batch_writer(out, "event_type", width=64)
+    writer(events, 7)
+    once = sorted(map(tuple, monitor.read_merged_countmin(spark, out).collect()))
+    writer(events, 7)  # replay of the SAME batch id
+    twice = sorted(map(tuple, monitor.read_merged_countmin(spark, out).collect()))
+    assert once == twice  # overwrite, not accumulate
