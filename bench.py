@@ -123,6 +123,7 @@ HEADLINE = [
     "q121_copurchase_lift",
     "q122_countmin_heavy",
     "q123_pagerank",
+    "q124_token_budget_mix",
 ]
 
 

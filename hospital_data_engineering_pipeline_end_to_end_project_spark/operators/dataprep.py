@@ -962,3 +962,93 @@ def source_divergence(
             ).alias("tvd"),
         )
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budgeted corpus mix: per group, keep documents in
+    deterministic ``(md5(id), id)`` order while the running token
+    total stays within ``budget`` — the "cut each source to its token
+    quota" step of assembling a pretraining mix (the budget usually
+    comes from a mix-weights solve; here it is the caller's number).
+
+    Semantics are the greedy PREFIX: a document is kept iff the
+    cumulative token count through itself (in hash order) is
+    <= budget.  A large document at the boundary blocks later small
+    ones — a deliberate, replayable definition (knapsack-style
+    backfill would be order-dependent in a way no engine replays
+    cheaply).
+
+    The naive form is one prefix-sum window ``PARTITION BY group
+    ORDER BY md5`` — a per-group TOTAL SORT, the exact hot-key shape
+    the KMV/boilerplate rewrites removed elsewhere in this repo.
+    This implementation is the two-phase quota cut, and its output
+    is IDENTICAL BY CONSTRUCTION because the md5-prefix bucket IS a
+    prefix of the sort key (ordering by (bucket, md5, id) == ordering
+    by (md5, id)):
+
+    1. per (group, 256-way md5-prefix bucket) token totals — one
+       map-side-combinable aggregate;
+    2. bucket-level prefix sums per group — a <= 256-row window per
+       group, bounded regardless of corpus size;
+    3. buckets whose inclusive prefix fits the budget are kept WHOLE
+       (semi join, no per-doc ordering work); buckets past the budget
+       are dropped whole; exactly ONE boundary bucket per group —
+       where the budget lands — gets the per-document prefix-sum
+       window, over ~1/256 of the group's rows.
+
+    So the only per-document ordered work is the boundary bucket, and
+    the oracle replays the ONE-LEVEL definition (a single window) —
+    the same prove-by-identity pattern as the two-level KMV sketch.
+
+    Returns kept rows ``(group_col, id_col, token_col)``.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("__tok"),
+        h.alias("__h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("__b"),
+    )
+    bt = d.groupBy(group_col, "__b").agg(F.sum("__tok").alias("__bt"))
+    w_b = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bt = bt.withColumn(
+        "__cum_excl", F.coalesce(F.sum("__bt").over(w_b), F.lit(0))
+    )
+    full = bt.filter(F.col("__cum_excl") + F.col("__bt") <= budget).select(
+        group_col, "__b"
+    )
+    boundary = bt.filter(
+        (F.col("__cum_excl") < budget)
+        & (F.col("__cum_excl") + F.col("__bt") > budget)
+    ).select(group_col, "__b", "__cum_excl")
+
+    kept_whole = d.join(full, [group_col, "__b"], "left_semi")
+    w_d = (
+        Window.partitionBy(group_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept_boundary = (
+        d.join(boundary, [group_col, "__b"])
+        .withColumn("__cum", F.col("__cum_excl") + F.sum("__tok").over(w_d))
+        .filter(F.col("__cum") <= budget)
+        .select(group_col, id_col, "__tok", "__h", "__b")
+    )
+    return (
+        kept_whole.select(group_col, id_col, "__tok")
+        .union(kept_boundary.select(group_col, id_col, "__tok"))
+        .select(
+            group_col, id_col, F.col("__tok").alias(token_col)
+        )
+    )

@@ -944,6 +944,46 @@ GROUP BY event_type, med, mad
 """
 
 
+# ---------------------------------------------------------------------------
+# q124 — token-budgeted corpus mix (two-phase quota cut)
+#
+# The Spark side is the two-level bucket cut (only the single
+# boundary bucket per source gets per-document ordered work); the
+# oracle replays the ONE-LEVEL greedy-prefix definition — identical
+# by construction because the md5-prefix bucket is a prefix of the
+# sort key.  See operators/dataprep.py:token_budget_mix.
+# ---------------------------------------------------------------------------
+
+_Q124_BUDGET = 5000
+
+
+def q124_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "source", "doc_id", F.size(text.tokens("text")).alias("n_tokens")
+    )
+    return dataprep.token_budget_mix(
+        sized, "source", "doc_id", "n_tokens", budget=_Q124_BUDGET
+    )
+
+
+Q124_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, doc_id, n_tokens FROM c WHERE cum <= {_Q124_BUDGET}
+"""
+
+
 QUERIES = {
     "q94_temperature_resample": q94_temperature_resample,
     "q95_boilerplate_stats": q95_boilerplate_stats,
@@ -960,6 +1000,7 @@ QUERIES = {
     "q108_shuffled_export": q108_shuffled_export,
     "q112_quantile_sketches": q112_quantile_sketches,
     "q117_robust_outliers": q117_robust_outliers,
+    "q124_token_budget_mix": q124_token_budget_mix,
 }
 
 ORACLES = {
@@ -978,4 +1019,5 @@ ORACLES = {
     "q108_shuffled_export": Q108_SQL,
     "q112_quantile_sketches": Q112_SQL,
     "q117_robust_outliers": Q117_SQL,
+    "q124_token_budget_mix": Q124_SQL,
 }

@@ -107,6 +107,10 @@ _GATE_FRONT = (
     "q121_copurchase_lift",
     "q122_countmin_heavy",
     "q123_pagerank",
+    # q124 lives in corpus_ops (in-window by module position) but is
+    # pinned anyway so a future rotation cannot silently drop a
+    # new-this-round query below the cut
+    "q124_token_budget_mix",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -137,6 +141,9 @@ _GATE_BACK = (
     "q69_session_windows",
     "q77_revenue_share",
     "q78_dynamic_pivot",
+    # displaced by q124 (same eligibility: official r07 row, code
+    # untouched since)
+    "q82_outer_explode",
 )
 
 

@@ -74,6 +74,10 @@ QUERIES = (
     # multiply ~10x, 3 fixed join+agg rounds)
     "q122_countmin_heavy",
     "q123_pagerank",
+    # token-budgeted mix: the two-phase quota cut's per-doc ordered
+    # work is bounded to one boundary bucket per source — growth
+    # should track the token-count scan
+    "q124_token_budget_mix",
 )
 
 #: Embedding-table queries timed against the scaled embeddings in the

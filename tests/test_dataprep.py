@@ -526,3 +526,60 @@ def test_contamination_scrub_masks_exact_spans(spark):
     assert out[2]["n_masked"] == 0
     assert out[2]["clean_text"].startswith("totally original")
     assert out[3]["clean_text"] == "short doc"
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix (q124)
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_mix_equals_one_level_window(spark):
+    """The two-phase quota cut must equal the naive single-window
+    greedy prefix — the identity the oracle relies on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "source", "doc_id", F.size(text.tokens("text")).alias("n_tokens")
+    )
+    got = sorted(
+        map(
+            tuple,
+            dataprep.token_budget_mix(
+                d, "source", "doc_id", "n_tokens", budget=5000
+            ).collect(),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = sorted(
+        map(
+            tuple,
+            d.withColumn("cum", F.sum(F.col("n_tokens").cast("long")).over(w))
+            .filter(F.col("cum") <= 5000)
+            .select("source", "doc_id", F.col("n_tokens").cast("long"))
+            .collect(),
+        )
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_token_budget_mix_greedy_prefix_semantics(spark):
+    """A boundary-crossing doc is dropped AND blocks later docs —
+    the defined greedy-prefix cut, not a knapsack backfill."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    rows = [("s", i, 40) for i in range(10)]  # 400 tokens total
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tokens int")
+    kept = dataprep.token_budget_mix(
+        df, "source", "doc_id", "n_tokens", budget=100
+    ).collect()
+    # exactly floor(100/40) = 2 docs fit
+    assert len(kept) == 2
+    assert all(r["n_tokens"] == 40 for r in kept)
