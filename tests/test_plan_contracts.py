@@ -202,3 +202,45 @@ def test_boilerplate_stats_no_hot_key_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, f"hot-shingle window survived:\n{plan}"
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_jl_projection_is_pure_map(plans):
+    # q119 is a per-row map: ANY Exchange means the projection
+    # stopped being scan-speed
+    assert "Exchange" not in plans["q119_jl_projection"]
+
+
+def test_bloom_prefilter_is_below_the_join(plans):
+    # q120's xxhash64 membership test must sit in a Filter on the
+    # probe (orders) scan side, BEFORE the exact semi join — rows the
+    # bloom rejects must never reach an exchange.  The literal bitmap
+    # rides in the filter, so 'xxhash64' appearing only under the
+    # join's probe child is the contract.
+    p = plans["q120_bloom_semi_join"]
+    assert "xxhash64" in p
+    join_pos = min(
+        i for i in (p.find("BroadcastHashJoin"), p.find("SortMergeJoin"),
+                    p.find("ShuffledHashJoin")) if i >= 0
+    )
+    # physical plans print operators top-down: the probe-side filter
+    # is a DESCENDANT of the join, so it must appear after the join
+    # line and before the probe scan's end
+    assert p.find("xxhash64", join_pos) >= 0
+
+
+def test_countmin_counts_partial_aggregation(plans):
+    # q122's counter build must map-side combine: the (r, bucket)
+    # aggregate appears as partial + final HashAggregate pairs, and
+    # only ONE exchange carries the bounded (<= depth x width
+    # partials per task) counter frame
+    p = plans["q122_countmin_heavy"]
+    assert "HashAggregate" in p
+    assert "Exchange hashpartitioning(r#" in p or "Exchange hashpartitioning" in p
+
+
+def test_pagerank_iterations_are_equi_joins(plans):
+    # q123: every rank-propagation join is an equi-join on the edge
+    # source — an iterative graph algorithm must never degenerate to
+    # a nested loop
+    p = plans["q123_pagerank"]
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
