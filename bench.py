@@ -124,6 +124,7 @@ HEADLINE = [
     "q122_countmin_heavy",
     "q123_pagerank",
     "q124_token_budget_mix",
+    "q125_salted_topk",
 ]
 
 

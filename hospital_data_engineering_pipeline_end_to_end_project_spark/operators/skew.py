@@ -103,3 +103,66 @@ def salted_join(
     )
     out = salted.join(replicated, [key, "__salt"]).drop("__salt")
     return out
+
+
+def salted_grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int = 5,
+    salt_buckets: int = 64,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group top-k WITHOUT a per-group total sort — the hot-group
+    defense for rank windows.
+
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` colocates
+    and sorts a group's ENTIRE row set in one task; AQE cannot split
+    a window partition, so one hot group is one straggler (the same
+    trap the two-level KMV/quantile sketches and the q124 quota cut
+    exist for).  This is the two-level form: top-k per (group,
+    md5-salt-bucket) — every window partition bounded to ~1/salt of
+    the group — then a re-rank over the <= salt_buckets * k
+    survivors per group.
+
+    The output is IDENTICAL to the one-level window by the subset
+    identity: under a TOTAL order (``order_col`` with ``id_col`` as
+    the deterministic tiebreak), a group's global top-k is contained
+    in the union of its buckets' top-ks.  The oracle therefore
+    replays the plain one-level SQL window — the prove-by-identity
+    pattern.
+
+    The salt is md5 of the row ID — content-independent and
+    replay-stable (the :func:`_row_salt` ordinal discussion applies:
+    a unique id makes retries deterministic).
+
+    Returns ``group_cols + [id_col, order_col, rank]``, rank in
+    [1, k].
+    """
+    from pyspark.sql.window import Window
+
+    direction = F.desc if descending else F.asc
+    salt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(salt_buckets),
+    ).cast("int")
+    d = df.select(*group_cols, id_col, order_col).withColumn("__salt", salt)
+    w_part = Window.partitionBy(*group_cols, "__salt").orderBy(
+        direction(order_col), F.asc(id_col)
+    )
+    survivors = (
+        d.withColumn("__rn", F.row_number().over(w_part))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w_merge = Window.partitionBy(*group_cols).orderBy(
+        direction(order_col), F.asc(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_merge))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

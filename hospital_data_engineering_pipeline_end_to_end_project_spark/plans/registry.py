@@ -111,6 +111,7 @@ _GATE_FRONT = (
     # pinned anyway so a future rotation cannot silently drop a
     # new-this-round query below the cut
     "q124_token_budget_mix",
+    "q125_salted_topk",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -141,9 +142,10 @@ _GATE_BACK = (
     "q69_session_windows",
     "q77_revenue_share",
     "q78_dynamic_pivot",
-    # displaced by q124 (same eligibility: official r07 row, code
-    # untouched since)
+    # displaced by q124/q125 (same eligibility: official r07 rows,
+    # code untouched since)
     "q82_outer_explode",
+    "q81_bag_set_ops",
 )
 
 

@@ -358,6 +358,41 @@ SELECT node, CAST(pr AS BIGINT) AS pr FROM it{_Q123_ITER}
 """
 
 
+# ---------------------------------------------------------------------------
+# q125 — salted two-level grouped top-k (hot-group window defense)
+#
+# The Spark side never sorts a whole group in one task (top-k per
+# (group, salt-bucket), bounded re-rank); the oracle replays the
+# ONE-LEVEL window — identical by the subset identity under the
+# total (order, id) order.  See operators/skew.py:salted_grouped_topk.
+# ---------------------------------------------------------------------------
+
+_Q125_K = 5
+
+
+def q125_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew
+
+    o = load_table(spark, sf_dir, "orders")
+    return skew.salted_grouped_topk(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        k=_Q125_K,
+    )
+
+
+Q125_SQL = f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= {_Q125_K}
+"""
+
+
 QUERIES = {
     "q118_binary_hamming_topk": q118_binary_hamming_topk,
     "q119_jl_projection": q119_jl_projection,
@@ -365,6 +400,7 @@ QUERIES = {
     "q121_copurchase_lift": q121_copurchase_lift,
     "q122_countmin_heavy": q122_countmin_heavy,
     "q123_pagerank": q123_pagerank,
+    "q125_salted_topk": q125_salted_topk,
 }
 
 ORACLES = {
@@ -374,4 +410,5 @@ ORACLES = {
     "q121_copurchase_lift": Q121_SQL,
     "q122_countmin_heavy": Q122_SQL,
     "q123_pagerank": Q123_SQL,
+    "q125_salted_topk": Q125_SQL,
 }

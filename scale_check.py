@@ -135,6 +135,10 @@ TPCH_QUERIES = (
     # same supplier catalog — pair space fixed, counts grow)
     "q120_bloom_semi_join",
     "q121_copurchase_lift",
+    # salted two-level grouped top-k: window partitions bounded to
+    # ~group/64 — growth should track the scan even with 10x-sized
+    # groups (the one-level form would sort each group in one task)
+    "q125_salted_topk",
 )
 
 

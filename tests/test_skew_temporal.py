@@ -217,3 +217,46 @@ def test_time_weighted_avg_tie_deterministic(spark):
     # id=1 holds [5,5) = 0us, id=2 holds [5,15) = 10us
     assert r["n_segments"] == 2 and r["total_dur"] == 10
     assert r["twap"] == 1.0
+
+
+def test_salted_grouped_topk_equals_one_level_window(spark):
+    """Two-level salted top-k must equal the naive per-group window —
+    the subset identity the q125 oracle relies on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = sorted(
+        map(
+            tuple,
+            skew.salted_grouped_topk(
+                o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=5
+            ).collect(),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    naive = sorted(
+        map(
+            tuple,
+            o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .collect(),
+        )
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_salted_grouped_topk_ties_deterministic(spark):
+    """Equal order values resolve by id on both levels — the total
+    order that makes the subset identity exact."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew
+
+    rows = [("g", i, 1.0) for i in range(100)]  # all tied
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    out = skew.salted_grouped_topk(df, ["grp"], "v", "id", k=3).collect()
+    assert sorted((r["id"], r["rank"]) for r in out) == [(0, 1), (1, 2), (2, 3)]
