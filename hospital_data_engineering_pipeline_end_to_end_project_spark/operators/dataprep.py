@@ -107,6 +107,12 @@ def group_cap(
     )
 
 
+#: Two-level prefix-sum span: documents whose order keys share a
+#: ``DIV _PACK_BUCKET_SPAN`` bucket prefix-sum together; one level of
+#: bucketing bounds every fine window partition to <= span rows.
+_PACK_BUCKET_SPAN = 4096
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str,
@@ -124,15 +130,59 @@ def pack_sequences(
     token streams) — not bin packing, which is iterative and
     data-dependent.  Integer window cumsum: exact in both engines.
     Adds ``start_offset`` and ``pack_id``.
+
+    The prefix sum is TWO-LEVEL (the q124/KMV identity pattern): a
+    one-level ``sum OVER (PARTITION BY group ORDER BY order)`` window
+    colocates and sorts a group's ENTIRE document set in one task —
+    the per-group total-sort trap, unsplittable by AQE.  Here the
+    order key buckets by ``floor(order / 4096)`` — a NON-DECREASING
+    function of the order key, so ordering by (bucket, order) IS
+    ordering by order and the offsets are identical by construction
+    (the oracle replays the one-level SQL; equality to the naive
+    window is test-pinned):
+
+    1. token totals per (group, bucket) — map-side combinable;
+    2. bucket-level exclusive prefix sums per group — a window over
+       n/4096 bucket rows, 4096x smaller than the doc stream;
+    3. within-bucket exclusive prefix sums — every partition bounded
+       to <= 4096 rows (``order_col`` must be unique per group, which
+       the packing layout requires anyway — with duplicate keys even
+       the ONE-level cumsum would be tie-order-dependent);
+    4. ``start_offset`` = bucket prefix + within-bucket prefix.
+
+    ``order_col`` must be integral for the bucket ``floor`` (doc ids
+    here); ``F.floor`` keeps the bucket monotonic for negative keys
+    too (``DIV`` truncates toward zero and would reorder around 0).
     """
     keys = group_cols or []
-    w = (
-        Window.partitionBy(*keys).orderBy(order_col)
+    toks = F.col(token_col).cast("long")
+    b = F.floor(F.col(order_col) / F.lit(_PACK_BUCKET_SPAN)).cast("long")
+    d = df.withColumn("__pb", b)
+    bt = d.groupBy(*keys, "__pb").agg(F.sum(toks).alias("__bt"))
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy("__pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bt = bt.withColumn(
+        "__boff", F.coalesce(F.sum("__bt").over(w_b), F.lit(0))
+    ).drop("__bt")
+    w_in = (
+        Window.partitionBy(*keys, "__pb")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = F.col(token_col).cast("long")
-    return df.withColumn("start_offset", F.sum(toks).over(w) - toks).withColumn(
-        "pack_id", F.expr(f"start_offset DIV {int(budget)}")
+    return (
+        d.join(bt, [*keys, "__pb"])
+        .withColumn(
+            "start_offset",
+            F.col("__boff") + F.sum(toks).over(w_in) - toks,
+        )
+        .withColumn("pack_id", F.expr(f"start_offset DIV {int(budget)}"))
+        # the equi-join reorders columns (join keys first); restore
+        # the caller's layout + appended outputs, as the one-level
+        # form produced
+        .select(*df.columns, "start_offset", "pack_id")
     )
 
 

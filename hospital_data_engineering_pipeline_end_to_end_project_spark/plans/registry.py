@@ -112,6 +112,9 @@ _GATE_FRONT = (
     # new-this-round query below the cut
     "q124_token_budget_mix",
     "q125_salted_topk",
+    # pack_sequences was rewritten two-level this round (code change
+    # -> its query needs a fresh official row)
+    "q52_pack_sequences",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -146,6 +149,8 @@ _GATE_BACK = (
     # code untouched since)
     "q82_outer_explode",
     "q81_bag_set_ops",
+    # displaced by the q52 pin (official r07 row, code untouched)
+    "q65_corr_stats",
 )
 
 

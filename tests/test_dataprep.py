@@ -583,3 +583,43 @@ def test_token_budget_mix_greedy_prefix_semantics(spark):
     # exactly floor(100/40) = 2 docs fit
     assert len(kept) == 2
     assert all(r["n_tokens"] == 40 for r in kept)
+
+
+def test_pack_sequences_two_level_equals_one_level(spark):
+    """The bucketed prefix sum must equal the naive single-window
+    cumsum — the identity the q52 oracle relies on (including
+    negative and sparse order keys, where the bucket floor must stay
+    monotonic)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    rows = [
+        ("s", k, (abs(k) % 37) + 1)
+        for k in [-9000, -5000, -1, 0, 1, 7, 4095, 4096, 4097, 100000, 999999]
+    ]
+    df = spark.createDataFrame(rows, "src string, doc int, toks int")
+    got = sorted(
+        map(
+            tuple,
+            dataprep.pack_sequences(
+                df, "doc", "toks", budget=50, group_cols=["src"]
+            ).collect(),
+        )
+    )
+    w = (
+        Window.partitionBy("src")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("toks").cast("long")
+    naive = sorted(
+        map(
+            tuple,
+            df.withColumn("start_offset", F.sum(t).over(w) - t)
+            .withColumn("pack_id", F.expr("start_offset DIV 50"))
+            .collect(),
+        )
+    )
+    assert got == naive
