@@ -2508,13 +2508,21 @@ def binary_hamming_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", ham.cast("long").alias("hamming"))
     )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.asc("hamming"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("long"))
+    # per-query rank via the salted TWO-LEVEL top-k: a plain window
+    # PARTITION BY query_id would colocate the ENTIRE scored corpus
+    # for each query in one task (the brute-force paths' hot-window
+    # trap — the LSH/IVF paths don't have it because their per-query
+    # candidate sets are bounded by design).  Identical output by the
+    # subset identity under the total (hamming, neighbor_id) order.
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.skew import salted_grouped_topk
+
+    return salted_grouped_topk(
+        scored,
+        ["query_id"],
+        "hamming",
+        "neighbor_id",
+        k=k,
+        descending=False,
     )
 
 
