@@ -127,12 +127,16 @@ def cosine_topk(
             F.round(V.dot(F.col("qnv"), F.col("cnv")), round_scale).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # per-query rank via the salted TWO-LEVEL top-k (identical by the
+    # subset identity under the total (cos_sim, neighbor_id) order):
+    # a plain window PARTITION BY query_id colocates the ENTIRE
+    # scored corpus per query in one task — the brute-force paths'
+    # hot-window trap (the LSH/IVF paths bound candidates by design)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.skew import salted_grouped_topk
+
+    return salted_grouped_topk(
+        scored, ["query_id"], "cos_sim", "neighbor_id", k=k,
+        descending=True,
     )
 
 
@@ -1671,11 +1675,13 @@ def pq_adc_topk(
             F.round(score, round_scale).alias("adc_dist"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k_top
+    # salted two-level rank (the cosine_topk note applies: ADC scores
+    # the full code table per query)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.skew import salted_grouped_topk
+
+    return salted_grouped_topk(
+        scored, ["query_id"], "adc_dist", "neighbor_id", k=k_top,
+        descending=False,
     )
 
 
@@ -2173,11 +2179,13 @@ def int8_sdc_topk(
         )
         .select("query_id", "neighbor_id", "cos_q8")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_q8"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k_top
+    # salted two-level rank (the cosine_topk note applies: SDC scores
+    # the full code table per query)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.skew import salted_grouped_topk
+
+    return salted_grouped_topk(
+        scored, ["query_id"], "cos_q8", "neighbor_id", k=k_top,
+        descending=True,
     )
 
 

@@ -115,6 +115,10 @@ _GATE_FRONT = (
     # pack_sequences was rewritten two-level this round (code change
     # -> its query needs a fresh official row)
     "q52_pack_sequences",
+    # cosine_topk's rank was routed through the salted two-level
+    # top-k this round (q109/q111 share the change but are already
+    # pinned above)
+    "q28_cosine_topk",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -151,6 +155,8 @@ _GATE_BACK = (
     "q81_bag_set_ops",
     # displaced by the q52 pin (official r07 row, code untouched)
     "q65_corr_stats",
+    # displaced by the q28 pin (official r07 row, code untouched)
+    "q91_event_funnel",
 )
 
 
