@@ -93,17 +93,36 @@ def group_cap(
     class balancing for over-represented sources/languages.
 
     Selection order is md5(id) (a stable uniform shuffle within the
-    group), id as total tiebreak.  One shuffle on the group key; at
-    scale a skewed group is bounded by the window's per-partition
-    sort, and the output per group is capped by construction.
-    Adds ``sample_rank`` (1-based within group).
+    group), id as total tiebreak.  Adds ``sample_rank`` (1-based
+    within group).
+
+    TWO-LEVEL (the salted-top-k identity): a one-level
+    ``row_number() OVER (PARTITION BY group)`` colocates and sorts
+    the ENTIRE over-represented class — the group this operator
+    exists to cap — in one unsplittable task.  Here rank-to-cap runs
+    per (group, md5-prefix salt bucket) first (partitions bounded to
+    ~1/64 of the class), then the <= 64*cap survivors re-rank per
+    group.  Output identical by the subset identity under the total
+    (md5(id), id) order — the oracle's one-level SQL is unchanged.
     """
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    d = df.withColumn("__h", h).withColumn(
+        "__salt",
+        (F.conv(F.substring("__h", 1, 2), 16, 10).cast("int") % 64),
     )
+    w_part = Window.partitionBy(*group_cols, "__salt").orderBy(
+        "__h", F.col(id_col)
+    )
+    survivors = (
+        d.withColumn("__rn", F.row_number().over(w_part))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__salt")
+    )
+    w_merge = Window.partitionBy(*group_cols).orderBy("__h", F.col(id_col))
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
+        survivors.withColumn("sample_rank", F.row_number().over(w_merge))
         .filter(F.col("sample_rank") <= cap)
+        .drop("__h")
     )
 
 

@@ -33,24 +33,41 @@ def normalize_text(col: Column | str) -> Column:
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc content hash + copy count; ``n_copies > 1`` marks exact
-    duplicate groups.  Window-count over the hash: one shuffle."""
-    from pyspark.sql.window import Window
+    duplicate groups.
 
+    groupBy + join-back rather than ``count(*) OVER (PARTITION BY
+    hash)``: the count's hot key is BY DEFINITION the most-duplicated
+    text in the corpus, a window partition cannot be split by AQE,
+    and a boilerplate page copied 10^8 times would be one task.  The
+    aggregate map-side combines the hot group away and the join back
+    is AQE-skew-splittable; values are identical (the same trick as
+    q95's boilerplate de-skew)."""
     h = F.md5(normalize_text(text_col)).alias("text_hash")
-    return df.select(F.col(id_col), h).withColumn(
-        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("text_hash"))
-    )
+    d = df.select(F.col(id_col), h)
+    counts = d.groupBy("text_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    return d.join(counts, "text_hash").select(id_col, "text_hash", "n_copies")
 
 
 def keep_first_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the lowest-id representative of each exact-dup group."""
-    from pyspark.sql.window import Window
+    """Keep the lowest-id representative of each exact-dup group.
 
-    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(F.col(id_col))
+    min-aggregate + two-column equi-join rather than
+    ``row_number() OVER (PARTITION BY hash)``: the window form
+    colocates every copy of the most-duplicated text in one task
+    (see :func:`exact_dup_groups`).  ``min(id)`` map-side combines;
+    the join keys on (hash, id) — BOTH columns — so even the hottest
+    duplicate group spreads across the id dimension in the exchange,
+    and exactly one row per group survives."""
+    d = df.withColumn("__h", F.md5(normalize_text(text_col)))
+    firsts = d.groupBy("__h").agg(F.min(F.col(id_col)).alias("__min_id"))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        d.alias("d")
+        .join(
+            firsts.alias("f"),
+            (F.col("d.__h") == F.col("f.__h"))
+            & (F.col(f"d.{id_col}") == F.col("f.__min_id")),
+        )
+        .select(*[f"d.{c}" for c in df.columns])
     )
 
 

@@ -119,6 +119,10 @@ _GATE_FRONT = (
     # top-k this round (q109/q111 share the change but are already
     # pinned above)
     "q28_cosine_topk",
+    # exact_dup_groups (groupBy+join-back de-skew) and group_cap
+    # (two-level rank-to-cap) were rewritten this round
+    "q20_exact_dup_groups",
+    "q51_group_cap",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -157,6 +161,10 @@ _GATE_BACK = (
     "q65_corr_stats",
     # displaced by the q28 pin (official r07 row, code untouched)
     "q91_event_funnel",
+    # displaced by the q20/q51 pins (official r07 rows, code
+    # untouched)
+    "q71_embedding_centroids",
+    "q80_salted_join_agg",
 )
 
 
