@@ -450,3 +450,152 @@ def test_containment_bounds_and_consistency(spark, docs):
         assert j - 1e-9 <= c <= 1.0 + 1e-9
         a, b = con[pair]["id_contained"], con[pair]["id_container"]
         assert (len(sets[a]), a) <= (len(sets[b]), b)
+
+
+# --- round-9 hot-window sweep: two-level forms == one-level windows ---
+#
+# The de-hot-keyed rewrites (exact_dup_groups, keep_first_exact,
+# group_cap, salted_grouped_topk) all claim VALUE IDENTITY to the
+# one-level window forms their oracles replay.  These properties pin
+# that identity on arbitrary duplicate-heavy inputs — including the
+# adversarial shape the rewrites exist for (one key owning most rows).
+
+dup_heavy_texts = st.lists(
+    st.sampled_from(["hot hot hot", "alpha beta", "gamma", "delta eps", ""]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(dup_heavy_texts)
+def test_exact_dup_groups_matches_window_form(spark, texts):
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, dedupe.exact_dup_groups(d, "doc_id", "text").collect())
+    )
+    h = F.md5(dedupe.normalize_text("text")).alias("text_hash")
+    naive = sorted(
+        map(
+            tuple,
+            d.select("doc_id", h)
+            .withColumn(
+                "n_copies",
+                F.count(F.lit(1)).over(Window.partitionBy("text_hash")),
+            )
+            .collect(),
+        )
+    )
+    assert got == naive
+
+
+@SLOW
+@given(dup_heavy_texts)
+def test_keep_first_exact_matches_window_form(spark, texts):
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, dedupe.keep_first_exact(d, "doc_id", "text").collect())
+    )
+    w = Window.partitionBy(F.md5(dedupe.normalize_text("text"))).orderBy(
+        "doc_id"
+    )
+    naive = sorted(
+        map(
+            tuple,
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .collect(),
+        )
+    )
+    assert got == naive
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["hot", "hot", "hot", "a", "b"]),
+                  st.integers(-50, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 7),
+)
+def test_group_cap_matches_one_level_window(spark, rows, cap):
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    d = spark.createDataFrame(rows, "src string, doc_id long")
+    got = sorted(
+        map(
+            tuple,
+            dataprep.group_cap(d, ["src"], "doc_id", cap).collect(),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    naive = sorted(
+        map(
+            tuple,
+            d.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= cap)
+            .collect(),
+        )
+    )
+    assert got == naive
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g1", "g1", "g2"]),
+            st.integers(0, 100_000),
+            st.sampled_from([0.0, 1.0, 1.0, 2.5, -3.25]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 6),
+)
+def test_salted_grouped_topk_matches_window_on_arbitrary_ties(spark, rows, k):
+    """Heavy ties + negative scores + a hot group: the subset
+    identity must hold for every (k, salt) split of the data."""
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew
+
+    d = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = sorted(
+        map(
+            tuple,
+            skew.salted_grouped_topk(d, ["grp"], "v", "id", k=k).collect(),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("id"))
+    naive = sorted(
+        map(
+            tuple,
+            d.select("grp", "id", "v")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .collect(),
+        )
+    )
+    assert got == naive
