@@ -123,6 +123,9 @@ _GATE_FRONT = (
     # (two-level rank-to-cap) were rewritten this round
     "q20_exact_dup_groups",
     "q51_group_cap",
+    # per-lang vocab rank routed through the salted two-level top-k
+    # this round (the last vocab-scale one-level window)
+    "q46_top_words_per_lang",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -165,6 +168,9 @@ _GATE_BACK = (
     # untouched)
     "q71_embedding_centroids",
     "q80_salted_join_agg",
+    # displaced by the q46 pin (official r07 row; own plan code and
+    # the operators it calls untouched since its creation commit)
+    "q92_retention_cohorts",
 )
 
 
