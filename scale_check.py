@@ -47,6 +47,9 @@ QUERIES = (
     "q87_bm25_topk",
     "q89_quality_filter",
     "q93_multi_signal_clusters",
+    # per-lang vocab rank, salted two-level since round 9 — growth
+    # should track the token scan, not the vocab sort
+    "q46_top_words_per_lang",
     # round-8 corpus-curation wave (q94 is a trivial broadcast join
     # and is left out)
     "q95_boilerplate_stats",
