@@ -621,22 +621,46 @@ def q49_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     samp = l.filter(rowh < Q49_SAMPLE_BOUND)
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    ranked = samp.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
-    )
     # discrete (no-interpolation) quantile: the ceil(q*n)-th order
     # statistic — an actual data value, so exact cross-engine; q*n is
     # a double product on both sides (oracle uses e-notation literals
-    # to keep DuckDB out of DECIMAL arithmetic)
-    qs = ranked.groupBy("l_returnflag").agg(
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("l_extendedprice"))
+    # to keep DuckDB out of DECIMAL arithmetic).
+    #
+    # The ORACLE replays this as a per-row rank over the sample
+    # (row_number -> rn == ceil(q*n)), but the sample is a FIXED
+    # FRACTION of lineitem, so that rank window's partition grows
+    # linearly with the corpus — one task per returnflag sorting
+    # fraction*n rows.  Here the t-th order statistic is computed on
+    # the (flag, price) AGGREGATE instead: count per distinct price
+    # (map-side combined), running total over the distinct-price
+    # frame — a window bounded by the PRICE DOMAIN (decimal cents, a
+    # constant w.r.t. corpus size), not by rows — then the answer is
+    # the least price whose running total reaches t.  Identical
+    # values: rank ties within a price all carry that price, so the
+    # row at position t has price = min(price | cum_count >= t).
+    pc = samp.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pc.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "n", F.sum("__c").over(Window.partitionBy("l_returnflag"))
+    )
+    qs = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(0.5) * F.col("n")),
+                F.col("l_extendedprice"),
+            )
         ).alias("approx_p50"),
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")), F.col("l_extendedprice"))
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(0.95) * F.col("n")),
+                F.col("l_extendedprice"),
+            )
         ).alias("approx_p95"),
     )
     counts = l.groupBy("l_returnflag").agg(

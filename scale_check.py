@@ -142,6 +142,10 @@ TPCH_QUERIES = (
     # ~group/64 — growth should track the scan even with 10x-sized
     # groups (the one-level form would sort each group in one task)
     "q125_salted_topk",
+    # sampled order statistics on the (flag, price) aggregate since
+    # round 9 — the cumulative window is bounded by the price DOMAIN,
+    # so growth should track the scan, not the sample sort
+    "q49_sketch_stats",
 )
 
 
