@@ -183,18 +183,18 @@ def triangle_counts(
     node keeps only its ``max_degree`` lowest-md5 ordered out-edges
     (a DETERMINISTIC sample — same trick as the q26 hot-shingle cap),
     bounding join volume to ``max_degree x |E|``; counts become a
-    documented underestimate ONLY for nodes over the cap (the
-    per-node sampling window is one O(deg log deg) task for a hub —
-    linear where the join would be quadratic).  Graphs whose ordered
-    out-degrees are all at or under the cap — every banded near-dup
-    graph in this repo, measured max 3 — are byte-identical to the
-    exact path.
+    documented underestimate ONLY for nodes over the cap.  The cap
+    itself is enforced through :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.
+    operators.skew.salted_grouped_topk` (bottom-``max_degree`` by the
+    edge md5), so even the hub's own sampling sort is bounded to
+    ~deg/64 per task rather than one O(deg log deg) straggler.
+    Graphs whose ordered out-degrees are all at or under the cap —
+    every banded near-dup graph in this repo, measured max 3 — are
+    byte-identical to the exact path.
 
     Returns ``(node, n_triangles)`` for nodes in at least one
     triangle.
     """
-    from pyspark.sql.window import Window
-
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
 
     a, b = F.col(src), F.col(dst)
@@ -206,20 +206,26 @@ def triangle_counts(
         .distinct()
     )
     if max_degree is not None:
-        w = Window.partitionBy("u").orderBy(
-            F.md5(
-                F.concat_ws(
-                    "\x1f",
-                    F.col("u").cast("string"),
-                    F.col("v").cast("string"),
-                )
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.skew import salted_grouped_topk
+
+        m = F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("u").cast("string"),
+                F.col("v").cast("string"),
             )
         )
-        e = (
-            e.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_degree)
-            .drop("__rn")
-        )
+        # bottom-max_degree by edge md5 (unique per distinct edge, so
+        # the order is total and the two-level subset identity gives
+        # byte-identical output to the one-level window)
+        e = salted_grouped_topk(
+            e.withColumn("__m", m),
+            ["u"],
+            "__m",
+            "v",
+            k=max_degree,
+            descending=False,
+        ).select("u", "v")
     e = materialize(e, materialize_mode)
     tri = (
         e.alias("e1")
