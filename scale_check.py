@@ -19,8 +19,10 @@ The 10x corpus preserves the distribution that matters:
   into giant cross-copy components.  Cluster size stays O(1), count
   grows O(n): the shape a real 10x crawl has.
 
-Usage: ``python scale_check.py [copies] [docs|ann|tpch|events|stream|all]``
-(default 10, all).  Prints one JSON line; paste the ratios into BASELINE.md.
+Usage: ``python scale_check.py [copies] [docs|ann|tpch|events|stream|deep|all]``
+(default 10, all).  The ``deep`` family is meant to be run at
+``copies=100``: it times only the scan-bound/bounded-state operators
+(two-orders-of-magnitude claim) and is excluded from ``all``.  Prints one JSON line; paste the ratios into BASELINE.md.
 Data goes to a pid-scoped scratch dir (removed at exit), never into
 /root/testdata.
 """
@@ -81,6 +83,35 @@ QUERIES = (
     # work is bounded to one boundary bucket per source — growth
     # should track the token-count scan
     "q124_token_budget_mix",
+)
+
+#: Two-orders-of-magnitude family (``python scale_check.py 100 deep``):
+#: the operators whose 100 TB claim is "bounded state / no hot key, so
+#: growth tracks the scan" — run at copies=100 to test that claim two
+#: orders up instead of one.  Curated to the scan-bound shapes (the
+#: banded self-join family's Σ bucket² growth is already measured at
+#: 10x and is super-linear by design, so it is not in this set).
+DEEP_DOC_QUERIES = (
+    # salted two-level vocab rank: window partitions bounded ~vocab/64
+    "q46_top_words_per_lang",
+    # two-level (shingle, salt) partial counts: the hot-key defense
+    "q95_boilerplate_stats",
+    # integer-exact TVD over a once-materialized count frame
+    "q96_source_divergence",
+    # two-level KMV bottom-k: sketch windows bounded by buckets x k
+    "q103_mergeable_sketches",
+    # count-min: fixed counter state regardless of corpus size
+    "q122_countmin_heavy",
+    # two-phase quota cut: ordered work bounded to boundary buckets
+    "q124_token_budget_mix",
+)
+DEEP_EVENT_QUERIES = (
+    # salt-bucket sketch partials then <= buckets x k merges
+    "q112_quantile_sketches",
+    # one lead window + map-side-combined agg
+    "q113_time_weighted_avg",
+    # six accumulators per group; cost is the scan
+    "q115_ols_trend",
 )
 
 #: Embedding-table queries timed against the scaled embeddings in the
@@ -563,6 +594,26 @@ def main() -> None:
         out["events_scaled_sec"] = ev_scaled
         out["events_growth_ratio"] = {
             q: round(ev_scaled[q] / ev_base[q], 2) for q in EVENTS_QUERIES
+        }
+    if family == "deep":
+        # two-orders-of-magnitude check: base min-of-2, scaled single
+        # run (runs are long enough that co-tenant noise is a small
+        # fraction; labeled single-run in BASELINE.md)
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        make_scaled_events(SF_DIR, scaled_dir, copies)
+        d_base = time_queries(spark, SF_DIR, names=DEEP_DOC_QUERIES)
+        d_scaled = time_queries(
+            spark, scaled_dir, runs=1, names=DEEP_DOC_QUERIES
+        )
+        ev_base = time_queries(spark, SF_DIR, names=DEEP_EVENT_QUERIES)
+        ev_scaled = time_queries(
+            spark, scaled_dir, runs=1, names=DEEP_EVENT_QUERIES
+        )
+        out["deep_base_sec"] = {**d_base, **ev_base}
+        out["deep_scaled_sec"] = {**d_scaled, **ev_scaled}
+        out["deep_growth_ratio"] = {
+            q: round(out["deep_scaled_sec"][q] / out["deep_base_sec"][q], 2)
+            for q in DEEP_DOC_QUERIES + DEEP_EVENT_QUERIES
         }
     if family in ("stream", "all"):
         out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)
