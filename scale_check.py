@@ -19,10 +19,13 @@ The 10x corpus preserves the distribution that matters:
   into giant cross-copy components.  Cluster size stays O(1), count
   grows O(n): the shape a real 10x crawl has.
 
-Usage: ``python scale_check.py [copies] [docs|ann|tpch|events|stream|deep|all]``
-(default 10, all).  The ``deep`` family is meant to be run at
-``copies=100``: it times only the scan-bound/bounded-state operators
-(two-orders-of-magnitude claim) and is excluded from ``all``.  Prints one JSON line; paste the ratios into BASELINE.md.
+Usage: ``python scale_check.py [copies]
+[docs|ann|tpch|events|stream|stream10|deep|all]`` (default 10, all).
+The ``deep`` family is meant to be run at ``copies=100``: it times
+only the scan-bound/bounded-state operators (two-orders-of-magnitude
+claim).  ``stream10`` replays the streaming throughput smoke at base
+AND at ``copies``-times the rows per micro-batch and reports the
+rows/sec ratio.  Both are excluded from ``all``.  Prints one JSON line; paste the ratios into BASELINE.md.
 Data goes to a pid-scoped scratch dir (removed at exit), never into
 /root/testdata.
 """
@@ -617,6 +620,25 @@ def main() -> None:
         }
     if family in ("stream", "all"):
         out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)
+    if family == "stream10":
+        # streaming throughput at 10x input: same file/trigger layout
+        # (20 event files, 4 per trigger — 5 micro-batches either way)
+        # so each batch carries 10x the rows.  Bounded-state operators
+        # should IMPROVE rows/sec (per-batch fixed overhead amortizes);
+        # a state-accumulating operator would degrade instead.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        make_scaled_events(SF_DIR, scaled_dir, copies)
+        out["streaming_base"] = time_streaming(
+            spark, SF_DIR, os.path.join(scaled_dir, "stream_base")
+        )
+        out["streaming_scaled"] = time_streaming(
+            spark, scaled_dir, os.path.join(scaled_dir, "stream_big")
+        )
+        out["throughput_ratio"] = {
+            k: round(out["streaming_scaled"][k] / out["streaming_base"][k], 2)
+            for k in out["streaming_base"]
+            if k.endswith("_per_sec")
+        }
     print(json.dumps(out))
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
