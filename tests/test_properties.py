@@ -599,3 +599,47 @@ def test_salted_grouped_topk_matches_window_on_arbitrary_ties(spark, rows, k):
         )
     )
     assert got == naive
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g1", "g1", "g2"]),
+            st.integers(0, 100_000),
+            st.sampled_from([0.0, 1.0, 1.0, 2.5, -3.25]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 6),
+)
+def test_salted_grouped_topk_ascending_matches_window(spark, rows, k):
+    """The ``descending=False`` branch (PQ-ADC / Hamming / triangle
+    degree cap rank on a distance) against its one-level window form —
+    same heavy-tie stress as the descending property above."""
+    from pyspark.sql.window import Window
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew
+
+    d = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = sorted(
+        map(
+            tuple,
+            skew.salted_grouped_topk(
+                d, ["grp"], "v", "id", k=k, descending=False
+            ).collect(),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+    naive = sorted(
+        map(
+            tuple,
+            d.select("grp", "id", "v")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .collect(),
+        )
+    )
+    assert got == naive
