@@ -149,6 +149,53 @@ def main() -> None:
         gt_split,
     )
 
+    # --- two-stage composition: Hamming shortlist -> exact rerank ---
+    # the production shape q118's docstring promises (1-bit codes cut
+    # the exact-scoring volume to shortlist/corpus); built from the
+    # two existing gated operators, no new code path.  Recall is
+    # bounded by the shortlist's coverage of the true top-5; cost is
+    # the packed XOR scan + an exact pass over only q x shortlist
+    # pairs instead of q x corpus.
+    for mult in (4, 16):
+        def two_stage(m=mult):
+            shortlist = similarity.binary_hamming_topk(
+                queries, corpus, "vec_id", "embedding", dim=64, k=m * K
+            ).select("query_id", "neighbor_id")
+            cand = shortlist.join(
+                corpus.withColumnRenamed("vec_id", "neighbor_id"),
+                "neighbor_id",
+            ).join(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                ),
+                "query_id",
+            )
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.skew import salted_grouped_topk
+
+            dot = F.aggregate(
+                F.zip_with(
+                    "q_emb", "embedding", lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            qn = F.sqrt(F.aggregate(F.zip_with("q_emb", "q_emb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+            cn = F.sqrt(F.aggregate(F.zip_with("embedding", "embedding", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+            scored = cand.select(
+                "query_id",
+                "neighbor_id",
+                F.round(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias(
+                    "cos_sim"
+                ),
+            )
+            return salted_grouped_topk(
+                scored, ["query_id"], "cos_sim", "neighbor_id", k=K,
+                descending=True,
+            )
+
+        point(f"hamming_shortlist{mult * K}_exact_rerank", two_stage, gt_split)
+
     # --- all-pairs self-join family (bucketed candidate generation) ---
     gt_full = _topk_sets(similarity.cosine_topk(queries, e, k=K), K)
     for planes, tables in ((8, 2), (8, 4), (8, 8), (6, 4)):
