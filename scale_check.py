@@ -20,7 +20,10 @@ The 10x corpus preserves the distribution that matters:
   grows O(n): the shape a real 10x crawl has.
 
 Usage: ``python scale_check.py [copies]
-[docs|ann|tpch|events|stream|stream10|deep|all]`` (default 10, all).
+[docs|ann|tpch|events|stream|stream10|deep|deepann|all]`` (default 10,
+all).  ``deepann`` measures the default-routed LSH/IVF rows at
+``copies=100`` tuning (past the hierarchical/blocked auto-route
+thresholds).
 The ``deep`` family is meant to be run at ``copies=100``: it times
 only the scan-bound/bounded-state operators (two-orders-of-magnitude
 claim).  ``stream10`` replays the streaming throughput smoke at base
@@ -620,6 +623,58 @@ def main() -> None:
         }
     if family in ("stream", "all"):
         out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)
+    if family == "deepann":
+        # ANN operating curve two orders up: at copies=100 the tuned
+        # knobs are n_clusters=800 (past HIER_AUTO_MIN_K=256, so the
+        # DEFAULT auto-routes two-level assignment + blocked scoring)
+        # and LSH planes 8+log2(100)~15 / 8 tables.  Lean on purpose:
+        # only the what-a-caller-gets default rows, base vs scaled.
+        import math
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import similarity
+
+        make_scaled_embeddings(SF_DIR, scaled_dir, copies)
+
+        def run2(fn, runs=2):
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            return round(best, 2)
+
+        base_e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        big_e = spark.read.parquet(
+            os.path.join(scaled_dir, "embeddings.parquet")
+        )
+        extra = max(1, int(round(math.log2(copies))))
+        da = {
+            "lsh_base": run2(
+                lambda: similarity.lsh_bucket_topk(
+                    base_e, k=5, n_planes=8, n_tables=4
+                )
+            ),
+            "lsh_scaled_tuned": run2(
+                lambda: similarity.lsh_bucket_topk(
+                    big_e, k=5, n_planes=8 + extra, n_tables=8
+                ),
+                runs=1,
+            ),
+            "ivf_base": run2(
+                lambda: similarity.ivf_topk(base_e, k=5, n_clusters=8, nprobe=2)
+            ),
+            "ivf_scaled_tuned_default": run2(
+                lambda: similarity.ivf_topk(
+                    big_e, k=5, n_clusters=8 * copies, nprobe=2
+                ),
+                runs=1,
+            ),
+        }
+        da["lsh_growth"] = round(da["lsh_scaled_tuned"] / da["lsh_base"], 2)
+        da["ivf_growth"] = round(
+            da["ivf_scaled_tuned_default"] / da["ivf_base"], 2
+        )
+        out["deepann"] = da
     if family == "stream10":
         # streaming throughput at 10x input: same file/trigger layout
         # (20 event files, 4 per trigger — 5 micro-batches either way)
