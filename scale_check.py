@@ -256,6 +256,32 @@ def make_scaled_tpch(src_dir: str, dst_dir: str, copies: int) -> None:
             os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
 
 
+def make_scaled_tpch_dir(src_dir: str, dst_dir: str, copies: int) -> None:
+    """100x-capable variant of :func:`make_scaled_tpch`: each copy is
+    written as its own part file inside a ``{t}.parquet/`` DIRECTORY
+    (Spark reads it transparently) instead of one concatenated
+    in-memory frame — 100x lineitem is ~60M rows, which a single
+    pandas concat would hold resident and a single output file would
+    serialize into one scan task.  Per-copy files keep synthesis
+    memory at one-copy size and give the scan ``copies`` splits, the
+    layout a real warehouse has."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        base = pd.read_parquet(os.path.join(src_dir, f"{t}.parquet"))
+        tdir = os.path.join(dst_dir, f"{t}.parquet")
+        os.makedirs(tdir, exist_ok=True)
+        for c in range(copies):
+            cp = base.copy()
+            cp[key] = cp[key] + c * 10_000_000_000
+            cp.to_parquet(
+                os.path.join(tdir, f"part-{c:05d}.parquet"), index=False
+            )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        dst = os.path.join(dst_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
+
+
 def make_scaled_events(src_dir: str, dst_dir: str, copies: int) -> None:
     """10x ``events``: copy c offsets user_id (and event_id for
     uniqueness) over the SAME time range — more users emitting at the
@@ -623,6 +649,26 @@ def main() -> None:
         }
     if family in ("stream", "all"):
         out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)
+    if family == "deeptpch":
+        # fact-table axis two orders up: 100x lineitem (~60M rows) /
+        # orders (~15M) over the fixed dim catalog — the axis that
+        # grows at 100 TB.  Base min-of-2, scaled single-run.
+        make_scaled_tpch_dir(SF_DIR, scaled_dir, copies)
+        names = (
+            "q49_sketch_stats",
+            "q100_cheapest_regional_supplier",
+            "q101_sole_late_supplier",
+            "q120_bloom_semi_join",
+            "q121_copurchase_lift",
+            "q125_salted_topk",
+        )
+        t_base = time_queries(spark, SF_DIR, names=names)
+        t_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["deeptpch_base_sec"] = t_base
+        out["deeptpch_scaled_sec"] = t_scaled
+        out["deeptpch_growth_ratio"] = {
+            q: round(t_scaled[q] / t_base[q], 2) for q in names
+        }
     if family == "deepann":
         # ANN operating curve two orders up: at copies=100 the tuned
         # knobs are n_clusters=800 (past HIER_AUTO_MIN_K=256, so the
