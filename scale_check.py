@@ -649,6 +649,25 @@ def main() -> None:
         }
     if family in ("stream", "all"):
         out["streaming"] = time_streaming(spark, SF_DIR, scaled_dir)
+    if family == "curve":
+        # growth-curve point for the banded near-dup family: run at a
+        # single ``copies`` and collect three points (e.g. 3/10/30)
+        # across invocations to check the documented growth MODEL
+        # (corpus x bucket-occupancy, hot keys capped) as a slope
+        # rather than a single ratio.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        names = (
+            "q26_jaccard_pairs",
+            "q105_containment_pairs",
+            "q93_multi_signal_clusters",
+        )
+        c_base = time_queries(spark, SF_DIR, names=names)
+        c_scaled = time_queries(spark, scaled_dir, names=names)
+        out["curve_base_sec"] = c_base
+        out["curve_scaled_sec"] = c_scaled
+        out["curve_growth_ratio"] = {
+            q: round(c_scaled[q] / c_base[q], 2) for q in names
+        }
     if family == "deeptpch":
         # fact-table axis two orders up: 100x lineitem (~60M rows) /
         # orders (~15M) over the fixed dim catalog — the axis that
