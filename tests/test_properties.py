@@ -643,3 +643,40 @@ def test_salted_grouped_topk_ascending_matches_window(spark, rows, k):
         )
     )
     assert got == naive
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.one_of(st.none(), st.just(50)),
+)
+def test_triangle_counts_match_bruteforce(spark, raw_edges, cap):
+    """Random small graphs (self-loops, duplicate and reversed edges
+    included) vs an itertools brute force over all node triples.
+    ``cap=50`` exceeds any possible degree here, so the capped path
+    must stay byte-identical to the exact one."""
+    import itertools
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components
+
+    edges = {tuple(sorted(e)) for e in raw_edges if e[0] != e[1]}
+    nodes = sorted({n for e in edges for n in e})
+    expected: dict[int, int] = {}
+    for tri in itertools.combinations(nodes, 3):
+        a, b, c = tri
+        if ((a, b) in edges and (b, c) in edges and (a, c) in edges):
+            for n in tri:
+                expected[n] = expected.get(n, 0) + 1
+
+    d = spark.createDataFrame(
+        [(a, b) for a, b in raw_edges], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in components.triangle_counts(d, max_degree=cap).collect()
+    }
+    assert got == expected
