@@ -680,3 +680,55 @@ def test_triangle_counts_match_bruteforce(spark, raw_edges, cap):
         for r in components.triangle_counts(d, max_degree=cap).collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 6)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([2, 3, 8]),
+    st.sampled_from([1, 2]),
+)
+def test_copurchase_lift_matches_python_replay(spark, rows, cap, min_support):
+    """Random (basket, item) streams with duplicates vs a literal
+    python replay of the documented semantics: distinct first, per-
+    basket cap by (md5, item), integer counts, one rounded division."""
+    import hashlib
+    import itertools
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import cooccur
+
+    distinct = sorted(set(rows))
+    by_basket: dict[int, list[int]] = {}
+    for b, i in distinct:
+        by_basket.setdefault(b, []).append(i)
+    capped: dict[int, list[int]] = {
+        b: sorted(items, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:cap]
+        for b, items in by_basket.items()
+    }
+    n_baskets = len(capped)
+    c_item: dict[int, int] = {}
+    c_ab: dict[tuple[int, int], int] = {}
+    for items in capped.values():
+        for i in items:
+            c_item[i] = c_item.get(i, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            c_ab[(a, b)] = c_ab.get((a, b), 0) + 1
+    expected = {
+        (a, b, n, c_item[a], c_item[b],
+         round(n * n_baskets / (c_item[a] * c_item[b]), 6))
+        for (a, b), n in c_ab.items()
+        if n >= min_support
+    }
+
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        tuple(r)
+        for r in cooccur.copurchase_lift(
+            df, "basket", "item", cap=cap, min_support=min_support
+        ).collect()
+    }
+    assert got == expected
