@@ -732,3 +732,53 @@ def test_copurchase_lift_matches_python_replay(spark, rows, cap, min_support):
         ).collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 2),       # key
+            st.integers(0, 50),      # ts (duplicates allowed)
+            st.integers(0, 5),       # value
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_time_weighted_avg_matches_python_replay(spark, raw):
+    """Random irregular series (duplicate timestamps, zero-duration
+    segments, single-observation keys) vs a literal python replay:
+    per key sort by (ts, id), duration to the next row, segment
+    attributed to its starting row's group, exact integer weighted
+    sum, one final division (None when total duration is 0)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
+
+    rows = [(g, k, ts, i, v) for i, (g, k, ts, v) in enumerate(raw)]
+    by_key: dict[int, list] = {}
+    for g, k, ts, i, v in rows:
+        by_key.setdefault(k, []).append((ts, i, g, v))
+    agg: dict[str, list[int]] = {}
+    for obs in by_key.values():
+        obs.sort()
+        for (ts, _, g, v), (nts, _, _, _) in zip(obs, obs[1:]):
+            a = agg.setdefault(g, [0, 0, 0])
+            a[0] += 1
+            a[1] += nts - ts
+            a[2] += v * (nts - ts)
+    expected = {
+        g: (n, dur, round(ws / dur, 6) if dur else None)
+        for g, (n, dur, ws) in agg.items()
+    }
+
+    df = spark.createDataFrame(
+        rows, "g string, k long, ts long, id long, v long"
+    )
+    got = {
+        r["g"]: (r["n_segments"], r["total_dur"], r["twap"])
+        for r in temporal.time_weighted_avg(
+            df, "k", "ts", "id", "v", "g"
+        ).collect()
+    }
+    assert got == expected
