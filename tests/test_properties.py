@@ -782,3 +782,58 @@ def test_time_weighted_avg_matches_python_replay(spark, raw):
         ).collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_source_divergence_matches_python_replay(spark, docs):
+    """Random multi-source corpora (empty docs, single-source corpora,
+    disjoint vocabularies) vs a literal 1/2 * sum |p_s - p| computed
+    in exact integer arithmetic — pinning the cross-multiplication
+    form to the textbook TVD definition.  The final rounding
+    replicates Spark's round(double, 6) exactly (HALF_UP on the
+    double's shortest decimal form) so an exact-tie input cannot
+    flake against python's banker's rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    rows = [(i, g, " ".join(toks)) for i, (g, toks) in enumerate(docs)]
+    c_st: dict[tuple[str, str], int] = {}
+    for _, g, text in rows:
+        for t in [t for t in text.split(" ") if t]:
+            c_st[(g, t)] = c_st.get((g, t), 0) + 1
+    corpus: dict[str, int] = {}
+    for (_, t), c in c_st.items():
+        corpus[t] = corpus.get(t, 0) + c
+    big_t = sum(corpus.values())
+    expected = {}
+    for g in {g for g, _ in c_st}:
+        ts = sum(c for (gg, _), c in c_st.items() if gg == g)
+        # integer numerator of sum_t |p_s - p| over common denominator
+        # ts * big_t; TVD divides by 2 — same shape the operator uses
+        num = sum(
+            abs(c_st.get((g, t), 0) * big_t - ct * ts)
+            for t, ct in corpus.items()
+        )
+        dq = float(num) / (2.0 * ts * big_t)
+        tvd = float(
+            Decimal(repr(dq)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        expected[g] = (ts, tvd)
+
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {
+        r["src"]: (r["n_tokens"], r["tvd"])
+        for r in dataprep.source_divergence(df, "src", "text").collect()
+    }
+    assert got == expected
