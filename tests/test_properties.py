@@ -171,6 +171,16 @@ def test_kmv_exact_branch_and_bounds(spark, values, k):
 _WORDS = ("scan", "merge", "join", "sort", "agg", "key", "row", "col")
 
 
+def _spark_round6(x: float) -> float:
+    """Replicate Spark's round(double, 6): HALF_UP on the double's
+    shortest decimal form.  python's built-in round is banker's, which
+    diverges on exact-tie quotients (e.g. odd/128 ends ...5 at the 7th
+    digit) — a latent property-test flake."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
 def _py_simhash64(text: str) -> int:
     """Reference SimHash: bit i = (md5 hex nibble i//4 >> (i%4)) & 1,
     +1/-1 balance over tokens, bit set iff balance > 0 — the layout
@@ -719,7 +729,7 @@ def test_copurchase_lift_matches_python_replay(spark, rows, cap, min_support):
             c_ab[(a, b)] = c_ab.get((a, b), 0) + 1
     expected = {
         (a, b, n, c_item[a], c_item[b],
-         round(n * n_baskets / (c_item[a] * c_item[b]), 6))
+         _spark_round6(n * n_baskets / (c_item[a] * c_item[b])))
         for (a, b), n in c_ab.items()
         if n >= min_support
     }
@@ -768,7 +778,7 @@ def test_time_weighted_avg_matches_python_replay(spark, raw):
             a[1] += nts - ts
             a[2] += v * (nts - ts)
     expected = {
-        g: (n, dur, round(ws / dur, 6) if dur else None)
+        g: (n, dur, _spark_round6(ws / dur) if dur else None)
         for g, (n, dur, ws) in agg.items()
     }
 
@@ -803,8 +813,6 @@ def test_source_divergence_matches_python_replay(spark, docs):
     replicates Spark's round(double, 6) exactly (HALF_UP on the
     double's shortest decimal form) so an exact-tie input cannot
     flake against python's banker's rounding."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
 
     rows = [(i, g, " ".join(toks)) for i, (g, toks) in enumerate(docs)]
@@ -825,11 +833,7 @@ def test_source_divergence_matches_python_replay(spark, docs):
             abs(c_st.get((g, t), 0) * big_t - ct * ts)
             for t, ct in corpus.items()
         )
-        dq = float(num) / (2.0 * ts * big_t)
-        tvd = float(
-            Decimal(repr(dq)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
-        )
-        expected[g] = (ts, tvd)
+        expected[g] = (ts, _spark_round6(float(num) / (2.0 * ts * big_t)))
 
     df = spark.createDataFrame(rows, "doc_id long, src string, text string")
     got = {
