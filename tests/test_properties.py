@@ -841,3 +841,48 @@ def test_source_divergence_matches_python_replay(spark, docs):
         for r in dataprep.source_divergence(df, "src", "text").collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 500),
+            st.integers(0, 20),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(0, 60),
+)
+def test_token_budget_mix_matches_python_replay(spark, rows, budget):
+    """Random corpora and budgets (0, boundary-exact, zero-token docs)
+    vs the greedy-prefix definition replayed literally: per group,
+    docs in (md5(str(id)), id) order, kept while the cumulative token
+    count through the doc stays <= budget."""
+    import hashlib
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    by_group: dict[str, list] = {}
+    for g, i, tok in rows:
+        by_group.setdefault(g, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, tok))
+    expected = set()
+    for g, docs in by_group.items():
+        cum = 0
+        for _, i, tok in sorted(docs):
+            cum += tok
+            if cum > budget:
+                break
+            expected.add((g, i, tok))
+
+    df = spark.createDataFrame(rows, "src string, doc_id long, n_tokens long")
+    got = {
+        tuple(r)
+        for r in dataprep.token_budget_mix(
+            df, "src", "doc_id", "n_tokens", budget=budget
+        ).collect()
+    }
+    assert got == expected
