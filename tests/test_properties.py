@@ -886,3 +886,48 @@ def test_token_budget_mix_matches_python_replay(spark, rows, budget):
         ).collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "de", None]),
+            st.integers(0, 800),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_temperature_resample_matches_python_replay(spark, rows):
+    """Random group layouts (including a NULL group) vs the documented
+    verdict function replayed literally: keep = sqrt(n_min/n_g),
+    md5-hex bucket < lpad(hex(floor(keep * 16^4))), keep >= 1 short-
+    circuits, no row filtered."""
+    import hashlib
+    import math
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    n_g: dict = {}
+    for g, _ in rows:
+        n_g[g] = n_g.get(g, 0) + 1
+    n_min = min(n_g.values())
+    expected = {}
+    for g, i in rows:
+        keep = math.sqrt(n_min / n_g[g])
+        if keep >= 1.0:
+            kept = True
+        else:
+            bucket = hashlib.md5(str(i).encode()).hexdigest()[:4]
+            bound = format(int(math.floor(keep * 16**4)), "04x")
+            kept = bucket < bound
+        expected[(g, i)] = (_spark_round6(keep), kept)
+
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {
+        (r["lang"], r["doc_id"]): (r["keep_prob"], r["is_kept"])
+        for r in dataprep.temperature_resample(df, "lang", "doc_id").collect()
+    }
+    assert got == expected
