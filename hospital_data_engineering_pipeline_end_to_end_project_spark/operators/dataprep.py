@@ -1097,8 +1097,16 @@ def token_budget_mix(
     full = bt.filter(F.col("__cum_excl") + F.col("__bt") <= budget).select(
         group_col, "__b"
     )
+    # <= (not <): when a bucket's exclusive prefix EQUALS the budget,
+    # zero-token docs at its head still satisfy the one-level
+    # definition (cum <= budget) and must get the per-doc window —
+    # dropping the bucket whole would diverge from the oracle on
+    # empty-text documents.  Still at most ONE boundary bucket per
+    # group: any bucket after it has cum_excl > budget (its __bt > 0),
+    # and zero-total buckets never match (__bt = 0 fails the right
+    # inequality — they are kept whole by the filter above).
     boundary = bt.filter(
-        (F.col("__cum_excl") < budget)
+        (F.col("__cum_excl") <= budget)
         & (F.col("__cum_excl") + F.col("__bt") > budget)
     ).select(group_col, "__b", "__cum_excl")
 

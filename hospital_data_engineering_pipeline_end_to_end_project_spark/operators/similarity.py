@@ -1565,6 +1565,18 @@ def _pq_lloyd_per_slice(
 PQ_ENCODER_AUTO_MIN_K = 128
 
 
+def _require_codebooks(codebooks, op: str) -> None:
+    """PQ codebook trainers return ``[]`` for an EMPTY training corpus
+    (``build_pq_codebooks`` / ``build_ivf_pq``); every consumer indexes
+    ``codebooks[0][0]``, so an empty model must fail with the cause —
+    not an ``IndexError`` three frames deep."""
+    if not codebooks or not codebooks[0] or not codebooks[0][0]:
+        raise ValueError(
+            f"{op}: empty PQ codebooks — the training corpus had no "
+            f"rows; train on a non-empty frame or pass a prebuilt model"
+        )
+
+
 def _resolve_pq_encoder(k: int, encoder: str | None) -> str:
     if encoder is None:
         return "blas" if k >= PQ_ENCODER_AUTO_MIN_K else "expr"
@@ -1589,13 +1601,15 @@ def pq_encode(
     of the vector): ONE corpus scan, no shuffle, no UDF; ties break
     to the lower code (``array_position`` finds the first minimum),
     and the sequential distance folds make the codes replayable by a
-    SQL oracle.  Scale: cost is ``n_sub * k * ds = dim * k`` fused
+    SQL oracle.  Rejects empty codebooks (empty training corpus) with
+    a descriptive error.  Scale: cost is ``n_sub * k * ds = dim * k`` fused
     multiply-adds per row — identical to flat IVF assignment at equal
     K, and embarrassingly parallel.  The HOF lambdas are interpreted,
     so above the measured :data:`PQ_ENCODER_AUTO_MIN_K` the default
     routes to the Arrow-batched BLAS encoder (:func:`_pq_codes_blas`,
     last-ulp code-tie caveat documented there); pass
     ``encoder="expr"`` to pin the exact path at any k."""
+    _require_codebooks(codebooks, "pq_encode")
     if _resolve_pq_encoder(len(codebooks[0]), encoder) == "blas":
         return _pq_codes_blas(df, id_col, vec_col, codebooks)
     ds = len(codebooks[0][0])
@@ -1645,6 +1659,7 @@ def pq_adc_topk(
                 f">{max_queries} rows; pre-filter the queries or raise "
                 f"max_queries explicitly"
             )
+    _require_codebooks(codebooks, "pq_adc_topk")
     ds = len(codebooks[0][0])
     codes = pq_encode(
         corpus, id_col, vec_col, codebooks, encoder=encoder
@@ -1711,7 +1726,9 @@ def build_ivf_pq(
     first-min ties (matching ``array_position`` / ``ORDER BY d, c``),
     and the per-slice Lloyd is :func:`_local_lloyd` — so a SQL oracle
     re-derives the coarse centroids, the residuals, and every
-    codebook bit-for-bit."""
+    codebook bit-for-bit.  An empty training frame returns
+    ``(coarse, [])`` — search entrypoints reject that model via
+    :func:`_require_codebooks`."""
     coarse = build_ivf_centroids(
         df, vec_col, id_col, k=n_clusters, iterations=coarse_iterations
     )
@@ -1823,6 +1840,7 @@ def ivf_pq_adc_topk(
             k_codes=k_codes,
         )
     )
+    _require_codebooks(books, "ivf_pq_adc_topk")
     ds = len(books[0][0])
     n_sub = len(books)
 
@@ -2339,6 +2357,13 @@ def _power_steps(
         for x in w:
             acc = acc + x * x
         nrm = math.sqrt(acc)
+        if nrm == 0.0:
+            # rank-0 covariance (empty / single-row / all-identical
+            # corpus): C @ vec is the zero vector and there is no
+            # direction to normalize — keep the current vector (e_1 on
+            # the first step) as the defined, deterministic answer
+            # instead of a ZeroDivisionError
+            return vec
         vec = [x / nrm for x in w]
     return vec
 

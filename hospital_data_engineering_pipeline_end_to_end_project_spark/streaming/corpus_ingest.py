@@ -14,22 +14,39 @@ pigeonhole argument).
 The index is SHARDED per batch (``fingerprints/batch_id=N``), so the
 per-batch write cost is proportional to the batch — never to the
 accumulated index (a monolithic rewrite-per-batch would be quadratic
-over the stream's lifetime); readers union the shards through plain
-partition discovery.  Exactly-once posture mirrors the SCD2 sink
-(``streaming/ingest.make_scd2_batch_merger``): both the accepted docs
-and the fingerprint shard land in DETERMINISTIC per-batch directories
-(replaying a batch overwrites its own output, never duplicates it),
-and the applied-batch marker ledger short-circuits replays — a crash
-between the shard commit and the marker is recovered by the shard's
-own ``_SUCCESS`` (the shard IS the epoch), and a crash mid-write
-leaves no ``_SUCCESS``, so the replay recomputes and overwrites.
-Small-file pressure from many tiny shards is the standard trade the
-repo's ``sources/compaction.py`` exists for.
+over the stream's lifetime); readers union exactly the COMMITTED
+shards (``_SUCCESS`` present — a partially-written shard is never
+part of anyone's index view).  Exactly-once posture mirrors the SCD2
+sink (``streaming/ingest.make_scd2_batch_merger``): both the accepted
+docs and the fingerprint shard land in DETERMINISTIC per-batch
+directories (replaying a batch overwrites its own output, never
+duplicates it), and the applied-batch marker ledger short-circuits
+replays — a crash between the shard commit and the marker is
+recovered by the shard's own ``_SUCCESS`` (the shard IS the epoch),
+and a crash mid-write leaves no ``_SUCCESS``, so the replay purges
+the partial shard, recomputes against an index that EXCLUDES the
+current batch (its own half-committed fingerprints must never make
+its docs test non-novel against themselves), and overwrites.
+
+Without maintenance the shard count — and with it the probe's
+list+open cost — grows linearly over the stream's lifetime, which
+multiplied by batches is the next quadratic-ish term.  So the sink
+COMPACTS: every ``compact_every`` committed batch shards are merged
+into one ``compact_upto=N`` directory (membership-identical union,
+cost ∝ index size amortized over ``compact_every`` batches), and the
+subsumed per-batch shards are deleted.  The merge commits through
+Spark's own ``_SUCCESS`` before any source shard is deleted, so a
+crash at any point leaves a readable index: uncommitted merge →
+readers still see the old shards; crash mid-delete → readers see the
+merged dir plus leftover shards (duplicate ``(id, simhash)`` rows are
+harmless to the banded membership test) and the next ingest finishes
+the cleanup.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +58,11 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion
 #: directory names under the store root
 INDEX_DIR = "fingerprints"
 ACCEPTED_DIR = "accepted"
+
+#: compacted-shard directory prefix: ``compact_upto=N`` holds the
+#: merged fingerprints of every batch shard <= N that existed when the
+#: compaction ran (batches commit sequentially, so that is all of them)
+COMPACT_PREFIX = "compact_upto="
 
 #: entity name kept for BC with the r09 SilverStore-backed layout
 INDEX_ENTITY = INDEX_DIR
@@ -54,15 +76,91 @@ def index_shard_path(root: str, batch_id: int) -> str:
     return os.path.join(root, INDEX_DIR, f"batch_id={batch_id}")
 
 
-def read_index(spark, root: str, id_col: str = "doc_id") -> DataFrame:
-    """Union of all committed fingerprint shards (partition
-    discovery); empty-typed frame when no shard exists yet."""
+def _committed_shard_dirs(root: str) -> list[tuple[str, int, str]]:
+    """``(kind, n, path)`` for every COMMITTED index dir — kind is
+    ``"batch"`` (``batch_id=n``) or ``"compact"`` (``compact_upto=n``);
+    commit = Spark's ``_SUCCESS``, so partial writes are invisible."""
     p = os.path.join(root, INDEX_DIR)
-    if os.path.isdir(p) and any(
-        e.startswith("batch_id=") for e in os.listdir(p)
-    ):
-        return spark.read.parquet(p).select(id_col, "simhash")
-    return None
+    out = []
+    if not os.path.isdir(p):
+        return out
+    for e in sorted(os.listdir(p)):
+        if e.startswith("batch_id="):
+            kind, n = "batch", int(e.split("=", 1)[1])
+        elif e.startswith(COMPACT_PREFIX):
+            kind, n = "compact", int(e.split("=", 1)[1])
+        else:
+            continue
+        path = os.path.join(p, e)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            out.append((kind, n, path))
+    return out
+
+
+def _cleanup_subsumed(root: str) -> None:
+    """Finish an interrupted compaction: once a ``compact_upto=M`` dir
+    is committed, every batch shard <= M and every older compacted dir
+    is redundant — delete them (idempotent; safe to run any time)."""
+    shards = _committed_shard_dirs(root)
+    ms = [n for kind, n, _ in shards if kind == "compact"]
+    if not ms:
+        return
+    m = max(ms)
+    for kind, n, path in shards:
+        if (kind == "batch" and n <= m) or (kind == "compact" and n < m):
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def read_index(
+    spark,
+    root: str,
+    id_col: str = "doc_id",
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Union of all committed fingerprint shards (explicit committed
+    paths — never a partially-written dir); ``None`` when no shard
+    exists yet.  ``exclude_batch`` drops that batch's own shard from
+    the view — the replay path's self-exclusion guard."""
+    paths = [
+        path
+        for kind, n, path in _committed_shard_dirs(root)
+        if not (kind == "batch" and n == exclude_batch)
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths).select(id_col, "simhash")
+
+
+def compact_index(spark, root: str) -> dict[str, int]:
+    """Merge every committed index shard into one ``compact_upto=N``
+    dir (N = the highest batch id seen) and delete the subsumed
+    sources.  Membership-identical by construction: the merged frame
+    is the plain union of exactly the dirs it replaces.  Returns
+    before/after shard-dir counts."""
+    shards = _committed_shard_dirs(root)
+    if len(shards) <= 1:
+        return {"dirs_before": len(shards), "dirs_after": len(shards)}
+    n = max(n for _, n, _ in shards)
+    if any(kind == "compact" and nn == n for kind, nn, _ in shards):
+        # the newest committed dir IS a compacted one — batches are
+        # sequential, so every other shard is <= n and already merged
+        # into it (a crash mid-cleanup replayed): just finish cleanup
+        _cleanup_subsumed(root)
+        return {
+            "dirs_before": len(shards),
+            "dirs_after": len(_committed_shard_dirs(root)),
+        }
+    dest = os.path.join(root, INDEX_DIR, f"{COMPACT_PREFIX}{n}")
+    merged = spark.read.parquet(*[p for _, _, p in shards])
+    # overwrite clobbers a half-written dest from a crashed prior run;
+    # _SUCCESS lands before any source is deleted, so the index is
+    # readable at every instant
+    merged.coalesce(1).write.mode("overwrite").parquet(dest)
+    _cleanup_subsumed(root)
+    return {
+        "dirs_before": len(shards),
+        "dirs_after": len(_committed_shard_dirs(root)),
+    }
 
 
 def make_novelty_batch_ingestor(
@@ -73,6 +171,7 @@ def make_novelty_batch_ingestor(
     bands: int = 4,
     max_hamming: int = 3,
     skip_applied: bool = True,
+    compact_every: int | None = 16,
 ):
     """The ``foreachBatch`` body of :func:`novelty_ingest_sink`,
     factored out (like the SCD2 merger) so replay behavior is
@@ -84,9 +183,15 @@ def make_novelty_batch_ingestor(
     near-dup pairs *within* one batch are admitted and then block all
     future look-alikes — the standard streaming-dedup horizon trade,
     documented rather than hidden); (2) batch-vs-index banded
-    membership test; (3) novel docs and their fingerprint shard each
-    written to the batch's own deterministic directory (idempotent
-    under replay; shard cost ∝ batch, not ∝ index).
+    membership test — against COMMITTED shards only, with the current
+    batch's own shard excluded so a replay after a mid-write crash
+    never tests docs against their own partial fingerprints;
+    (3) novel docs and their fingerprint shard each written to the
+    batch's own deterministic directory (idempotent under replay;
+    shard cost ∝ batch, not ∝ index); (4) every ``compact_every``
+    accumulated batch shards, :func:`compact_index` merges the index
+    into one dir so probe-side list+open cost stays bounded over the
+    stream's lifetime (``None`` disables).
     """
     root = store.root
     ledger = os.path.join(root, "silver", f"{INDEX_DIR}__applied")
@@ -109,11 +214,19 @@ def make_novelty_batch_ingestor(
             # epoch: restore the marker and skip the re-apply
             _write_marker(marker)
             return
+        if os.path.isdir(shard) and not os.path.exists(
+            os.path.join(shard, "_SUCCESS")
+        ):
+            # a crash mid-shard-write left task files with no _SUCCESS;
+            # purge before recomputing (read_index would already skip
+            # an uncommitted dir, but half-written parquet footers
+            # should not linger under the index root either)
+            shutil.rmtree(shard, ignore_errors=True)
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
-        index = read_index(spark, root, id_col)
+        index = read_index(spark, root, id_col, exclude_batch=batch_id)
         if index is None:
             # empty index with the id type taken from the batch, so
             # string/int-typed ids union cleanly
@@ -139,6 +252,14 @@ def make_novelty_batch_ingestor(
         novel.write.mode("overwrite").parquet(shard)
         if skip_applied:
             _write_marker(marker)
+        if compact_every is not None:
+            n_batch_shards = sum(
+                1
+                for kind, _, _ in _committed_shard_dirs(root)
+                if kind == "batch"
+            )
+            if n_batch_shards >= compact_every:
+                compact_index(spark, root)
 
     return _ingest
 

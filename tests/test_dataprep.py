@@ -585,6 +585,25 @@ def test_token_budget_mix_greedy_prefix_semantics(spark):
     assert all(r["n_tokens"] == 40 for r in kept)
 
 
+def test_token_budget_mix_exact_boundary_keeps_zero_token_docs(spark):
+    """When a bucket's EXCLUSIVE prefix exactly equals the budget,
+    zero-token docs at its head still satisfy the one-level definition
+    (cum <= budget) and must be kept — the r09-advisory regression.
+    ids chosen by md5 bucket: 6 -> bucket 22 (tokens = budget), 19 ->
+    bucket 31 head (0 tokens), 24 -> bucket 31 (positive tokens)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    rows = [("s", 6, 10), ("s", 19, 0), ("s", 24, 5)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tokens int")
+    kept = sorted(
+        r["doc_id"]
+        for r in dataprep.token_budget_mix(
+            df, "source", "doc_id", "n_tokens", budget=10
+        ).collect()
+    )
+    assert kept == [6, 19]
+
+
 def test_pack_sequences_two_level_equals_one_level(spark):
     """The bucketed prefix sum must equal the naive single-window
     cumsum — the identity the q52 oracle relies on (including

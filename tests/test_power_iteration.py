@@ -162,3 +162,19 @@ def test_pca_project_recovers_planted_plane(spark):
     b = np.array([b_coef[i] for i in range(300)])
     assert abs(np.corrcoef(p1, a)[0, 1]) > 0.99
     assert abs(np.corrcoef(p2, b)[0, 1]) > 0.99
+
+
+def test_degenerate_corpus_is_defined_not_zero_division(spark):
+    # all-identical vectors -> all-zero covariance -> the power step
+    # has no direction to normalize; the operator must return the
+    # deterministic e_1 fallback instead of raising ZeroDivisionError
+    df = spark.createDataFrame(
+        [(i, [2.5, -1.0, 3.0, 0.5]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.power_iteration_pc(df, "vec_id", "embedding", dim=4)
+    assert got.count() > 0
+    proj = similarity.pca_project(
+        df, "vec_id", "embedding", dim=4, n_components=2
+    ).collect()
+    assert len(proj) == 6  # every row projected, no crash

@@ -259,3 +259,24 @@ def test_encoder_auto_routing_thresholds():
         similarity.PQ_ENCODER_AUTO_MIN_K, None
     ) == "blas"
     assert similarity._resolve_pq_encoder(256, "expr") == "expr"
+
+
+def test_empty_training_corpus_raises_cleanly(spark):
+    # build_* return empty models for an empty corpus; every consumer
+    # must fail with the cause, not an IndexError three frames deep
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    books = similarity.build_pq_codebooks(empty, "embedding", "vec_id")
+    assert books == []
+    q = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    for fn in (
+        lambda: similarity.pq_encode(q, "vec_id", "embedding", books),
+        lambda: similarity.pq_adc_topk(q, q, "vec_id", "embedding", books),
+        lambda: similarity.ivf_pq_adc_topk(empty, q, "vec_id", "embedding"),
+    ):
+        try:
+            fn()
+            raise AssertionError("expected ValueError")
+        except ValueError as exc:
+            assert "empty PQ codebooks" in str(exc)

@@ -275,3 +275,50 @@ def test_pagerank_hub_outranks_leaf(spark):
         for r in components.pagerank_fixed(df).collect()
     }
     assert all(got["h"] > got[f"l{i}"] for i in range(4))
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter: type canonicalization + plan-size guard (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_mixed_integral_key_types(spark):
+    # xxhash64 is type-sensitive: INT and BIGINT keys hash differently,
+    # so without the common-type widening the prefilter would produce
+    # FALSE NEGATIVES on equal values.  int fact keys vs long build keys
+    # must still return exactly the plain semi join's rows.
+    fact = spark.range(0, 200).select(F.col("id").cast("int").alias("fk"))
+    keys = spark.range(0, 200, 3).select(F.col("id").alias("bk"))  # bigint
+    out = bloom.bloom_semi_join(fact, keys, "fk", "bk", m_bits=8192)
+    assert sorted(r["fk"] for r in out.collect()) == list(range(0, 200, 3))
+
+
+def test_bloom_semi_join_rejects_non_integral_mismatch(spark):
+    fact = spark.range(3).select(F.col("id").cast("string").alias("fk"))
+    keys = spark.range(3).select(F.col("id").alias("bk"))
+    try:
+        bloom.bloom_semi_join(fact, keys, "fk", "bk")
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "common type" in str(exc)
+
+
+def test_bloom_bitmap_rejects_oversized_m():
+    try:
+        bloom.bloom_bitmap(None, "k", m_bits=bloom.MAX_LITERAL_BITS * 2)
+        raise AssertionError("expected ValueError")
+    except ValueError as exc:
+        assert "MAX_LITERAL_BITS" in str(exc)
+
+
+def test_bloom_semi_join_autoroutes_above_literal_cap(spark):
+    # above MAX_LITERAL_BITS the literal bitmap would bloat the plan:
+    # the call must route to the plain semi join (same rows, and the
+    # plan carries no xxhash64 probe expression at all)
+    fact = spark.range(0, 100).select(F.col("id").alias("fk"))
+    keys = spark.range(0, 100, 7).select(F.col("id").alias("bk"))
+    out = bloom.bloom_semi_join(
+        fact, keys, "fk", "bk", m_bits=bloom.MAX_LITERAL_BITS * 4
+    )
+    assert sorted(r["fk"] for r in out.collect()) == list(range(0, 100, 7))
+    assert "xxhash64" not in out._jdf.queryExecution().executedPlan().toString()

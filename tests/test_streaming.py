@@ -540,3 +540,133 @@ def test_novelty_ingest_string_ids(spark, tmp_path):
     idx = corpus_ingest.read_index(spark, store.root)
     assert idx.schema["doc_id"].dataType.simpleString() == "string"
     assert sorted(r["doc_id"] for r in idx.collect()) == ["u-1", "u-2"]
+
+
+def test_novelty_ingest_partial_shard_replay_recovers(spark, tmp_path):
+    """Crash DURING the fingerprint-shard write (task files renamed
+    into the shard dir, no _SUCCESS, no marker): the replay must not
+    see the batch's own partial fingerprints — docs would test
+    non-novel against themselves and be silently lost.  The replay
+    purges the partial shard, recomputes, and admits everything the
+    clean run would."""
+    import os
+    import shutil
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    ingest = corpus_ingest.make_novelty_batch_ingestor(store)
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun"),
+        (2, "completely different text about spark shuffles partitions "
+            "and broadcast joins running on large clusters with executors"),
+    ]
+    b0 = spark.createDataFrame(texts, "doc_id long, text string")
+    ingest(b0, 0)
+
+    # simulate the crash window: shard data committed by tasks but the
+    # job-level _SUCCESS and the marker never landed
+    shard = corpus_ingest.index_shard_path(store.root, 0)
+    os.remove(os.path.join(shard, "_SUCCESS"))
+    marker = os.path.join(
+        store.root, "silver",
+        f"{corpus_ingest.INDEX_DIR}__applied", "batch-0",
+    )
+    os.remove(marker)
+    shutil.rmtree(corpus_ingest.accepted_batch_path(store.root, 0))
+
+    ingest(b0, 0)  # replay
+    acc = spark.read.parquet(corpus_ingest.accepted_batch_path(store.root, 0))
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 2]
+    idx = corpus_ingest.read_index(spark, store.root)
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2]
+    assert os.path.exists(marker)
+
+
+def test_novelty_index_compaction_preserves_membership(spark, tmp_path):
+    """compact_every merges batch shards into one compact_upto=N dir:
+    (id, simhash) membership is identical before/after, shard-dir
+    count drops to 1, and the gate still rejects near-dups of docs
+    admitted BEFORE the compaction."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    ingest = corpus_ingest.make_novelty_batch_ingestor(
+        store, compact_every=3
+    )
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog while the cat "
+           "watches from the warm windowsill in the afternoon sun",
+        1: "completely different text about spark shuffles partitions "
+           "and broadcast joins running on large clusters with executors",
+        2: "yet another unrelated document describing medallion layers "
+           "bronze silver gold and the merge semantics between them all",
+    }
+    for b, t in texts.items():
+        ingest(
+            spark.createDataFrame([(b, t)], "doc_id long, text string"), b
+        )
+    # batch 2 crossed the threshold: the index is now one compacted dir
+    dirs = os.listdir(os.path.join(store.root, corpus_ingest.INDEX_DIR))
+    assert dirs == ["compact_upto=2"], dirs
+    idx = corpus_ingest.read_index(spark, store.root)
+    assert sorted(r["doc_id"] for r in idx.collect()) == [0, 1, 2]
+
+    # a near-dup of the FIRST admitted doc must still be rejected by
+    # the compacted index; a fresh doc is admitted
+    b3 = spark.createDataFrame(
+        [(30, texts[0].replace("afternoon", "evening")),
+         (31, "a genuinely new document about watermarks state stores "
+              "and exactly once semantics in streaming engines today")],
+        "doc_id long, text string",
+    )
+    ingest(b3, 3)
+    acc = spark.read.parquet(corpus_ingest.accepted_batch_path(store.root, 3))
+    assert [r["doc_id"] for r in acc.collect()] == [31]
+
+
+def test_compact_index_interrupted_cleanup_is_finished(spark, tmp_path):
+    """Crash mid-cleanup leaves a committed compact dir PLUS subsumed
+    batch shards: readers see duplicate fingerprints (harmless to the
+    membership test) and the next compact_index call finishes the
+    delete without rewriting anything."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    ingest = corpus_ingest.make_novelty_batch_ingestor(
+        store, compact_every=None
+    )
+    for b, t in enumerate([
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun",
+        "completely different text about spark shuffles partitions "
+        "and broadcast joins running on large clusters with executors",
+    ]):
+        ingest(spark.createDataFrame([(b, t)], "doc_id long, text string"), b)
+
+    # compact, then resurrect a subsumed shard (= crash mid-delete)
+    idx_root = os.path.join(store.root, corpus_ingest.INDEX_DIR)
+    shard0 = corpus_ingest.index_shard_path(store.root, 0)
+    import shutil
+
+    saved = str(tmp_path / "saved_shard0")
+    shutil.copytree(shard0, saved)
+    corpus_ingest.compact_index(spark, store.root)
+    assert sorted(os.listdir(idx_root)) == ["compact_upto=1"]
+    shutil.copytree(saved, shard0)
+
+    # duplicates are harmless: membership (set) is unchanged
+    idx = corpus_ingest.read_index(spark, store.root)
+    assert sorted({r["doc_id"] for r in idx.collect()}) == [0, 1]
+    # and the next compaction finishes the cleanup without a rewrite
+    stats = corpus_ingest.compact_index(spark, store.root)
+    assert stats["dirs_after"] == 1
+    assert sorted(os.listdir(idx_root)) == ["compact_upto=1"]
