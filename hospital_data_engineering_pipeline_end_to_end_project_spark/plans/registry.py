@@ -69,108 +69,118 @@ def _modules():
 
 #: Queries pinned to the FRONT of the catalog regardless of module
 #: order, so they land inside the driver's 50-entry gate window.
-#: Round 9: q31's exact-path prefilter cut was widened this round
-#: (ADVICE r08 high — rounding-boundary pairs could be dropped) and
-#: q49's KMV construction was rewritten two-level (value-identical,
-#: but the code changed) — both live in llm_ops, outside the rotated
-#: window.  q26 shares the sparse-intersection pipeline refactored
-#: this round into ``_sparse_pair_counts`` (now also feeding the new
-#: q105 containment_pairs).  q103 (same KMV change) and q95/q99/q102
-#: (de-skewed boilerplate, degree-capped triangles, all-or-nothing
-#: video decode) also changed this round but already sit inside the
-#: corpus_ops window.
+#:
+#: ROUND 10 window (exactly 50 names; missing names are skipped, so
+#: the planned new-arrival block can be listed before the queries
+#: exist).  Composition, per the r09 verdict's rotation plan:
+#:   1. new r10 arrivals — in-window on arrival (the r08 lesson);
+#:   2. every query whose backing code changed in r10: the five
+#:      review fixes touched bloom.py (q120), dataprep.token_budget
+#:      boundary (q124), similarity._power_steps zero guard
+#:      (q114/q116) and the PQ empty-codebook guards (q109/q110);
+#:   3. the 31 queries whose freshest official row is r07 vintage
+#:      (q42–q45, q50, q53–q57, q62–q69, q71–q78, q80–q82, q91/q92)
+#:      — code unchanged since r7, locally re-attested every pytest
+#:      run, official rows now two rounds old;
+#:   4. remaining slots filled with the OLDEST r08 rows (q01–q07 of
+#:      the core-relational family).
+#: Everything outside the window either has an r09 official row
+#: (last round's gate) or an r08 row with judge-verified unchanged
+#: code — after this round no query's freshest official row is older
+#: than two rounds.  The full catalog stays attested end-to-end by
+#: tests/test_oracle_parity.py at sf0.001 and the 50-window at
+#: sf0.01 by tests/test_gate_scale_parity.py in every pytest run.
 _GATE_FRONT = (
-    "q31_embedding_near_dups",
-    "q49_sketch_stats",
-    "q26_jaccard_pairs",
-    # new arrivals this round (live in llm_ops, outside the rotated
-    # window — pinned so they land in-window on arrival, the r08
-    # lesson); their oracles replay the PQ codebooks / residual
-    # IVF-PQ composition in SQL like q48
+    # -- 1: new r10 arrivals (registered as they land) --
+    "q126_hamming_rerank_topk",
+    "q127_bigram_fluency",
+    "q128_label_propagation",
+    "q129_reservoir_sample",
+    "q130_url_dedup",
+    "q131_ann_recall_eval",
+    # -- 2: r10 changed-code pins --
     "q109_pq_adc_topk",
     "q110_ivf_pq_topk",
-    # late round-9 arrivals (q111/q114 live in llm_ops, q113/q115 in
-    # analytics_ext's tail — all would otherwise fall outside the
-    # window; q112 sits in corpus_ops and is in-window by position):
-    # int8 SDC search, TWAP, power-iteration PC, OLS trend
-    "q111_int8_sdc_topk",
-    "q113_time_weighted_avg",
     "q114_power_iteration_pc",
-    "q115_ols_trend",
     "q116_pca_project",
-    # third round-9 wave (plans/scale_ops.py) — new queries land
-    # in-window on arrival; six unchanged-r07 analytics_ext queries
-    # are demoted below to make exactly this much room
-    "q118_binary_hamming_topk",
-    "q119_jl_projection",
     "q120_bloom_semi_join",
-    "q121_copurchase_lift",
-    "q122_countmin_heavy",
-    "q123_pagerank",
-    # q124 lives in corpus_ops (in-window by module position) but is
-    # pinned anyway so a future rotation cannot silently drop a
-    # new-this-round query below the cut
     "q124_token_budget_mix",
-    "q125_salted_topk",
-    # pack_sequences was rewritten two-level this round (code change
-    # -> its query needs a fresh official row)
-    "q52_pack_sequences",
-    # cosine_topk's rank was routed through the salted two-level
-    # top-k this round (q109/q111 share the change but are already
-    # pinned above)
-    "q28_cosine_topk",
-    # exact_dup_groups (groupBy+join-back de-skew) and group_cap
-    # (two-level rank-to-cap) were rewritten this round
-    "q20_exact_dup_groups",
-    "q51_group_cap",
-    # per-lang vocab rank routed through the salted two-level top-k
-    # this round (the last vocab-scale one-level window)
-    "q46_top_words_per_lang",
+    # -- 3: the 31 r07-vintage official rows --
+    "q42_group_mean_deviation",
+    "q43_regex_token_count",
+    "q44_range_source",
+    "q45_csv_roundtrip",
+    "q50_hash_split",
+    "q53_chunk_documents",
+    "q54_tfidf_top_terms",
+    "q55_decontaminate",
+    "q56_repetition_stats",
+    "q57_pii_scrub",
+    "q62_skew_salted_counts",
+    "q63_stratified_sample",
+    "q64_group_percentiles",
+    "q65_corr_stats",
+    "q66_unpivot_part",
+    "q67_grouping_sets",
+    "q68_orc_roundtrip",
+    "q69_session_windows",
+    "q71_embedding_centroids",
+    "q72_window_suite",
+    "q73_gap_fill_months",
+    "q74_fuzzy_name_pairs",
+    "q75_rolling_revenue",
+    "q76_price_histogram",
+    "q77_revenue_share",
+    "q78_dynamic_pivot",
+    "q80_salted_join_agg",
+    "q81_bag_set_ops",
+    "q82_outer_explode",
+    "q91_event_funnel",
+    "q92_retention_cohorts",
+    # -- 4: oldest-r08 filler (core relational) --
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_star_join",
+    "q05_dedupe_exact",
+    "q06_latest_event_per_user",
+    "q07_cleanse_cast",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
 #: only ever queries whose code is UNCHANGED this round and whose
-#: official row is freshest-available — q87/q88 were gated r08,
-#: q68 is untouched since its r07 row.
+#: official row is freshest-available.  With the r10 front pinning a
+#: full 50-slot window the back list is belt-and-suspenders — it
+#: keeps the freshest-attested r09 families (corpus_ops q94+, the
+#: ANN tier, the hot-window rewrites) from drifting into the window
+#: if a front name is ever renamed.
 _GATE_BACK = (
-    "q68_orc_roundtrip",
     "q87_bm25_topk",
     "q88_semantic_dedup",
-    # displaced by the seven late round-9 arrivals (q111–q117):
-    # pure-plan analytics_ext queries, official r07 rows, module file
-    # changed this round ONLY by appending q113/q115 — their own plan
-    # code and every operator they call are untouched
-    "q66_unpivot_part",
-    "q73_gap_fill_months",
-    "q76_price_histogram",
-    "q63_stratified_sample",
-    "q72_window_suite",
-    "q74_fuzzy_name_pairs",
-    "q75_rolling_revenue",
-    # displaced by the six q118-q123 arrivals: same eligibility
-    # argument (official r07 rows, own plan code and called
-    # operators untouched this round)
-    "q62_skew_salted_counts",
-    "q64_group_percentiles",
-    "q67_grouping_sets",
-    "q69_session_windows",
-    "q77_revenue_share",
-    "q78_dynamic_pivot",
-    # displaced by q124/q125 (same eligibility: official r07 rows,
-    # code untouched since)
-    "q82_outer_explode",
-    "q81_bag_set_ops",
-    # displaced by the q52 pin (official r07 row, code untouched)
-    "q65_corr_stats",
-    # displaced by the q28 pin (official r07 row, code untouched)
-    "q91_event_funnel",
-    # displaced by the q20/q51 pins (official r07 rows, code
-    # untouched)
-    "q71_embedding_centroids",
-    "q80_salted_join_agg",
-    # displaced by the q46 pin (official r07 row; own plan code and
-    # the operators it calls untouched since its creation commit)
-    "q92_retention_cohorts",
+    "q94_temperature_resample",
+    "q95_boilerplate_stats",
+    "q96_source_divergence",
+    "q97_novelty_filter",
+    "q98_audio_frame_energy",
+    "q99_triangle_counts",
+    "q102_video_frame_sample",
+    "q103_mergeable_sketches",
+    "q104_passage_dup_coverage",
+    "q105_containment_pairs",
+    "q106_sketch_overlap",
+    "q107_contamination_scrub",
+    "q108_shuffled_export",
+    "q111_int8_sdc_topk",
+    "q112_quantile_sketches",
+    "q113_time_weighted_avg",
+    "q115_ols_trend",
+    "q117_robust_outliers",
+    "q118_binary_hamming_topk",
+    "q119_jl_projection",
+    "q121_copurchase_lift",
+    "q122_countmin_heavy",
+    "q123_pagerank",
+    "q125_salted_topk",
 )
 
 
