@@ -125,6 +125,14 @@ HEADLINE = [
     "q123_pagerank",
     "q124_token_budget_mix",
     "q125_salted_topk",
+    # round-10 wave: two-stage rerank, bigram fluency, bounded-round
+    # label propagation, reservoir draw, URL dedup, ANN recall eval
+    "q126_hamming_rerank_topk",
+    "q127_bigram_fluency",
+    "q128_label_propagation",
+    "q129_reservoir_sample",
+    "q130_url_dedup",
+    "q131_ann_recall_eval",
 ]
 
 

@@ -131,3 +131,54 @@ def lang_guess(col: Column | str) -> Column:
         .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for dedup keying — the crawl-pipeline
+    normalizer that makes ``HTTPS://WWW.Site.com:443/a/?utm_x=1&b=2``
+    and ``https://site.com/a?b=2`` the same document key.
+
+    Steps (each a portable regexp/array expression with an exact
+    DuckDB mirror — see ``plans/wave10.CANON_SQL``):
+
+    1. strip the ``#fragment``;
+    2. lowercase the scheme and the authority (host:port) — never the
+       path, which is case-sensitive by spec;
+    3. drop a default port (``:443`` for https, ``:80`` for http) and
+       a leading ``www.``;
+    4. drop tracking params (``utm_*``, ``fbclid``), sort the
+       remaining query params, re-join;
+    5. strip trailing slashes from the path (empty path -> ``/``).
+
+    Pure Column expressions (regexp_extract / regexp_replace / split /
+    array_sort / array_join) — scan-speed at any scale, no UDF.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    auth = F.when(scheme == "https", F.regexp_replace(auth, ":443$", "")) \
+        .when(scheme == "http", F.regexp_replace(auth, ":80$", "")) \
+        .otherwise(auth)
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("fbclid="),
+        )
+    )
+    q2 = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )

@@ -1129,3 +1129,126 @@ def token_budget_mix(
             group_col, id_col, F.col("__tok").alias(token_col)
         )
     )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Corpus-conditioned bigram fluency score per document: the
+    arithmetic mean of ``p(w_i | w_{i-1})`` over the document's
+    bigrams, where the conditional is the corpus's own maximum-
+    likelihood estimate ``count(w_{i-1}, w_i) / count(w_{i-1}, *)``.
+    The statistical-fluency quality signal of a training-data
+    pipeline (gibberish and boilerplate-shuffled text score low; text
+    whose transitions look like the corpus scores high) in its
+    RATIONAL form — an arithmetic mean of count ratios, deliberately
+    no log-perplexity so there is no libm call to diverge cross-engine
+    (the repo's no-libm oracle rule).
+
+    Exactness: each probability is ONE correctly-rounded division of
+    two int64 counts; the per-document sum folds those doubles in
+    POSITION order (``array_sort`` on the collected (pos, num, den)
+    structs, then a sequential ``aggregate`` fold — the same chain
+    DuckDB replays with ``list_sum`` over a position-ordered list),
+    and the mean is one final division, rounded.
+
+    Scale shape: the bigram and prefix count frames are plain
+    map-side-combinable groupBys (the hot word "the" is combined per
+    partition, never collected); the two count joins are equi-joins
+    AQE can skew-split; the only per-document state is the collected
+    bigram list — bounded by document length, the same bound every
+    chunker in this file already relies on.  No UDF anywhere.
+
+    Returns ``(id_col, n_bigrams, fluency)`` for documents with at
+    least one bigram (>= 2 tokens).
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as _text
+
+    toks = df.select(
+        F.col(id_col), _text.tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    bg = toks.select(
+        id_col,
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("prev"),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("cur"),
+            )
+        ).alias("__pos", "__bg"),
+    ).select(
+        id_col,
+        "__pos",
+        F.col("__bg.prev").alias("__prev"),
+        F.col("__bg.cur").alias("__cur"),
+    )
+    bgc = bg.groupBy("__prev", "__cur").agg(
+        F.count(F.lit(1)).cast("long").alias("__num")
+    )
+    pc = bg.groupBy("__prev").agg(
+        F.count(F.lit(1)).cast("long").alias("__den")
+    )
+    joined = bg.join(bgc, ["__prev", "__cur"]).join(pc, ["__prev"])
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__num", "__den"))
+            ).alias("__ps"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.expr(
+                    "aggregate(__ps, CAST(0.0 AS DOUBLE), (acc, x) -> "
+                    "acc + CAST(x.__num AS DOUBLE) / CAST(x.__den AS DOUBLE))"
+                )
+                / F.col("n_bigrams").cast("double"),
+                round_scale,
+            ).alias("fluency"),
+        )
+    )
+
+
+def deterministic_reservoir(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group ``k``-sample — the reservoir-sampling
+    use case (fixed-size representative draw per stratum for eval
+    sets, spot-checks, per-source quota fills) made replayable: the
+    "random" order is ``(md5(id), id)``, so every engine and every
+    retry draws the SAME k rows, and the draw composes with the
+    repo's hash-split/stratified-sample family (disjoint md5 prefixes
+    never correlate two draws).
+
+    Unlike :func:`stratified sampling <hash_split>` by RATE, the
+    output size per group is exactly ``min(k, |group|)`` regardless
+    of group skew — the property an eval-set builder needs.  The rank
+    runs on the salted two-level top-k (``operators/skew.py``), so a
+    mega-group costs no single-task sort; output is identical to the
+    one-level window by the subset identity under the total
+    ``(md5(id), id)`` order, which is exactly what the oracle replays.
+
+    Returns ``(group_col, id_col, rank)`` with rank in [1, k] by hash
+    order.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.skew import salted_grouped_topk
+
+    d = df.select(
+        group_col,
+        id_col,
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    out = salted_grouped_topk(
+        d, [group_col], "__h", id_col, k=k, descending=False
+    )
+    return out.select(
+        group_col, id_col, F.col("rank").cast("long").alias("rank")
+    )

@@ -2639,3 +2639,128 @@ def jl_project(
             "norm_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-stage Hamming-shortlist -> exact-cosine rerank, and ANN recall
+# evaluation — the operators that close the tiering loop (round 10)
+# ---------------------------------------------------------------------------
+
+
+def hamming_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    shortlist: int = 20,
+    k: int = 5,
+    round_scale: int = 6,
+    max_queries: int | None = 100_000,
+) -> DataFrame:
+    """Two-stage ANN: a packed-code Hamming top-``shortlist`` over the
+    whole corpus (:func:`binary_hamming_topk` — dim/8 bytes per row,
+    XOR+popcount in whole-stage codegen), then EXACT unit-cosine
+    scoring of only the shortlist survivors and a rerank to ``k``.
+
+    This is the 100 TB tiering story as a first-class operator rather
+    than a harness composition: the float embeddings are read for
+    ~``shortlist / |corpus|`` of all (query, neighbor) pairs — the
+    measured recall_check composition scored ~4% of pairs for a
+    0.13 -> 0.596 recall@5 lift on noise embeddings — and the exact
+    stage's arithmetic is the :func:`cosine_topk` grammar (unit
+    normalize, sequential dot fold, rounded score, id tiebreak), so a
+    SQL oracle replays the entire two-stage pipeline bit-for-bit.
+
+    Plan shape: stage 1 never shuffles the corpus (broadcast queries);
+    stage 2 joins the small (nq x shortlist) candidate frame back to
+    the corpus as a BROADCAST (the corpus side again never shuffles),
+    and the rerank window is bounded to <= ``shortlist`` rows per
+    query BY CONSTRUCTION — the one place a one-level window is the
+    right plan (nothing to salt; the partition cannot be hot).
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)``.
+    """
+    short = binary_hamming_topk(
+        queries, corpus, id_col, vec_col, dim=dim, k=shortlist,
+        max_queries=max_queries,
+    )
+    cand = short.select("query_id", "neighbor_id")
+    c = _with_unit(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            V.as_double(vec_col).alias("cv"),
+        ),
+        F.col("cv"),
+        "cnv",
+    ).drop("cv")
+    q = _with_unit(
+        queries.select(
+            F.col(id_col).alias("query_id"), V.as_double(vec_col).alias("qv")
+        ),
+        F.col("qv"),
+        "qnv",
+    ).drop("qv")
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qnv"), F.col("cnv")), round_scale).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Per-query recall@k of an approximate neighbor frame against the
+    exact one — the evaluation loop every ANN deployment runs, as an
+    operator over the standard ``(query_id, neighbor_id, rank)``
+    contract all of this repo's top-k paths emit.
+
+    ``recall = |approx_topk ∩ exact_topk| / k`` — intersection and
+    count are integers (one left-semi probe + a map-side-combinable
+    count), the single division is correctly rounded, so the score
+    replays exactly in SQL.  Queries whose approx list is shorter than
+    ``k`` (tiny corpus) still divide by ``k`` — the standard
+    definition penalizes a short list rather than renormalizing.
+
+    Returns ``(query_id, n_hits, recall)``, one row per query present
+    in ``approx``.
+    """
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = a.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                round_scale,
+            ).alias("recall"),
+        )
+    )

@@ -47,6 +47,7 @@ def _modules():
     # in every pytest run.
     mods = []
     for name in (
+        "wave10",
         "corpus_ops",
         "scale_ops",
         "relational_ext",

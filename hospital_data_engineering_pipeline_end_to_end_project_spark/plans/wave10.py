@@ -1,0 +1,385 @@
+"""Round-10 query wave (q126-q131).
+
+Six operators that round out the training-data-pipeline surface:
+
+- q126 Hamming-shortlist -> exact-cosine rerank — the two-stage ANN
+  tiering measured by the recall harness in round 9, promoted to a
+  first-class operator (packed 1-bit scan over everything, float
+  embeddings read only for the shortlist)
+- q127 corpus-conditioned bigram fluency — the statistical text-
+  quality signal (MLE transition probabilities, rational arithmetic:
+  mean of count ratios, no libm)
+- q128 bounded-round min-label propagation — the cheap community/
+  labeling primitive on the near-dup graph (q123's edges), oracle-
+  unrolled like PageRank
+- q129 deterministic per-group reservoir — fixed-size k-sample per
+  stratum in replayable md5 order (the eval-set builder)
+- q130 URL canonicalization + dedup — crawl-key normalization
+  (case/port/www/tracking-params/trailing-slash) as pure regexp and
+  array expressions, then keep-lowest-id per canonical key
+- q131 ANN recall@k evaluation — approximate vs exact neighbor sets
+  joined into per-query recall, integer counts + one division
+
+Exactness arguments live on the operators
+(``operators/similarity.py``, ``operators/dataprep.py``,
+``operators/components.py``, ``functions/text.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components, dataprep, dedupe, similarity
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.data_prep import TOKS_SQL
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import Q25_SQL, _UNIT
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.scale_ops import _PACK_SQL
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# q126 — Hamming shortlist -> exact cosine rerank
+#
+# Stage 1 is pure integer (no rounding argument needed); stage 2 is
+# the proven q28 unit-cosine grammar over only the shortlist rows, so
+# the whole two-stage pipeline replays bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q126_NQ = 8
+_Q126_SHORTLIST = 20
+_Q126_K = 5
+_Q126_DIM = 64
+
+
+def q126_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.hamming_rerank_topk(
+        e.filter(F.col("vec_id") < _Q126_NQ),
+        e,
+        dim=_Q126_DIM,
+        shortlist=_Q126_SHORTLIST,
+        k=_Q126_K,
+    )
+
+
+Q126_SQL = f"""
+WITH packed AS ({_PACK_SQL}),
+q AS (SELECT vec_id AS query_id, code AS qc FROM packed WHERE vec_id < {_Q126_NQ}),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, p.vec_id AS neighbor_id,
+      bit_count(xor(qc[1], code[1])) + bit_count(xor(qc[2], code[2])) AS hamming,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY bit_count(xor(qc[1], code[1])) + bit_count(xor(qc[2], code[2])) ASC,
+                                  p.vec_id ASC) AS srank
+    FROM q JOIN packed p ON p.vec_id <> q.query_id
+  ) WHERE srank <= {_Q126_SHORTLIST}
+),
+qn AS (
+  SELECT vec_id AS query_id, {_UNIT.format(v='embedding::DOUBLE[]')} AS qnv
+  FROM embeddings WHERE vec_id < {_Q126_NQ}
+),
+cn AS (
+  SELECT vec_id AS neighbor_id, {_UNIT.format(v='embedding::DOUBLE[]')} AS cnv
+  FROM embeddings
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qnv, cnv), 6) AS cos_sim
+  FROM short s JOIN qn USING (query_id) JOIN cn USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_Q126_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q127 — corpus-conditioned bigram fluency
+#
+# Probabilities are count ratios (one correctly-rounded division
+# each); the per-doc sum folds in POSITION order on both engines
+# (array_sort + sequential aggregate == list(... ORDER BY pos) +
+# list_sum), and the mean is one final rounded division.
+# ---------------------------------------------------------------------------
+
+
+def q127_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.bigram_fluency(d, "doc_id", "text")
+
+
+Q127_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_SQL} AS t FROM documents
+  WHERE len({TOKS_SQL}) >= 2
+),
+bg0 AS (
+  SELECT doc_id,
+         [{{'pos': i, 'prev': t[i], 'cur': t[i + 1]}} FOR i IN range(1, len(t))] AS bgs
+  FROM toks
+),
+bg AS (SELECT doc_id, unnest(bgs, recursive := true) FROM bg0),
+bgc AS (SELECT prev, cur, count(*) AS num FROM bg GROUP BY prev, cur),
+pc AS (SELECT prev, count(*) AS den FROM bg GROUP BY prev),
+j AS (
+  SELECT bg.doc_id, bg.pos,
+         CAST(bgc.num AS DOUBLE) / CAST(pc.den AS DOUBLE) AS p
+  FROM bg JOIN bgc USING (prev, cur) JOIN pc USING (prev)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list(p ORDER BY pos) AS ps
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(list_sum(ps) / CAST(n_bigrams AS DOUBLE), 6) AS fluency
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q128 — bounded-round min-label propagation on the near-dup graph
+#
+# Same edge derivation as q123 (banded MinHash candidates); labels
+# are integer mins, so the unrolled CTE replay needs no arithmetic
+# argument at all.
+# ---------------------------------------------------------------------------
+
+_Q128_ROUNDS = 3
+
+
+def q128_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    pairs = dedupe.near_dup_candidates(bands, "doc_id")
+    return components.label_propagation_min(
+        pairs, rounds=_Q128_ROUNDS
+    )
+
+
+def _q128_step(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM {prev}
+    UNION ALL
+    SELECT s.v AS node, l.label FROM sym s JOIN {prev} l ON s.u = l.node
+  ) GROUP BY node
+)"""
+
+
+Q128_SQL = f"""
+WITH bands AS ({Q25_SQL}),
+e0 AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS u,
+                  greatest(a.doc_id, b.doc_id) AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+{",".join(_q128_step(f"l{i - 1}", f"l{i}") for i in range(1, _Q128_ROUNDS + 1))}
+SELECT node, label FROM l{_Q128_ROUNDS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q129 — deterministic per-group reservoir sample
+#
+# Pure hash-order rank; the Spark side runs the salted two-level
+# top-k, the oracle replays the one-level window (subset identity).
+# ---------------------------------------------------------------------------
+
+_Q129_K = 10
+
+
+def q129_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.deterministic_reservoir(d, "lang", "doc_id", k=_Q129_K)
+
+
+Q129_SQL = f"""
+SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= {_Q129_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q130 — URL canonicalization + dedup
+#
+# URLs are SYNTHESIZED from doc_id by the same expression on both
+# engines (four variant shapes per collision group: tracking params +
+# default port + www, uppercase scheme/host, fragment + trailing
+# slash, http + utm at the tail), then canonicalized and grouped.
+# Everything is string/integer — no float anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _synth_url_spark():
+    g = (F.col("doc_id") % 50).cast("string")
+    # host digit derives from the COLLISION GROUP (doc_id % 50), not
+    # doc_id itself — otherwise ids sharing (group, variant) would get
+    # different hosts and nothing would ever collide at small SF
+    h = ((F.col("doc_id") % 50) % 7).cast("string")
+    m = F.col("doc_id") % 4
+    return (
+        F.when(m == 0, F.concat(F.lit("https://www.site"), h, F.lit(".com:443/d/"), g, F.lit("/?utm_source=a&b=2&a=1")))
+        .when(m == 1, F.concat(F.lit("HTTPS://Site"), h, F.lit(".COM/d/"), g, F.lit("?a=1&b=2")))
+        .when(m == 2, F.concat(F.lit("https://site"), h, F.lit(".com/d/"), g, F.lit("/#frag")))
+        .otherwise(F.concat(F.lit("http://site"), h, F.lit(".com:80/d/"), g, F.lit("?a=1&b=2&utm_medium=m")))
+    )
+
+
+def q130_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark().alias("url")
+    )
+    return (
+        d.select("doc_id", text.canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )
+
+
+_SYNTH_URL_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN 'https://www.site' || CAST((doc_id % 50) % 7 AS VARCHAR) || '.com:443/d/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=a&b=2&a=1'
+  WHEN 1 THEN 'HTTPS://Site' || CAST((doc_id % 50) % 7 AS VARCHAR) || '.COM/d/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+  WHEN 2 THEN 'https://site' || CAST((doc_id % 50) % 7 AS VARCHAR) || '.com/d/' || CAST(doc_id % 50 AS VARCHAR) || '/#frag'
+  ELSE 'http://site' || CAST((doc_id % 50) % 7 AS VARCHAR) || '.com:80/d/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&utm_medium=m'
+END
+"""
+
+#: DuckDB mirror of functions/text.canonical_url — single-match
+#: regexps only (DuckDB regexp_replace is first-match by default,
+#: Spark's is global: every pattern here is anchored or can occur at
+#: most once, so the two agree)
+CANON_SQL = """
+SELECT doc_id, scheme || '://' || auth || cpath ||
+       CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url
+FROM (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+           WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+           ELSE auth0 END, '^www\\.', '') AS auth,
+    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS cpath,
+    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT starts_with(p, 'utm_')
+                  AND NOT starts_with(p, 'fbclid='))), '&'), '') AS q2
+  FROM (
+    SELECT doc_id, scheme, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth0,
+           regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '') AS path1,
+           regexp_extract(rest, '\\?([^#]*)', 1) AS query
+    FROM (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls)
+    )
+  )
+)
+"""
+
+Q130_SQL = f"""
+WITH urls AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+canon AS ({CANON_SQL})
+SELECT canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY canonical_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# q131 — ANN recall@k evaluation (Hamming approx vs exact cosine)
+#
+# Intersection counts are integers; the single division by k is
+# correctly rounded on both engines.
+# ---------------------------------------------------------------------------
+
+_Q131_NQ = 8
+_Q131_K = 5
+
+
+def q131_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _Q131_NQ)
+    approx = similarity.binary_hamming_topk(q, e, dim=64, k=_Q131_K)
+    exact = similarity.cosine_topk(q, e, k=_Q131_K)
+    return similarity.ann_recall_at_k(approx, exact, k=_Q131_K)
+
+
+Q131_SQL = f"""
+WITH packed AS ({_PACK_SQL}),
+q AS (SELECT vec_id AS query_id, code AS qc FROM packed WHERE vec_id < {_Q131_NQ}),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, p.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY bit_count(xor(qc[1], code[1])) + bit_count(xor(qc[2], code[2])) ASC,
+                                  p.vec_id ASC) AS rank
+    FROM q JOIN packed p ON p.vec_id <> q.query_id
+  ) WHERE rank <= {_Q131_K}
+),
+qn AS (
+  SELECT vec_id AS query_id, {_UNIT.format(v='embedding::DOUBLE[]')} AS qnv
+  FROM embeddings WHERE vec_id < {_Q131_NQ}
+),
+cn AS (
+  SELECT vec_id AS neighbor_id, {_UNIT.format(v='embedding::DOUBLE[]')} AS cnv
+  FROM embeddings
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(list_dot_product(qnv, cnv), 6) DESC,
+                                       neighbor_id ASC) AS rank
+    FROM qn, cn WHERE query_id <> neighbor_id
+  ) WHERE rank <= {_Q131_K}
+),
+hits AS (
+  SELECT a.query_id, count(*) AS c
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT b.query_id,
+       CAST(coalesce(c, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(c, 0) AS DOUBLE) / {float(_Q131_K)!r}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM approx) b LEFT JOIN hits USING (query_id)
+"""
+
+
+QUERIES = {
+    "q126_hamming_rerank_topk": q126_hamming_rerank_topk,
+    "q127_bigram_fluency": q127_bigram_fluency,
+    "q128_label_propagation": q128_label_propagation,
+    "q129_reservoir_sample": q129_reservoir_sample,
+    "q130_url_dedup": q130_url_dedup,
+    "q131_ann_recall_eval": q131_ann_recall_eval,
+}
+
+ORACLES = {
+    "q126_hamming_rerank_topk": Q126_SQL,
+    "q127_bigram_fluency": Q127_SQL,
+    "q128_label_propagation": Q128_SQL,
+    "q129_reservoir_sample": Q129_SQL,
+    "q130_url_dedup": Q130_SQL,
+    "q131_ann_recall_eval": Q131_SQL,
+}
