@@ -682,3 +682,26 @@ def simhash_novel_against_index(
         F.col("simhash"),
         F.col("__hit").isNull().alias("is_novel"),
     )
+
+
+def exact_dup_groups_small(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One-level window form of :func:`exact_dup_groups` — the
+    small-corpus ESCAPE HATCH (r09 review): ``count(*) OVER
+    (PARTITION BY hash)`` is one exchange + one window where the
+    groupBy+join-back default pays an extra exchange, so on inputs
+    where no duplicate group can be large (bounded batches,
+    already-capped frames) this recovers that constant.  Identical
+    output by construction (same hash, same count per group;
+    equality is test-pinned).  The default stays
+    :func:`exact_dup_groups`: a window partition cannot be split by
+    AQE, and the hot key of THIS operator is by definition the
+    most-duplicated text in the corpus."""
+    h = F.md5(normalize_text(text_col)).alias("text_hash")
+    w = Window.partitionBy("text_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .select(id_col, "text_hash", "n_copies")
+    )

@@ -166,3 +166,53 @@ def salted_grouped_topk(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int = 5,
+    salt_buckets: int = 64,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group top-k with an explicit plan dispatch — the
+    ``salt_buckets=1`` ESCAPE HATCH the r09 review asked for.
+
+    :func:`salted_grouped_topk` is the safe default (no window
+    partition can be hot), but its second exchange is a pure constant
+    cost when the caller KNOWS every group is small (e.g. a frame
+    already bounded by an upstream cap).  ``salt_buckets=1``
+    short-circuits to the ONE-LEVEL window — one exchange, one sort —
+    which is identical output by the same subset identity the
+    two-level form is proven by (both rank on the total
+    ``(order_col, id_col)`` order; equality is test-pinned both ways
+    in ``tests/test_properties.py`` / ``test_skew_temporal.py``).
+
+    Measured at sf0.1 (min-of-2, the BASELINE.md escape-hatch note):
+    the one-level plan recovers the small-scale constant the r09
+    two-level rewrites paid (q20/q28-shaped inputs), at the cost of
+    reintroducing the hot-group straggler if a group is NOT small —
+    the default stays 64 on purpose.
+
+    Returns ``group_cols + [id_col, order_col, rank]`` like the
+    two-level form.
+    """
+    if salt_buckets > 1:
+        return salted_grouped_topk(
+            df, group_cols, order_col, id_col,
+            k=k, salt_buckets=salt_buckets, descending=descending,
+        )
+    from pyspark.sql.window import Window
+
+    direction = F.desc if descending else F.asc
+    w = Window.partitionBy(*group_cols).orderBy(
+        direction(order_col), F.asc(id_col)
+    )
+    return (
+        df.select(*group_cols, id_col, order_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -20,10 +20,16 @@ The 10x corpus preserves the distribution that matters:
   grows O(n): the shape a real 10x crawl has.
 
 Usage: ``python scale_check.py [copies]
-[docs|ann|tpch|events|stream|stream10|deep|deepann|all]`` (default 10,
-all).  ``deepann`` measures the default-routed LSH/IVF rows at
-``copies=100`` tuning (past the hierarchical/blocked auto-route
-thresholds).
+[docs|ann|tpch|events|stream|stream10|streamcompact|deep|deepann|all]``
+(default 10, all).  ``deepann`` measures the default-routed LSH/IVF
+rows plus the quantized tier (8-bit PQ / residual IVF-PQ / int8 SDC /
+binary Hamming, training attributed separately) at ``copies=100``
+tuning (past the hierarchical/blocked auto-route thresholds).
+``streamcompact`` drives ``copies`` micro-batches through the novelty
+gate with and without index compaction and reports the per-batch
+lifetime curve.  All scaled fixtures are written as per-copy part
+FILES inside ``{t}.parquet/`` directories (real scan splits; one-copy
+synthesis memory).
 The ``deep`` family is meant to be run at ``copies=100``: it times
 only the scan-bound/bounded-state operators (two-orders-of-magnitude
 claim).  ``stream10`` replays the streaming throughput smoke at base
@@ -187,8 +193,15 @@ TPCH_QUERIES = (
 
 
 def make_scaled_documents(src_dir: str, dst_dir: str, copies: int) -> None:
+    """Per-copy part files inside a ``documents.parquet/`` DIRECTORY
+    (the ``make_scaled_tpch_dir`` layout, since round 10 for every
+    axis): synthesis memory stays at one-copy size and the scan gets
+    ``copies`` real splits — a single concatenated file serializes
+    map-side work into one task and understates parallel growth (the
+    r09 q115 measurement caveat)."""
     base = pd.read_parquet(os.path.join(src_dir, "documents.parquet"))
-    out = []
+    tdir = os.path.join(dst_dir, "documents.parquet")
+    os.makedirs(tdir, exist_ok=True)
     for c in range(copies):
         cp = base.copy()
         cp["doc_id"] = cp["doc_id"] + c * 10_000_000
@@ -201,11 +214,9 @@ def make_scaled_documents(src_dir: str, dst_dir: str, copies: int) -> None:
                 )
             )
             cp["n_chars"] = cp["text"].str.len()
-        out.append(cp)
-    os.makedirs(dst_dir, exist_ok=True)
-    pd.concat(out, ignore_index=True).to_parquet(
-        os.path.join(dst_dir, "documents.parquet"), index=False
-    )
+        cp.to_parquet(
+            os.path.join(tdir, f"part-{c:05d}.parquet"), index=False
+        )
 
 
 def make_scaled_embeddings(src_dir: str, dst_dir: str, copies: int) -> None:
@@ -217,7 +228,8 @@ def make_scaled_embeddings(src_dir: str, dst_dir: str, copies: int) -> None:
     import numpy as np
 
     base = pd.read_parquet(os.path.join(src_dir, "embeddings.parquet"))
-    out = []
+    tdir = os.path.join(dst_dir, "embeddings.parquet")
+    os.makedirs(tdir, exist_ok=True)
     for c in range(copies):
         cp = base.copy()
         cp["vec_id"] = cp["vec_id"] + c * 10_000_000
@@ -225,11 +237,9 @@ def make_scaled_embeddings(src_dir: str, dst_dir: str, copies: int) -> None:
             cp["embedding"] = cp["embedding"].map(
                 lambda v: np.roll(np.asarray(v), c).tolist()
             )
-        out.append(cp)
-    os.makedirs(dst_dir, exist_ok=True)
-    pd.concat(out, ignore_index=True).to_parquet(
-        os.path.join(dst_dir, "embeddings.parquet"), index=False
-    )
+        cp.to_parquet(
+            os.path.join(tdir, f"part-{c:05d}.parquet"), index=False
+        )
 
 
 def make_scaled_tpch(src_dir: str, dst_dir: str, copies: int) -> None:
@@ -289,16 +299,15 @@ def make_scaled_events(src_dir: str, dst_dir: str, copies: int) -> None:
     partitions (per-user histories) multiply in count but keep their
     size, and per-type value distributions are preserved exactly."""
     base = pd.read_parquet(os.path.join(src_dir, "events.parquet"))
-    out = []
+    tdir = os.path.join(dst_dir, "events.parquet")
+    os.makedirs(tdir, exist_ok=True)
     for c in range(copies):
         cp = base.copy()
         cp["event_id"] = cp["event_id"] + c * 10_000_000_000
         cp["user_id"] = cp["user_id"] + c * 10_000_000
-        out.append(cp)
-    os.makedirs(dst_dir, exist_ok=True)
-    pd.concat(out, ignore_index=True).to_parquet(
-        os.path.join(dst_dir, "events.parquet"), index=False
-    )
+        cp.to_parquet(
+            os.path.join(tdir, f"part-{c:05d}.parquet"), index=False
+        )
 
 
 def time_ann_family(spark, sf_dir: str, scaled_dir: str, copies: int) -> dict:
@@ -739,7 +748,160 @@ def main() -> None:
         da["ivf_growth"] = round(
             da["ivf_scaled_tuned_default"] / da["ivf_base"], 2
         )
+
+        # --- quantized tier at production knobs (round-10 addition):
+        # 8-bit PQ (n_sub=8, k=256 — past PQ_ENCODER_AUTO_MIN_K, so
+        # the default routes the BLAS encoder), residual IVF-PQ at
+        # n_clusters=8*copies, int8 SDC and binary Hamming.  Training
+        # is timed SEPARATELY from search (the attribution the IVF row
+        # got in r08): the PQ codebook sample is bounded
+        # (train_per_centroid * k rows) regardless of corpus size, so
+        # train time should be ~flat while search grows ~linearly.
+        nq = 100
+        q_base = base_e.filter(base_e["vec_id"] < nq)
+        q_big = big_e.filter(big_e["vec_id"] < nq)
+
+        def t_train(fn):
+            t0 = time.time()
+            model = fn()
+            return round(time.time() - t0, 2), model
+
+        da["pq_train_base_sec"], books_b = t_train(
+            lambda: similarity.build_pq_codebooks(
+                base_e, "embedding", "vec_id", n_sub=8, k=256
+            )
+        )
+        da["pq_train_scaled_sec"], books_s = t_train(
+            lambda: similarity.build_pq_codebooks(
+                big_e, "embedding", "vec_id", n_sub=8, k=256
+            )
+        )
+        da["pq_base"] = run2(
+            lambda: similarity.pq_adc_topk(
+                base_e, q_base, "vec_id", "embedding", books_b, k_top=5
+            )
+        )
+        da["pq_scaled"] = run2(
+            lambda: similarity.pq_adc_topk(
+                big_e, q_big, "vec_id", "embedding", books_s, k_top=5
+            ),
+            runs=1,
+        )
+        da["ivfpq_train_base_sec"], model_b = t_train(
+            lambda: similarity.build_ivf_pq(
+                base_e, "vec_id", "embedding",
+                n_clusters=8, n_sub=8, k_codes=256,
+            )
+        )
+        da["ivfpq_train_scaled_sec"], model_s = t_train(
+            lambda: similarity.build_ivf_pq(
+                big_e, "vec_id", "embedding",
+                n_clusters=8 * copies, n_sub=8, k_codes=256,
+            )
+        )
+        da["ivfpq_base"] = run2(
+            lambda: similarity.ivf_pq_adc_topk(
+                base_e, q_base, "vec_id", "embedding",
+                n_clusters=8, nprobe=2, n_sub=8, k_codes=256,
+                model=model_b,
+            )
+        )
+        da["ivfpq_scaled"] = run2(
+            lambda: similarity.ivf_pq_adc_topk(
+                big_e, q_big, "vec_id", "embedding",
+                n_clusters=8 * copies, nprobe=2, n_sub=8, k_codes=256,
+                model=model_s,
+            ),
+            runs=1,
+        )
+        da["int8_base"] = run2(
+            lambda: similarity.int8_sdc_topk(
+                base_e, q_base, "vec_id", "embedding", k_top=5
+            )
+        )
+        da["int8_scaled"] = run2(
+            lambda: similarity.int8_sdc_topk(
+                big_e, q_big, "vec_id", "embedding", k_top=5
+            ),
+            runs=1,
+        )
+        da["hamming_base"] = run2(
+            lambda: similarity.binary_hamming_topk(
+                q_base, base_e, dim=64, k=5
+            )
+        )
+        da["hamming_scaled"] = run2(
+            lambda: similarity.binary_hamming_topk(
+                q_big, big_e, dim=64, k=5
+            ),
+            runs=1,
+        )
+        for key in ("pq", "ivfpq", "int8", "hamming"):
+            da[f"{key}_growth"] = round(
+                da[f"{key}_scaled"] / da[f"{key}_base"], 2
+            )
         out["deepann"] = da
+    if family == "streamcompact":
+        # novelty-index lifetime curve (round-10): drive ``copies``
+        # micro-batches of documents through the novelty gate twice —
+        # shard-per-batch with NO compaction vs compact_every=8 — and
+        # record per-batch ingest seconds.  Without compaction the
+        # probe reads a shard count growing linearly with batch index
+        # (the r09 "next quadratic-ish term"); with it the committed
+        # dir count is bounded, so per-batch time should stay ~flat.
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+        n_batches = copies
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("doc_id", "text")
+        per_batch = max(1, docs.count() // n_batches)
+
+        def lifetime(compact_every):
+            root = os.path.join(
+                scaled_dir, f"nov_{compact_every or 'off'}"
+            )
+            store = SilverStore(spark, root)
+            ingest = corpus_ingest.make_novelty_batch_ingestor(
+                store, compact_every=compact_every
+            )
+            times = []
+            for b in range(n_batches):
+                batch = docs.filter(
+                    (F.col("doc_id") % n_batches) == b
+                ).limit(per_batch)
+                t0 = time.time()
+                ingest(batch, b)
+                times.append(round(time.time() - t0, 2))
+            dirs = len(
+                os.listdir(os.path.join(store.root, corpus_ingest.INDEX_DIR))
+            )
+            admitted = corpus_ingest.read_index(spark, store.root).count()
+            return times, dirs, admitted
+
+        t_off, d_off, n_off = lifetime(None)
+        t_on, d_on, n_on = lifetime(8)
+        h = max(1, n_batches // 5)
+        out["streamcompact"] = {
+            "n_batches": n_batches,
+            "per_batch_rows": per_batch,
+            # identical admissions either way — compaction must be
+            # membership-neutral
+            "admitted_off": n_off,
+            "admitted_on": n_on,
+            "index_dirs_off": d_off,
+            "index_dirs_on": d_on,
+            "batch_sec_off": t_off,
+            "batch_sec_on": t_on,
+            # head/tail means: the lifetime slope in two numbers
+            "head_mean_off": round(sum(t_off[:h]) / h, 2),
+            "tail_mean_off": round(sum(t_off[-h:]) / h, 2),
+            "head_mean_on": round(sum(t_on[:h]) / h, 2),
+            "tail_mean_on": round(sum(t_on[-h:]) / h, 2),
+        }
     if family == "stream10":
         # streaming throughput at 10x input: same file/trigger layout
         # (20 event files, 4 per trigger — 5 micro-batches either way)

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew, temporal
 
+from tests.conftest import SF_SMOKE
+
 
 def test_salted_join_matches_plain_join(spark):
     skewed = spark.createDataFrame(
@@ -260,3 +262,43 @@ def test_salted_grouped_topk_ties_deterministic(spark):
     df = spark.createDataFrame(rows, "grp string, id int, v double")
     out = skew.salted_grouped_topk(df, ["grp"], "v", "id", k=3).collect()
     assert sorted((r["id"], r["rank"]) for r in out) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_grouped_topk_onelevel_equals_salted(spark):
+    """salt_buckets=1 escape hatch: identical rows to the two-level
+    default in both sort directions, and the one-level plan carries
+    exactly one Window (no salt pre-rank)."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    for desc in (True, False):
+        one = skew.grouped_topk(
+            o, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+            k=4, salt_buckets=1, descending=desc,
+        )
+        two = skew.grouped_topk(
+            o, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+            k=4, salt_buckets=64, descending=desc,
+        )
+        assert sorted(map(tuple, one.collect())) == sorted(
+            map(tuple, two.collect())
+        )
+    # the one-level plan has strictly fewer Window nodes than the
+    # two-level (no salt pre-rank); AQE plan strings repeat sections,
+    # so compare counts rather than asserting an absolute
+    p1 = one._jdf.queryExecution().executedPlan().toString()
+    p2 = two._jdf.queryExecution().executedPlan().toString()
+    assert 0 < p1.count("Window") < p2.count("Window")
+
+
+def test_exact_dup_groups_small_equals_default(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    small = dedupe.exact_dup_groups_small(d, "doc_id", "text")
+    default = dedupe.exact_dup_groups(d, "doc_id", "text")
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, default.collect())
+    )
