@@ -1796,6 +1796,7 @@ def ivf_pq_adc_topk(
     model: tuple[list[list[float]], list[list[list[float]]]] | None = None,
     max_queries: int | None = 10_000,
     encoder: str | None = None,
+    hierarchical: bool | None = None,
 ) -> DataFrame:
     """Residual IVF-PQ search — the composed 100 TB ANN design this
     repo builds up to: IVF prunes the SEARCH (each query scores only
@@ -1819,7 +1820,17 @@ def ivf_pq_adc_topk(
 
     A corpus vector is scored for a query iff ITS one cell is among
     the query's probes, so each (query, neighbor) pair appears at
-    most once — no dedup step is needed (cf. multi-table LSH)."""
+    most once — no dedup step is needed (cf. multi-table LSH).
+
+    ``hierarchical`` routes the CORPUS coarse assignment exactly like
+    :func:`ivf_topk`: the flat pass is n x K distance folds per row,
+    the dominant super-linear term once K grows with the corpus
+    (measured 39x wall at 100x data / K=800 before this route), and
+    the two-level pass is ~2 x sqrt(K).  ``None`` auto-selects at
+    :data:`HIER_AUTO_MIN_K`; the oracle-gated q110 config (K=8) stays
+    on the bit-exact flat path.  The residual codes stay consistent
+    under either route (residual = vector - ASSIGNED cell's centroid,
+    and search probes assigned cells)."""
     if max_queries is not None:
         probe_n = queries.limit(max_queries + 1).count()
         if probe_n > max_queries:
@@ -1845,14 +1856,18 @@ def ivf_pq_adc_topk(
     n_sub = len(books)
 
     # --- corpus side: one scan -> (id, cell, code_0..code_{M-1}) ---
-    assigned = assign_ivf_cluster(
+    src = fan_out(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             V.as_double(vec_col).alias("__xd"),
-        ),
-        coarse,
-        "__xd",
+        )
     )
+    if _resolve_hierarchical(len(coarse), hierarchical):
+        assigned = assign_ivf_cluster_hierarchical(
+            src, coarse, "__xd"
+        ).withColumn("cluster", F.col("cluster").cast("int"))
+    else:
+        assigned = assign_ivf_cluster(src, coarse, "__xd")
     if _resolve_pq_encoder(len(books[0]), encoder) == "blas":
         # large-k route: residual shift + argmin per Arrow batch (see
         # PQ_ENCODER_AUTO_MIN_K for the measured crossover)

@@ -233,10 +233,15 @@ def make_scaled_embeddings(src_dir: str, dst_dir: str, copies: int) -> None:
     for c in range(copies):
         cp = base.copy()
         cp["vec_id"] = cp["vec_id"] + c * 10_000_000
-        if c > 0:
-            cp["embedding"] = cp["embedding"].map(
-                lambda v: np.roll(np.asarray(v), c).tolist()
-            )
+        # every copy through the SAME float64 conversion: the source
+        # column is float32, np.roll produces float64 — mixed dtypes
+        # across part files break Spark's schema inference (copy 0
+        # must not stay float32 while the rest become DOUBLE)
+        cp["embedding"] = cp["embedding"].map(
+            lambda v, c=c: np.roll(
+                np.asarray(v, dtype=np.float64), c
+            ).tolist()
+        )
         cp.to_parquet(
             os.path.join(tdir, f"part-{c:05d}.parquet"), index=False
         )

@@ -931,3 +931,80 @@ def test_temperature_resample_matches_python_replay(spark, rows):
         for r in dataprep.temperature_resample(df, "lang", "doc_id").collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bigram_fluency_matches_python_replay(spark, docs):
+    """Random tiny corpora vs the definition replayed literally:
+    corpus bigram/prefix counts, per-doc position-ordered float fold
+    of count ratios, mean, round6."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    bg_count: dict = {}
+    prev_count: dict = {}
+    per_doc: dict[int, list] = {}
+    for i, ws in enumerate(docs):
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[i] = bgs
+        for p, c in bgs:
+            bg_count[(p, c)] = bg_count.get((p, c), 0) + 1
+            prev_count[p] = prev_count.get(p, 0) + 1
+    expected = {}
+    for i, bgs in per_doc.items():
+        if not bgs:
+            continue
+        acc = 0.0
+        for p, c in bgs:  # position order, sequential fold
+            acc = acc + float(bg_count[(p, c)]) / float(prev_count[p])
+        expected[i] = (len(bgs), _spark_round6(acc / float(len(bgs))))
+
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["fluency"])
+        for r in dataprep.bigram_fluency(df, "doc_id", "text").collect()
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(0, 3),
+)
+def test_label_propagation_matches_python_replay(spark, edges, rounds):
+    """Random small graphs vs the synchronous min-label recurrence
+    replayed literally (self-loops dropped, labels init to own id)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        labels = {
+            n: min([labels[n]] + [labels[m] for m in adj[n]])
+            for n in adj
+        }
+
+    df = spark.createDataFrame(list(edges), "id_a int, id_b int")
+    got = {
+        r["node"]: r["label"]
+        for r in components.label_propagation_min(df, rounds=rounds).collect()
+    }
+    assert got == labels
