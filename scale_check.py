@@ -95,6 +95,16 @@ QUERIES = (
     # work is bounded to one boundary bucket per source — growth
     # should track the token-count scan
     "q124_token_budget_mix",
+    # round-10 wave (documents axis): corpus-conditioned bigram
+    # fluency (combinable count groupBys + two equi-joins — growth
+    # should track the bigram scan), bounded-round label propagation
+    # (edges multiply ~10x, fixed join+agg rounds), the per-group
+    # reservoir draw (salted two-level rank), and URL canonicalization
+    # + dedup (scan-speed string ops + one combinable groupBy)
+    "q127_bigram_fluency",
+    "q128_label_propagation",
+    "q129_reservoir_sample",
+    "q130_url_dedup",
 )
 
 #: Two-orders-of-magnitude family (``python scale_check.py 100 deep``):
@@ -150,6 +160,12 @@ EMB_QUERIES = (
     # shape in the catalog)
     "q118_binary_hamming_topk",
     "q119_jl_projection",
+    # round-10 wave (embeddings axis): the two-stage rerank (packed
+    # scan grows linearly; the exact stage stays nq x shortlist —
+    # corpus-size-FREE by construction) and the recall evaluator
+    # (two top-k paths + an integer intersection)
+    "q126_hamming_rerank_topk",
+    "q131_ann_recall_eval",
 )
 
 #: Events-table queries timed against the scaled events in their own

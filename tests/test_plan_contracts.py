@@ -57,6 +57,14 @@ BNLJ_ALLOWED = {
     # 1-row broadcast token grand total (heavy-hitter threshold),
     # same idiom
     "q122_countmin_heavy",
+    # stage 1 is q118's contract verbatim (bounded max_queries-guarded
+    # probe set broadcast past the packed corpus scan); stage 2 is
+    # pure equi-joins over the <= nq x shortlist candidate frame
+    "q126_hamming_rerank_topk",
+    # both inputs are top-k paths that carry the q28/q118 bounded
+    # BNLJ; the evaluator itself adds only an equi left-semi probe +
+    # a combinable count
+    "q131_ann_recall_eval",
 }
 
 
