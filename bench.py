@@ -133,6 +133,7 @@ HEADLINE = [
     "q129_reservoir_sample",
     "q130_url_dedup",
     "q131_ann_recall_eval",
+    "q132_cusum_drift",
 ]
 
 

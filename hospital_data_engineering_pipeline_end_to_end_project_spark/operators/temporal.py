@@ -217,3 +217,57 @@ def time_weighted_avg(
             round_scale,
         ).alias("twap"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    k_scaled: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group CUSUM upward-drift detection — the classic sequential
+    change-point statistic ``S_i = max(0, S_{i-1} + (v_i - k))``
+    (Page's test: an alarm when a metric's cumulative excess over the
+    allowance ``k`` builds up), made DATA-PARALLEL by the prefix-min
+    identity:
+
+        T_i = Σ_{j<=i} (v_j - k)            (one prefix-sum window)
+        S_i = T_i - min(0, min_{j<=i} T_j)  (one running-min window)
+
+    — by induction S_i equals the sequential recurrence exactly, so a
+    scan-order algorithm becomes two shuffle-free-after-one-exchange
+    windows per group instead of a driver-side loop.  Values are
+    quantized to integers first (``floor(v * scale + 0.5)``, exact in
+    IEEE for the magnitudes involved), so every sum/min/max is INTEGER
+    — no accumulation-order concern, and the oracle replays the same
+    two windows bit-for-bit.
+
+    ``order_col`` defines the sequence and must be unique per group
+    (duplicate keys would make even the sequential definition
+    tie-order-dependent).  Scale shape: window partitions are
+    per-group histories (the q113/q115 contract — groups multiply
+    with data, sizes stay bounded); the peak aggregate is map-side
+    combinable.
+
+    Returns ``(group_col, n_events, peak_cusum)`` — the max drift
+    statistic per group, alarm threshold left to the caller.
+    """
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.sum(v - F.lit(k_scaled)).over(w)
+    d = df.select(group_col, order_col, value_col).withColumn("__t", t)
+    s = F.col("__t") - F.least(F.min("__t").over(w), F.lit(0).cast("long"))
+    return (
+        d.withColumn("__s", s)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("__s").cast("long").alias("peak_cusum"),
+        )
+    )

@@ -84,7 +84,8 @@ def _modules():
 #:      — code unchanged since r7, locally re-attested every pytest
 #:      run, official rows now two rounds old;
 #:   4. remaining slots filled with the OLDEST r08 rows (q01–q07 of
-#:      the core-relational family).
+#:      the core-relational family; the late q132 arrival pushes
+#:      q07 — r08 row, code unchanged — to slot 51, just outside).
 #: Everything outside the window either has an r09 official row
 #: (last round's gate) or an r08 row with judge-verified unchanged
 #: code — after this round no query's freshest official row is older
@@ -99,6 +100,7 @@ _GATE_FRONT = (
     "q129_reservoir_sample",
     "q130_url_dedup",
     "q131_ann_recall_eval",
+    "q132_cusum_drift",
     # -- 2: r10 changed-code pins --
     "q109_pq_adc_topk",
     "q110_ivf_pq_topk",

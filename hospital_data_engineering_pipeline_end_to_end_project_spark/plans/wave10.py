@@ -19,6 +19,9 @@ Six operators that round out the training-data-pipeline surface:
   array expressions, then keep-lowest-id per canonical key
 - q131 ANN recall@k evaluation — approximate vs exact neighbor sets
   joined into per-query recall, integer counts + one division
+- q132 per-group CUSUM drift — Page's sequential change-point
+  statistic made data-parallel by the prefix-min identity (two
+  integer windows; bit-exact after quantization)
 
 Exactness arguments live on the operators
 (``operators/similarity.py``, ``operators/dataprep.py``,
@@ -383,3 +386,55 @@ ORACLES = {
     "q130_url_dedup": Q130_SQL,
     "q131_ann_recall_eval": Q131_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# q132 — per-user CUSUM drift on the event stream
+#
+# Integer arithmetic end-to-end after the quantization floor; the
+# oracle replays the same two windows.  The sequence key is event_id
+# (unique, engine-identical) — ts would diverge across engines at
+# sub-microsecond resolution (DuckDB truncates nanos to micros).
+# ---------------------------------------------------------------------------
+
+_Q132_K_SCALED = 1000
+_Q132_SCALE = 1000
+
+
+def q132_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
+
+    e = load_table(spark, sf_dir, "events")
+    return temporal.cusum_drift(
+        e, "user_id", "event_id", "value",
+        k_scaled=_Q132_K_SCALED, scale=_Q132_SCALE,
+    )
+
+
+Q132_SQL = f"""
+WITH q AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * {_Q132_SCALE} + 0.5) AS BIGINT) - {_Q132_K_SCALED} AS dv
+  FROM events
+),
+t AS (
+  SELECT user_id, event_id,
+         sum(dv) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS t
+  FROM q
+),
+s AS (
+  SELECT user_id,
+         t - least(min(t) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING),
+                   0) AS s
+  FROM t
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(s) AS BIGINT) AS peak_cusum
+FROM s GROUP BY user_id
+"""
+
+QUERIES["q132_cusum_drift"] = q132_cusum_drift
+ORACLES["q132_cusum_drift"] = Q132_SQL

@@ -182,6 +182,9 @@ EVENTS_QUERIES = (
     # robust outliers: sketch (bounded windows) + one broadcast-join
     # flagging scan — growth should track the scan
     "q117_robust_outliers",
+    # round-10: CUSUM drift — two integer windows over per-user
+    # histories (partitions multiply with users, sizes stay bounded)
+    "q132_cusum_drift",
 )
 
 #: TPC-H-style correlated subqueries scale on the FACT tables: the

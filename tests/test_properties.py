@@ -1008,3 +1008,47 @@ def test_label_propagation_matches_python_replay(spark, edges, rounds):
         for r in components.label_propagation_min(df, rounds=rounds).collect()
     }
     assert got == labels
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(0, 500),
+            st.floats(0, 20, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(0, 5000),
+)
+def test_cusum_drift_matches_sequential_recurrence(spark, rows, k_scaled):
+    """The prefix-min identity must equal Page's sequential recurrence
+    S_i = max(0, S_{i-1} + (v_i - k)) replayed literally on the
+    quantized integers."""
+    import math
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
+
+    expected = {}
+    by_group: dict[str, list] = {}
+    for g, i, x in rows:
+        by_group.setdefault(g, []).append((i, x))
+    for g, seq in by_group.items():
+        s = peak = 0
+        for _, x in sorted(seq):
+            v = int(math.floor(x * 1000 + 0.5))
+            s = max(0, s + (v - k_scaled))
+            peak = max(peak, s)
+        expected[g] = (len(seq), peak)
+
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    got = {
+        r["g"]: (r["n_events"], r["peak_cusum"])
+        for r in temporal.cusum_drift(
+            df, "g", "i", "v", k_scaled=k_scaled
+        ).collect()
+    }
+    assert got == expected
