@@ -2759,14 +2759,16 @@ def ann_recall_at_k(
     """
     a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    # both sides are <= nq x k rows by the top-k contract — broadcast
+    # them so the evaluator adds no sort-merge exchange of its own
     hits = (
-        a.join(e, ["query_id", "neighbor_id"], "left_semi")
+        a.join(F.broadcast(e), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
     base = a.select("query_id").distinct()
     return (
-        base.join(hits, "query_id", "left")
+        base.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
