@@ -92,6 +92,13 @@ def _modules():
 #: than two rounds.  The full catalog stays attested end-to-end by
 #: tests/test_oracle_parity.py at sf0.001 and the 50-window at
 #: sf0.01 by tests/test_gate_scale_parity.py in every pytest run.
+#:
+#: R11 ROTATION PLAN (write it down while the state is fresh): after
+#: r10's gate the oldest official rows are the r08 core-relational
+#: tail (q07–q19, q21–q24, q32–q41, q47, q58–q60 vintage r08) and
+#: the r09 window (50 names, aging to two rounds).  r11 should pin
+#: (a) whatever code r11 changes, (b) new arrivals, (c) the r08
+#: remainder first, then the oldest-r09 families.
 _GATE_FRONT = (
     # -- 1: new r10 arrivals (registered as they land) --
     "q126_hamming_rerank_topk",
