@@ -134,6 +134,9 @@ HEADLINE = [
     "q130_url_dedup",
     "q131_ann_recall_eval",
     "q132_cusum_drift",
+    "q133_prefix_jaccard_join",
+    "q134_source_calibration",
+    "q135_token_gini",
 ]
 
 

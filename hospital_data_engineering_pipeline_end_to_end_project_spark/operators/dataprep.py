@@ -1252,3 +1252,103 @@ def deterministic_reservoir(
     return out.select(
         group_col, id_col, F.col("rank").cast("long").alias("rank")
     )
+
+
+def percentile_calibrate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    pct_col: str = "pct",
+) -> DataFrame:
+    """Per-group empirical-CDF calibration: ``pct = cume_dist() OVER
+    (PARTITION BY group ORDER BY value)`` — the mix-curation step
+    that puts heterogeneous sources' quality scores on a common
+    [0, 1] scale before a GLOBAL threshold (so no source dominates a
+    corpus cut just because its raw score distribution sits higher).
+
+    NOT a per-group rank window: ``cume_dist`` over a source
+    partition colocates and sorts the source's entire document set
+    in one task — the per-group total-sort trap (a handful of
+    sources = a handful of giant unsplittable window partitions).
+    This is the value-domain form (the q49 order-statistics
+    identity): aggregate to (group, value) counts — map-side
+    combinable, absorbs any hot value — then one running total over
+    the DISTINCT-VALUE frame (bounded by the value domain, e.g. a
+    few hundred distinct token counts, regardless of corpus size)
+    and an equi-join back.  ``cume_dist`` of a row with ties is the
+    count of rows <= its value, so the (group, value)-level cumsum
+    is VALUE-IDENTICAL to the row-level window.
+
+    Exactness: integer counts end-to-end, one correctly-rounded
+    division per row; round-6 so downstream threshold compares are
+    engine-portable.  Appends ``pct_col``.
+    """
+    vc = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("__cum", F.sum("__c").over(w)).drop("__c")
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    return (
+        df.join(cum, [group_col, value_col])
+        .join(F.broadcast(n), group_col)
+        .withColumn(
+            pct_col,
+            F.round(
+                F.col("__cum").cast("double") / F.col("__gn").cast("double"), 6
+            ),
+        )
+        .select(*df.columns, pct_col)
+    )
+
+
+def token_gini(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document token diversity: Gini impurity of the unigram
+    distribution, ``1 - sum(c_i^2)/n^2`` — a distribution-WIDE
+    repetitiveness signal (near 0 = one token dominates / spam,
+    near 1 = diverse prose).  Complements :func:`quality_filter`'s
+    top-shingle ratio (a max-statistic) and stays libm-free where
+    Shannon entropy would need ``ln``: Gini is rational — integer
+    token counts, integer sum of squares, ONE final division — so
+    it replays bit-for-bit on any engine.
+
+    Scale shape: explode -> groupBy (doc, token) -> groupBy doc, both
+    map-side combinable, group keys include the doc id so partitions
+    are bounded by document length (no corpus-level hot key).  Sum of
+    squares fits a long: c <= n <= document length, so ``sum(c^2) <=
+    n^2`` — ~10^8 for a 10^4-token doc, far under 2^63.  Zero-token
+    documents emit nothing (no distribution to score).
+
+    Output: ``id_col, n_tokens, n_distinct, distinct_ratio, gini``.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+
+    tok = df.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("__t")
+    )
+    c = F.col("__c")
+    per = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum(c).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(c * c).cast("long").alias("__ssq"),
+    )
+    n = F.col("n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct").cast("double") / n.cast("double"), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            (n * n - F.col("__ssq")).cast("double") / (n * n).cast("double"), 6
+        ).alias("gini"),
+    )

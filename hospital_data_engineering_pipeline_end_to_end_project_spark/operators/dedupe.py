@@ -705,3 +705,121 @@ def exact_dup_groups_small(
         .withColumn("n_copies", F.count(F.lit(1)).over(w))
         .select(id_col, "text_hash", "n_copies")
     )
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 5,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    deterministic counterpart to the MinHash family (which is
+    probabilistic and can miss pairs).  Returns every unordered doc
+    pair whose distinct-shingle-set Jaccard is >= ``t_num/t_den``,
+    with the exact intersection/union sizes.
+
+    Algorithm (the classic prefix-filter of Chaudhuri et al. /
+    PPJoin, public literature): order all shingles by a COMMON total
+    order — corpus document frequency ascending, shingle text as the
+    tiebreak — and keep only each doc's first ``p = n - ceil(t*n) +
+    1`` shingles (its "prefix", the rarest ones).  Completeness: if
+    J(A,B) >= t then |A inter B| >= ceil(t*max(|A|,|B|)); were the
+    globally-smallest common shingle outside A's prefix, all common
+    shingles would sit in A's last ceil(t*|A|) - 1 positions — a
+    contradiction, and symmetrically for B.  So every qualifying
+    pair shares a shingle in BOTH prefixes and the prefix equi-join
+    loses nothing.  Every arithmetic step is INTEGER (threshold test
+    by cross-multiplication: ``(t_den + t_num)*inter >=
+    t_num*(na + nb)``), so the result is bit-exact and the oracle
+    can replay the brute-force postings join.
+
+    Scale shape (100 TB): the prefix keeps the RAREST shingles, so
+    posting lists in the candidate self-join are small by
+    construction for diverse corpora (boilerplate shingles have high
+    df and fall out of prefixes); a size-ratio filter (``t_den*min
+    >= t_num*max``, implied by J >= t) prunes candidates before
+    verification; verification is two equi-joins bounded by
+    candidates x doc-size, never an all-pairs product.  The per-doc
+    shingle ranking window partitions by doc id — bounded by
+    document length, no hot key.  groupBy (map-side combinable)
+    computes the df table; the only data-dependent risk is a corpus
+    whose every doc is pure boilerplate, where prefixes still carry
+    frequent shingles — the same regime where MinHash banding
+    degenerates, and the honest answer is the df-cap escape used by
+    :func:`jaccard_verify` callers.
+
+    Output: ``doc_a < doc_b, inter_size, union_size, jaccard``
+    (round-6 display value; the FILTER is integer-exact).
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    sh = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(TX.shingles(text_col, shingle_n))).alias("__s"),
+    )
+    # consumed by FIVE subtrees (sizes, df table, ranking, both
+    # verification probes) — materialize once (trap: AQE's one-side
+    # broadcast otherwise defeats ReusedExchange and recomputes the
+    # explode per consumer)
+    sh = materialize(sh)
+    sz = sh.groupBy("__doc").agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(dfreq, "__s")
+        .join(sz, "__doc")
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("__doc").orderBy("__df", "__s")
+            ),
+        )
+    )
+    # p = n - ceil(t*n) + 1, integer ceil on positive ints
+    ceil_tn = F.expr(f"({t_num} * __n + {t_den} - 1) DIV {t_den}")
+    prefix = ranked.filter(F.col("__rank") <= F.col("__n") - ceil_tn + 1).select(
+        "__doc", "__s", "__n"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "__s")
+        .filter(F.col("a.__doc") < F.col("b.__doc"))
+        # size-ratio filter: J >= t implies t_den*min >= t_num*max
+        .filter(
+            t_den * F.least("a.__n", "b.__n")
+            >= t_num * F.greatest("a.__n", "b.__n")
+        )
+        .select(
+            F.col("a.__doc").alias("doc_a"), F.col("b.__doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.withColumnsRenamed({"__doc": "doc_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"__doc": "doc_b"}), ["doc_b", "__s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    na = sz.withColumnsRenamed({"__doc": "doc_a", "__n": "__na"})
+    nb = sz.withColumnsRenamed({"__doc": "doc_b", "__n": "__nb"})
+    u = F.col("__na") + F.col("__nb") - F.col("inter_size")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            (t_den + t_num) * F.col("inter_size")
+            >= t_num * (F.col("__na") + F.col("__nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter_size").cast("long").alias("inter_size"),
+            u.cast("long").alias("union_size"),
+            F.round(
+                F.col("inter_size").cast("double") / u.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -84,8 +84,9 @@ def _modules():
 #:      — code unchanged since r7, locally re-attested every pytest
 #:      run, official rows now two rounds old;
 #:   4. remaining slots filled with the OLDEST r08 rows (q01–q07 of
-#:      the core-relational family; the late q132 arrival pushes
-#:      q07 — r08 row, code unchanged — to slot 51, just outside).
+#:      the core-relational family; the late q132–q135 arrivals push
+#:      q04–q07 — r08 rows, code unchanged, exactly two rounds old —
+#:      past slot 50: new arrivals outrank filler, the r08 lesson).
 #: Everything outside the window either has an r09 official row
 #: (last round's gate) or an r08 row with judge-verified unchanged
 #: code — after this round no query's freshest official row is older
@@ -108,6 +109,9 @@ _GATE_FRONT = (
     "q130_url_dedup",
     "q131_ann_recall_eval",
     "q132_cusum_drift",
+    "q133_prefix_jaccard_join",
+    "q134_source_calibration",
+    "q135_token_gini",
     # -- 2: r10 changed-code pins --
     "q109_pq_adc_topk",
     "q110_ivf_pq_topk",

@@ -1,6 +1,6 @@
-"""Round-10 query wave (q126-q131).
+"""Round-10 query wave (q126-q135).
 
-Six operators that round out the training-data-pipeline surface:
+Operators that round out the training-data-pipeline surface:
 
 - q126 Hamming-shortlist -> exact-cosine rerank — the two-stage ANN
   tiering measured by the recall harness in round 9, promoted to a
@@ -22,6 +22,15 @@ Six operators that round out the training-data-pipeline surface:
 - q132 per-group CUSUM drift — Page's sequential change-point
   statistic made data-parallel by the prefix-min identity (two
   integer windows; bit-exact after quantization)
+- q133 exact prefix-filtered Jaccard self-join — the deterministic
+  counterpart to the MinHash family (integer cross-multiplied
+  threshold; oracle = brute-force postings join, so parity doubles
+  as a completeness check of the prefix filter)
+- q134 per-source empirical-CDF calibration — cume_dist without a
+  per-source sort window (the q49 value-domain identity), feeding a
+  portable round-6 global cut
+- q135 token Gini diversity — distribution-wide repetitiveness,
+  rational arithmetic where entropy would need ``ln``
 
 Exactness arguments live on the operators
 (``operators/similarity.py``, ``operators/dataprep.py``,
@@ -438,3 +447,118 @@ FROM s GROUP BY user_id
 
 QUERIES["q132_cusum_drift"] = q132_cusum_drift
 ORACLES["q132_cusum_drift"] = Q132_SQL
+
+
+# ---------------------------------------------------------------------------
+# q133 — exact prefix-filtered Jaccard self-join
+#
+# Integer arithmetic end-to-end (cross-multiplied threshold); the
+# oracle replays the BRUTE-FORCE postings join, so the parity check
+# doubles as the prefix-filter completeness proof on real data.
+# ---------------------------------------------------------------------------
+
+_Q133_T = (4, 5)  # Jaccard threshold 4/5
+
+
+def q133_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.prefix_jaccard_join(
+        d, "doc_id", "text", shingle_n=5, t_num=_Q133_T[0], t_den=_Q133_T[1]
+    )
+
+
+Q133_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
+  FROM toks WHERE len(t) >= 5
+),
+sh AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh0),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) AS inter_size,
+       CAST(x.n + y.n - inter AS BIGINT) AS union_size,
+       round(CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE), 6) AS jaccard
+FROM p JOIN sz x ON p.doc_a = x.doc_id JOIN sz y ON p.doc_b = y.doc_id
+WHERE {_Q133_T[1] + _Q133_T[0]} * inter >= {_Q133_T[0]} * (x.n + y.n)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q134 — per-source empirical-CDF calibration + global cut
+#
+# Integer counts, one rounded division; the cut compares the SAME
+# round-6 value on both engines.  The oracle replays the row-level
+# cume_dist window the value-domain form is identical to.
+# ---------------------------------------------------------------------------
+
+_Q134_CUT = 0.98
+
+
+def q134_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    out = dataprep.percentile_calibrate(d, "source", "n_tokens")
+    return out.filter(F.col("pct") >= _Q134_CUT).select(
+        "source", "doc_id", "n_tokens", "pct"
+    )
+
+
+Q134_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         round(CAST(count(*) OVER (PARTITION BY source ORDER BY n_tokens
+                                   RANGE UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY source) AS DOUBLE), 6) AS pct
+  FROM tok
+)
+SELECT source, doc_id, n_tokens, pct FROM c WHERE pct >= {_Q134_CUT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q135 — per-document token Gini diversity
+#
+# Rational end-to-end (no libm): integer counts and sums of squares,
+# two single rounded divisions at the end.
+# ---------------------------------------------------------------------------
+
+
+def q135_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.token_gini(d, "doc_id", "text")
+
+
+Q135_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents),
+per AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * c) AS BIGINT) AS ssq
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio,
+       round(CAST(n_tokens * n_tokens - ssq AS DOUBLE)
+             / CAST(n_tokens * n_tokens AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+QUERIES["q133_prefix_jaccard_join"] = q133_prefix_jaccard_join
+ORACLES["q133_prefix_jaccard_join"] = Q133_SQL
+QUERIES["q134_source_calibration"] = q134_source_calibration
+ORACLES["q134_source_calibration"] = Q134_SQL
+QUERIES["q135_token_gini"] = q135_token_gini
+ORACLES["q135_token_gini"] = Q135_SQL

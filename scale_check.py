@@ -105,6 +105,15 @@ QUERIES = (
     "q128_label_propagation",
     "q129_reservoir_sample",
     "q130_url_dedup",
+    # round-10 late wave: exact prefix-filtered Jaccard join (copies
+    # are salted every 5th token, so 5-shingle sets are disjoint
+    # across copies -> postings and output grow linearly, the honest
+    # within-copy structure-preserving axis for an exact join),
+    # value-domain CDF calibration and token Gini (combinable
+    # groupBys; growth should track the token scan)
+    "q133_prefix_jaccard_join",
+    "q134_source_calibration",
+    "q135_token_gini",
 )
 
 #: Two-orders-of-magnitude family (``python scale_check.py 100 deep``):

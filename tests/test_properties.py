@@ -1052,3 +1052,116 @@ def test_cusum_drift_matches_sequential_recurrence(spark, rows, k_scaled):
         ).collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_prefix_jaccard_join_matches_brute_force(spark, docs):
+    """Prefix-filter completeness + integer-threshold exactness:
+    random tiny corpora vs a literal all-pairs replay over distinct
+    2-shingle sets at t = 1/2 (the filter must lose NOTHING and add
+    nothing)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    t_num, t_den = 1, 2
+    sets = {
+        i: {" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)}
+        for i, ws in enumerate(docs)
+    }
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            if (t_den + t_num) * inter >= t_num * (na + nb):
+                u = na + nb - inter
+                expected[(a, b)] = (inter, u, _spark_round6(inter / u))
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"], r["jaccard"])
+        for r in dedupe.prefix_jaccard_join(
+            df, "doc_id", "text", shingle_n=2, t_num=t_num, t_den=t_den
+        ).collect()
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 6)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_percentile_calibrate_matches_python_replay(spark, rows):
+    """Value-domain cume_dist vs the definition: pct of a row = count
+    of group rows with value <= its value, over group size, round6 —
+    ties share a pct by construction."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    expected = {}
+    for i, (g, v) in enumerate(rows):
+        le = sum(1 for (g2, v2) in rows if g2 == g and v2 <= v)
+        n = sum(1 for (g2, _) in rows if g2 == g)
+        expected[i] = _spark_round6(le / n)
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "row_id int, grp string, val int",
+    )
+    got = {
+        r["row_id"]: r["pct"]
+        for r in dataprep.percentile_calibrate(df, "grp", "val").collect()
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_token_gini_matches_python_replay(spark, docs):
+    """Gini impurity replayed literally: integer counts, sum of
+    squares, one final division each for gini and distinct_ratio."""
+    from collections import Counter
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+
+    expected = {}
+    for i, ws in enumerate(docs):
+        if not ws:
+            continue
+        c = Counter(ws)
+        n, d = len(ws), len(c)
+        ssq = sum(v * v for v in c.values())
+        expected[i] = (
+            n,
+            d,
+            _spark_round6(d / n),
+            _spark_round6((n * n - ssq) / (n * n)),
+        )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["distinct_ratio"], r["gini"])
+        for r in dataprep.token_gini(df, "doc_id", "text").collect()
+    }
+    assert got == expected
