@@ -135,6 +135,11 @@ DEEP_DOC_QUERIES = (
     "q122_countmin_heavy",
     # two-phase quota cut: ordered work bounded to boundary buckets
     "q124_token_budget_mix",
+    # value-domain CDF: running total over the DISTINCT value domain,
+    # which does not grow with the corpus
+    "q134_source_calibration",
+    # combinable groupBys keyed by doc id; state bounded by doc length
+    "q135_token_gini",
 )
 DEEP_EVENT_QUERIES = (
     # salt-bucket sketch partials then <= buckets x k merges
