@@ -271,3 +271,111 @@ def cusum_drift(
             F.max("__s").cast("long").alias("peak_cusum"),
         )
     )
+
+
+def cusum_segment_summary(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    k_scaled: int,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group ASSOCIATIVE segment summary for CUSUM — the streaming
+    counterpart of :func:`cusum_drift`.  A micro-batch is a contiguous
+    segment of each group's sequence (ingest order); this computes the
+    four integers that let segments fold without revisiting raw rows:
+
+    - ``s`` — the segment's total excess ``sum(v_i - k)``
+    - ``m`` — min over the segment's (non-empty) prefix sums
+    - ``x`` — max over the segment's prefix sums
+    - ``q`` — the segment's RELATIVE peak ``max_i (t_i - min_{j<=i}
+      t_j)`` (no zero floor — the floor belongs to the left context)
+
+    Fold (:func:`cusum_fold_summaries`): with carried state ``(T =
+    total so far, Mg = min(0, min global prefix), P = peak so far)``,
+    a segment's contribution to ``S_i = T_i - min(0, min_j T_j)``
+    splits by whether the running min lands left or inside the
+    segment: ``S_i = max(T - Mg + t_i, t_i - m_i)``, so the segment's
+    peak is ``max(T - Mg + x, q)`` and the state advances ``Mg' =
+    min(Mg, T + m)``, ``T' = T + s`` — INTEGER arithmetic end-to-end,
+    so the fold is bit-identical to :func:`cusum_drift` over the
+    concatenated stream (test-pinned).  Same two windows as the batch
+    operator; partitions are per-group WITHIN-BATCH histories.
+
+    Returns ``(group_col, n, s, m, x, q)`` — one row per group that
+    appears in the segment.
+    """
+    dv = (
+        F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+        - F.lit(int(k_scaled))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = (
+        df.select(group_col, order_col, value_col)
+        .withColumn("__t", F.sum(dv).over(w))
+        .withColumn("__m", F.min("__t").over(w))
+    )
+    return d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("__t").cast("long").alias("x"),
+        F.min("__m").cast("long").alias("m"),
+        F.max(F.col("__t") - F.col("__m")).cast("long").alias("q"),
+        # segment total = last prefix sum = plain sum of dv
+        # (order-free on integers)
+        F.sum(dv).cast("long").alias("s"),
+    )
+
+
+def cusum_fold_summaries(
+    summaries: DataFrame,
+    group_col: str,
+    batch_col: str,
+) -> DataFrame:
+    """Fold per-batch CUSUM segment summaries (oldest batch first)
+    into the whole-stream statistic — returns ``(group_col, n_events,
+    peak_cusum)`` exactly as :func:`cusum_drift` would over the
+    concatenated stream.
+
+    The fold is the 3-integer-state recurrence documented on
+    :func:`cusum_segment_summary`; it is sequential per group but
+    runs over SUMMARY rows (one per batch the group appeared in —
+    thousands at most over a pipeline lifetime, never raw events), so
+    an Arrow-batched ``applyInPandas`` per group is bounded by batch
+    count, not data size.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gf = summaries.schema[group_col]
+    out_schema = StructType(
+        [
+            StructField(group_col, gf.dataType, gf.nullable),
+            StructField("n_events", LongType(), False),
+            StructField("peak_cusum", LongType(), False),
+        ]
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(batch_col)
+        big_t = 0
+        mg = 0
+        peak = 0
+        n = 0
+        for s, m, x, q, cnt in zip(
+            pdf["s"], pdf["m"], pdf["x"], pdf["q"], pdf["n"]
+        ):
+            peak = max(peak, big_t - mg + int(x), int(q))
+            mg = min(mg, big_t + int(m))
+            big_t += int(s)
+            n += int(cnt)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "n_events": [n], "peak_cusum": [peak]}
+        )
+
+    return summaries.groupBy(group_col).applyInPandas(fold, schema=out_schema)

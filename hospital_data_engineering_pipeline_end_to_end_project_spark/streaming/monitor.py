@@ -156,3 +156,86 @@ def read_merged_countmin(
 
     shards = spark.read.parquet(os.path.join(out_dir, "batch=*"))
     return shards.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift monitor — the SEQUENTIAL counterpart of the two monitors
+# above: CUSUM state is not a union-mergeable sketch, but the
+# prefix-min identity reduces a micro-batch to four integers per group
+# (operators/temporal.py:cusum_segment_summary), and those summaries
+# fold associatively in batch order.  The statistic is defined over
+# INGEST order (batch_id, then the in-batch sequence key) — exactly
+# what a drift alarm on an arriving stream means.
+# ---------------------------------------------------------------------------
+
+
+def make_cusum_batch_writer(
+    out_dir: str,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    k_scaled: int,
+    scale: int = 1000,
+):
+    """``foreachBatch`` body: summarize THIS batch's per-group CUSUM
+    segment (four integers per group), stamp the batch id, write the
+    shard.  Deterministic given the batch's rows; a replayed batch
+    overwrites its own ``batch=N`` dir, so retries cannot
+    double-count — the same contract as the sketch/count-min
+    writers."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import cusum_segment_summary
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        seg = cusum_segment_summary(
+            batch_df, group_col, order_col, value_col,
+            k_scaled=k_scaled, scale=scale,
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        seg.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return handle
+
+
+def cusum_monitor_sink(
+    stream: DataFrame,
+    out_dir: str,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    k_scaled: int,
+    scale: int = 1000,
+    checkpoint_dir: str | None = None,
+):
+    """Attach the per-batch CUSUM segment writer to a stream — the
+    running drift alarm: each micro-batch costs the two bounded
+    windows plus a |groups|-row shard write, and the accumulated
+    shards answer "has any group's cumulative excess built past the
+    alarm threshold" at any time without touching raw data."""
+    writer = stream.writeStream.foreachBatch(
+        make_cusum_batch_writer(
+            out_dir, group_col, order_col, value_col,
+            k_scaled=k_scaled, scale=scale,
+        )
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def read_merged_cusum(
+    spark: SparkSession,
+    out_dir: str,
+    group_col: str,
+) -> DataFrame:
+    """The whole-stream CUSUM from shards alone: fold each group's
+    per-batch segment summaries oldest-first — BIT-IDENTICAL to
+    ``cusum_drift`` over the concatenated stream in ingest order
+    (integer fold, pinned by ``tests/test_stream_monitor.py``).
+    Returns ``(group_col, n_events, peak_cusum)``."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import cusum_fold_summaries
+
+    shards = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    return cusum_fold_summaries(shards, group_col, "batch_id")

@@ -1165,3 +1165,53 @@ def test_token_gini_matches_python_replay(spark, docs):
         for r in dataprep.token_gini(df, "doc_id", "text").collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["u1", "u2"]), st.integers(-5, 5)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 4),
+)
+def test_cusum_segment_fold_matches_page_recurrence(spark, rows, n_batches):
+    """Segment summaries folded in batch order vs Page's literal
+    sequential recurrence S_i = max(0, S_{i-1} + (v_i - k)) over the
+    concatenation — the associativity claim behind the streaming CUSUM
+    monitor (scale=1, so quantization is the identity on ints)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
+
+    k = 1
+    expected: dict[str, tuple[int, int]] = {}
+    state: dict[str, tuple[int, int]] = {}  # group -> (s_cur, peak)
+    for g, v in rows:
+        s_cur, peak = state.get(g, (0, 0))
+        s_cur = max(0, s_cur + (v - k))
+        state[g] = (s_cur, max(peak, s_cur))
+    for g, (_, peak) in state.items():
+        expected[g] = (sum(1 for g2, _ in rows if g2 == g), peak)
+
+    df = spark.createDataFrame(
+        [(i, g, float(v)) for i, (g, v) in enumerate(rows)],
+        "seq long, grp string, value double",
+    )
+    # split the sequence into contiguous batches by seq ranges
+    size = (len(rows) + n_batches - 1) // n_batches
+    parts = []
+    for b in range(n_batches):
+        seg = df.filter((df.seq >= b * size) & (df.seq < (b + 1) * size))
+        parts.append(
+            temporal.cusum_segment_summary(
+                seg, "grp", "seq", "value", k_scaled=k, scale=1
+            ).withColumn("batch_id", F.lit(b).cast("long"))
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    got = {
+        r["grp"]: (r["n_events"], r["peak_cusum"])
+        for r in temporal.cusum_fold_summaries(allp, "grp", "batch_id").collect()
+    }
+    assert got == expected

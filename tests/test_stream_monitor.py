@@ -190,3 +190,104 @@ def test_countmin_batch_replay_idempotent(spark, tmp_path):
     writer(events, 7)  # replay of the SAME batch id
     twice = sorted(map(tuple, monitor.read_merged_countmin(spark, out).collect()))
     assert once == twice  # overwrite, not accumulate
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift monitor
+# ---------------------------------------------------------------------------
+
+
+def _events_frame(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .select("event_id", "event_type", F.col("value").cast("double"))
+    )
+
+
+def test_merged_stream_cusum_equals_batch_cusum(spark, tmp_path):
+    """Ordered micro-batches folded from shards must reproduce the
+    batch-mode cusum_drift over the concatenated stream EXACTLY
+    (integer fold)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
+
+    out = str(tmp_path / "cusum")
+    events = _events_frame(spark)
+    cuts = (0, 120, 300, 10**18)
+    handle = monitor.make_cusum_batch_writer(
+        out, "event_type", "event_id", "value", k_scaled=1000, scale=1000
+    )
+    for b in range(3):
+        handle(
+            events.filter(
+                (events.event_id >= cuts[b]) & (events.event_id < cuts[b + 1])
+            ),
+            b,
+        )
+    merged = sorted(
+        map(tuple, monitor.read_merged_cusum(spark, out, "event_type").collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            temporal.cusum_drift(
+                events, "event_type", "event_id", "value",
+                k_scaled=1000, scale=1000,
+            ).collect(),
+        )
+    )
+    assert merged == direct and len(merged) > 0
+
+
+def test_cusum_batch_replay_idempotent(spark, tmp_path):
+    out = str(tmp_path / "cusum")
+    events = _events_frame(spark)
+    handle = monitor.make_cusum_batch_writer(
+        out, "event_type", "event_id", "value", k_scaled=1000, scale=1000
+    )
+    handle(events.filter(events.event_id < 200), 0)
+    handle(events.filter(events.event_id >= 200), 1)
+    before = sorted(
+        map(tuple, monitor.read_merged_cusum(spark, out, "event_type").collect())
+    )
+    # crash-replay of batch 1: same rows, same shard, same answer
+    handle(events.filter(events.event_id >= 200), 1)
+    after = sorted(
+        map(tuple, monitor.read_merged_cusum(spark, out, "event_type").collect())
+    )
+    assert before == after
+
+
+def test_cusum_monitor_live_stream(spark, tmp_path):
+    """availableNow file-stream smoke: the sink drains, shards land,
+    and the fold sees every ingested row exactly once (n_events is
+    ingest-order-free)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "cusum")
+    events = _events_frame(spark)
+    events.repartition(8).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .json(src)
+    )
+    q = (
+        monitor.cusum_monitor_sink(
+            stream, out, "event_type", "event_id", "value",
+            k_scaled=1000, scale=1000,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in monitor.read_merged_cusum(spark, out, "event_type").collect()
+    }
+    want = {
+        r["event_type"]: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert got == want
