@@ -557,6 +557,21 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         .start()
     )
 
+    cu_dir = os.path.join(scratch_dir, "stream_cusum")
+    cu_sec = run_stream(
+        lambda s: monitor.cusum_monitor_sink(
+            s.select("event_id", "user_id", "value"),
+            cu_dir,
+            "user_id",
+            "event_id",
+            "value",
+            k_scaled=1000,
+            checkpoint_dir=os.path.join(scratch_dir, "cu_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
     doc_src = os.path.join(scratch_dir, "doc_stream_src")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
@@ -591,6 +606,8 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "sketch_monitor_rows_per_sec": int(n_rows / sk_sec),
         "countmin_monitor_sec": round(cm_sec, 2),
         "countmin_monitor_rows_per_sec": int(n_rows / cm_sec),
+        "cusum_monitor_sec": round(cu_sec, 2),
+        "cusum_monitor_rows_per_sec": int(n_rows / cu_sec),
         "scd2_sink_rows_per_sec": int(n_rows / scd2_sec),
         "novelty_ingest_docs": n_docs,
         "novelty_ingest_admitted": n_admitted,
