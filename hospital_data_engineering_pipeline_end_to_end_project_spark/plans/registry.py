@@ -96,7 +96,8 @@ def _modules():
 #:
 #: R11 ROTATION PLAN (write it down while the state is fresh): after
 #: r10's gate the oldest official rows are the r08 core-relational
-#: tail (q07–q19, q21–q24, q32–q41, q47, q58–q60 vintage r08) and
+#: tail (q04–q19, q21–q24, q32–q41, q47, q58–q60 vintage r08 — the
+#: late q133–q135 arrivals displaced q04–q06 from r10's window) and
 #: the r09 window (50 names, aging to two rounds).  r11 should pin
 #: (a) whatever code r11 changes, (b) new arrivals, (c) the r08
 #: remainder first, then the oldest-r09 families.
