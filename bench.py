@@ -137,6 +137,7 @@ HEADLINE = [
     "q133_prefix_jaccard_join",
     "q134_source_calibration",
     "q135_token_gini",
+    "q136_cluster_keepers",
 ]
 
 

@@ -823,3 +823,47 @@ def prefix_jaccard_join(
             ).alias("jaccard"),
         )
     )
+
+
+def cluster_keepers(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Dedup-cluster canonicalization — the step that makes a dedup
+    report ACTIONABLE: given cluster labels (``(node, label)`` from
+    :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components.label_propagation_min`
+    or connected components) and a per-doc quality score, pick ONE
+    keeper per cluster — highest quality, lowest id on ties (a total
+    order, so the choice is deterministic and engine-replayable; use
+    an INTEGER quality like token count to avoid any rounding
+    argument).
+
+    The per-cluster argmax routes through the salted two-level top-k
+    (``operators/skew.py``): the biggest duplicate cluster is by
+    definition the hottest group, exactly the partition a one-level
+    ``row_number() OVER (PARTITION BY label)`` window cannot split.
+    Member counts come from a map-side-combinable groupBy.  Returns
+    ``(label, keeper_doc, keeper_quality, n_members)``.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import skew
+
+    scored = labels.join(
+        docs.select(F.col(id_col).alias("node"), F.col(quality_col)), "node"
+    )
+    top = skew.salted_grouped_topk(
+        scored, ["label"], quality_col, "node", k=1, descending=True
+    )
+    members = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        top.join(members, "label")
+        .select(
+            "label",
+            F.col("node").alias("keeper_doc"),
+            F.col(quality_col).cast("long").alias("keeper_quality"),
+            "n_members",
+        )
+    )

@@ -1,4 +1,4 @@
-"""Round-10 query wave (q126-q135).
+"""Round-10 query wave (q126-q136).
 
 Operators that round out the training-data-pipeline surface:
 
@@ -31,6 +31,9 @@ Operators that round out the training-data-pipeline surface:
   portable round-6 global cut
 - q135 token Gini diversity — distribution-wide repetitiveness,
   rational arithmetic where entropy would need ``ln``
+- q136 dedup-cluster canonicalization — keeper-per-cluster selection
+  (max integer quality, lowest-id ties) composing MinHash banding,
+  min-label propagation, and the salted two-level top-k
 
 Exactness arguments live on the operators
 (``operators/similarity.py``, ``operators/dataprep.py``,
@@ -562,3 +565,48 @@ QUERIES["q134_source_calibration"] = q134_source_calibration
 ORACLES["q134_source_calibration"] = Q134_SQL
 QUERIES["q135_token_gini"] = q135_token_gini
 ORACLES["q135_token_gini"] = Q135_SQL
+
+
+# ---------------------------------------------------------------------------
+# q136 — dedup-cluster canonicalization (keeper per near-dup cluster)
+#
+# Composition of three gated operators: MinHash banding -> bounded-
+# round min-label propagation (the q128 pipeline) -> quality-aware
+# keeper selection (integer token count, lowest-id ties) via the
+# salted two-level top-k.  Integer end-to-end; the oracle replays the
+# q128 label CTEs plus a one-level rank window (the subset identity
+# the salted top-k is pinned to).
+# ---------------------------------------------------------------------------
+
+
+def q136_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    pairs = dedupe.near_dup_candidates(bands, "doc_id")
+    labels = components.label_propagation_min(pairs, rounds=_Q128_ROUNDS)
+    quality = d.select("doc_id", text.token_count("text").cast("long").alias("n_tokens"))
+    return dedupe.cluster_keepers(labels, quality, "doc_id", "n_tokens")
+
+
+Q136_SQL = f"""
+WITH lp AS ({Q128_SQL}),
+tok AS (
+  SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+),
+scored AS (SELECT lp.node, lp.label, tok.n_tokens FROM lp JOIN tok ON lp.node = tok.doc_id),
+ranked AS (
+  SELECT label, node, n_tokens,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY n_tokens DESC, node ASC) AS rnk
+  FROM scored
+),
+members AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM lp GROUP BY label)
+SELECT r.label, r.node AS keeper_doc, r.n_tokens AS keeper_quality, m.n_members
+FROM ranked r JOIN members m USING (label)
+WHERE r.rnk = 1
+"""
+
+QUERIES["q136_cluster_keepers"] = q136_cluster_keepers
+ORACLES["q136_cluster_keepers"] = Q136_SQL

@@ -114,6 +114,8 @@ QUERIES = (
     "q133_prefix_jaccard_join",
     "q134_source_calibration",
     "q135_token_gini",
+    # keeper selection: q128's banded-graph labels + salted top-1
+    "q136_cluster_keepers",
 )
 
 #: Two-orders-of-magnitude family (``python scale_check.py 100 deep``):
