@@ -138,6 +138,7 @@ HEADLINE = [
     "q134_source_calibration",
     "q135_token_gini",
     "q136_cluster_keepers",
+    "q137_winnowing_fingerprints",
 ]
 
 

@@ -867,3 +867,95 @@ def cluster_keepers(
             "n_members",
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm — public literature): hash every token
+    ``k``-gram, slide a window of ``w`` consecutive hashes, and
+    select each window's RIGHTMOST minimum.  The guarantee: any
+    shared token run of length >= ``w + k - 1`` between two documents
+    produces at least one shared selected fingerprint, while only
+    ~``2/(w+1)`` of hashes are kept — detection without storing every
+    gram (the whole-doc :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.functions.text.fingerprint`
+    detects only full-content matches; the positional grams of
+    q104 keep EVERY gram).
+
+    Engine-portable selection rule with no fold: the rightmost min of
+    a slice is ``start + w - position(reverse(slice), min(slice))``
+    (first occurrence in the reversed slice IS the last in the
+    original; positions 1-based in both Spark and DuckDB) — so the
+    oracle replays the identical expression and ties on equal hashes
+    break identically.  Hashes are the 60-bit md5 prefix as a long
+    (the MinHash base-hash grammar).  All integers end-to-end.
+
+    Scale shape: selection is per-document array work on the scan
+    (no shuffle, no explode until the sharing stage); the sharing
+    stage is two map-side-combinable groupBys and one semi-join
+    against the duplicated-fingerprint set (hot boilerplate
+    fingerprints are absorbed by the groupBy and AQE-splittable in
+    the semi probe — the q95 shape).  Documents with fewer than
+    ``w`` k-grams (< ``w + k - 1`` tokens) have no full window and
+    emit no row — they cannot meet the guarantee length anyway.
+
+    Returns ``(id_col, n_kgrams, n_fingerprints, n_shared)`` where
+    ``n_shared`` counts the doc's distinct fingerprints that appear
+    in at least one OTHER document.
+    """
+    toks = TX.tokens(text_col)
+    n_grams = F.size(toks) - (k - 1)
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15), 16, 10).cast("long"),
+    )
+    d = (
+        # guard BEFORE building hs: a doc shorter than w + k - 1
+        # tokens has no full window, and sequence(1, n_grams) with
+        # n_grams <= 0 would run DESCENDING into slice(start=0)
+        docs.filter(F.size(toks) >= w + k - 1)
+        .select(F.col(id_col), hs.alias("__hs"))
+        .withColumn("__nh", F.size("__hs"))
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("__nh") - (w - 1)),
+            lambda j: j
+            + w
+            - F.array_position(F.reverse(F.slice(F.col("__hs"), j, w)), F.array_min(F.slice(F.col("__hs"), j, w))),
+        )
+    )
+    fp = d.withColumn(
+        "__fps",
+        F.array_distinct(
+            F.transform(sel, lambda p: F.element_at("__hs", p.cast("int")))
+        ),
+    ).select(id_col, "__nh", "__fps")
+    fp = materialize(fp)
+    ex = fp.select(F.col(id_col), F.explode("__fps").alias("__fp"))
+    dup = (
+        ex.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("__fp")
+    )
+    shared = (
+        ex.join(dup, "__fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    return (
+        fp.join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.col("__nh").cast("long").alias("n_kgrams"),
+            F.size("__fps").cast("long").alias("n_fingerprints"),
+            F.coalesce(F.col("__shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )

@@ -84,8 +84,8 @@ def _modules():
 #:      — code unchanged since r7, locally re-attested every pytest
 #:      run, official rows now two rounds old;
 #:   4. remaining slots filled with the OLDEST r08 rows (q01–q07 of
-#:      the core-relational family; the late q132–q136 arrivals push
-#:      q03–q07 — r08 rows, code unchanged, exactly two rounds old —
+#:      the core-relational family; the late q132–q137 arrivals push
+#:      q02–q07 — r08 rows, code unchanged, exactly two rounds old —
 #:      past slot 50: new arrivals outrank filler, the r08 lesson).
 #: Everything outside the window either has an r09 official row
 #: (last round's gate) or an r08 row with judge-verified unchanged
@@ -96,8 +96,8 @@ def _modules():
 #:
 #: R11 ROTATION PLAN (write it down while the state is fresh): after
 #: r10's gate the oldest official rows are the r08 core-relational
-#: tail (q03–q19, q21–q24, q32–q41, q47, q58–q60 vintage r08 — the
-#: late q133–q136 arrivals displaced q03–q06 from r10's window) and
+#: tail (q02–q19, q21–q24, q32–q41, q47, q58–q60 vintage r08 — the
+#: late q133–q137 arrivals displaced q02–q06 from r10's window) and
 #: the r09 window (50 names, aging to two rounds).  r11 should pin
 #: (a) whatever code r11 changes, (b) new arrivals, (c) the r08
 #: remainder first, then the oldest-r09 families.
@@ -114,6 +114,7 @@ _GATE_FRONT = (
     "q134_source_calibration",
     "q135_token_gini",
     "q136_cluster_keepers",
+    "q137_winnowing_fingerprints",
     # -- 2: r10 changed-code pins --
     "q109_pq_adc_topk",
     "q110_ivf_pq_topk",

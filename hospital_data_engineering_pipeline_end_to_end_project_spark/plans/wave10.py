@@ -610,3 +610,56 @@ WHERE r.rnk = 1
 
 QUERIES["q136_cluster_keepers"] = q136_cluster_keepers
 ORACLES["q136_cluster_keepers"] = Q136_SQL
+
+
+# ---------------------------------------------------------------------------
+# q137 — winnowing document fingerprints (MOSS)
+#
+# Integer end-to-end; the rightmost-min-per-window selection uses the
+# SAME expression on both engines (start + w - position(reverse(sl),
+# min(sl)), 1-based), so ties on equal hashes break identically and
+# the oracle replays the algorithm literally.
+# ---------------------------------------------------------------------------
+
+_Q137_K = 4
+_Q137_W = 4
+
+
+def q137_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.winnowing_fingerprints(
+        d, "doc_id", "text", k=_Q137_K, w=_Q137_W
+    )
+
+
+Q137_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+hv AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(array_to_string(t[i:i+{_Q137_K - 1}], ' ')), 1, 15) AS BIGINT)
+          FOR i IN range(1, len(t) - {_Q137_K - 1} + 1)] AS hs
+  FROM toks WHERE len(t) >= {_Q137_K}
+),
+win AS (SELECT doc_id, hs, len(hs) AS nh FROM hv WHERE len(hs) >= {_Q137_W}),
+sel AS (
+  SELECT doc_id, nh,
+         list_distinct([hs[j + {_Q137_W} - list_position(list_reverse(hs[j:j+{_Q137_W - 1}]),
+                                                         list_min(hs[j:j+{_Q137_W - 1}]))]
+                        FOR j IN range(1, nh - {_Q137_W} + 2)]) AS fps
+  FROM win
+),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+dup AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) >= 2),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM ex WHERE fp IN (SELECT fp FROM dup) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.nh AS BIGINT) AS n_kgrams,
+       CAST(len(s.fps) AS BIGINT) AS n_fingerprints,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared
+FROM sel s LEFT JOIN shared sh USING (doc_id)
+"""
+
+QUERIES["q137_winnowing_fingerprints"] = q137_winnowing_fingerprints
+ORACLES["q137_winnowing_fingerprints"] = Q137_SQL

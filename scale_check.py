@@ -116,6 +116,9 @@ QUERIES = (
     "q135_token_gini",
     # keeper selection: q128's banded-graph labels + salted top-1
     "q136_cluster_keepers",
+    # winnowing: per-doc array selection on the scan + two combinable
+    # groupBys + a semi-join — growth should track the k-gram scan
+    "q137_winnowing_fingerprints",
 )
 
 #: Two-orders-of-magnitude family (``python scale_check.py 100 deep``):

@@ -1215,3 +1215,95 @@ def test_cusum_segment_fold_matches_page_recurrence(spark, rows, n_batches):
         for r in temporal.cusum_fold_summaries(allp, "grp", "batch_id").collect()
     }
     assert got == expected
+
+
+def _py_winnow(ws: list[str], k: int, w: int):
+    """Literal winnowing replay: 60-bit md5 k-gram hashes, rightmost
+    min per window, distinct selected hash values."""
+    import hashlib
+
+    hs = [
+        int(hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(ws) - k + 1)
+    ]
+    if len(hs) < w:
+        return None
+    fps = []
+    for j in range(len(hs) - w + 1):
+        sl = hs[j : j + w]
+        m = min(sl)
+        p = j + (len(sl) - 1 - sl[::-1].index(m))
+        fps.append(hs[p])
+    seen, out = set(), []
+    for v in fps:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return len(hs), out
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=16),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_winnowing_matches_python_replay(spark, docs):
+    """Selection rule + sharing counts vs the literal algorithm (tiny
+    alphabet so equal-hash ties and shared fingerprints actually
+    occur)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    k, w = 2, 3
+    per = {}
+    for i, ws in enumerate(docs):
+        r = _py_winnow(ws, k, w)
+        if r is not None:
+            per[i] = r
+    from collections import Counter
+
+    df_count = Counter(v for _, fps in per.values() for v in fps)
+    expected = {
+        i: (nh, len(fps), sum(1 for v in fps if df_count[v] >= 2))
+        for i, (nh, fps) in per.items()
+    }
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["n_shared"])
+        for r in dedupe.winnowing_fingerprints(
+            frame, "doc_id", "text", k=k, w=w
+        ).collect()
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(st.sampled_from(["x", "y", "z", "p", "q"]), min_size=7, max_size=12),
+    st.lists(st.sampled_from(["m", "n"]), min_size=0, max_size=5),
+    st.lists(st.sampled_from(["r", "s"]), min_size=0, max_size=5),
+)
+def test_winnowing_guarantee_shared_span(spark, span, pre, post):
+    """The MOSS guarantee: two docs sharing a token run of length >=
+    w + k - 1 MUST each count at least one shared fingerprint."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    k, w = 4, 4  # guarantee length 7 <= len(span)
+    d0 = " ".join(pre + span)
+    d1 = " ".join(span + post)
+    frame = spark.createDataFrame(
+        [(0, d0), (1, d1)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in dedupe.winnowing_fingerprints(
+            frame, "doc_id", "text", k=k, w=w
+        ).collect()
+    }
+    assert got[0] >= 1 and got[1] >= 1
