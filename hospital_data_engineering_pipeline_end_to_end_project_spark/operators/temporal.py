@@ -379,3 +379,80 @@ def cusum_fold_summaries(
         )
 
     return summaries.groupBy(group_col).applyInPandas(fold, schema=out_schema)
+
+
+def cusum_compose_summaries(
+    summaries: DataFrame,
+    group_col: str,
+    batch_col: str,
+) -> DataFrame:
+    """Compose each group's per-batch CUSUM segment summaries (oldest
+    batch first) into ONE summary row per group — the segment monoid's
+    associative product, which is what makes the CUSUM monitor's shard
+    store COMPACTIBLE: folding batches ``<= N`` into a single
+    ``(n, s, m, x, q)`` row stamped ``batch_col = N`` is value-neutral
+    through :func:`cusum_fold_summaries` (pinned by
+    ``tests/test_stream_monitor.py``), because a composed prefix folds
+    to exactly the same ``(T, Mg, P)`` carried state.
+
+    Segment product (A then B) — m/x/q are offset by A's total before
+    combining, since B's prefix sums sit ``s_A`` higher and the global
+    running min can land either left of or inside B:
+
+        s' = s_A + s_B
+        m' = min(m_A, s_A + m_B)
+        x' = max(x_A, s_A + x_B)
+        q' = max(q_A, q_B, s_A + x_B - m_A)
+
+    INTEGER arithmetic end-to-end, so composition introduces no
+    rounding.  Output schema matches :func:`cusum_segment_summary`
+    plus ``batch_col`` (= the group's max batch id, which sorts the
+    composed row before any later batch by sequential-commit order).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gf = summaries.schema[group_col]
+    out_schema = StructType(
+        [
+            StructField(group_col, gf.dataType, gf.nullable),
+            StructField("n", LongType(), False),
+            StructField("x", LongType(), False),
+            StructField("m", LongType(), False),
+            StructField("q", LongType(), False),
+            StructField("s", LongType(), False),
+            StructField(batch_col, LongType(), False),
+        ]
+    )
+
+    def compose(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(batch_col)
+        first = True
+        n = s = m = x = q = 0
+        for nb, sb, mb, xb, qb in zip(
+            pdf["n"], pdf["s"], pdf["m"], pdf["x"], pdf["q"]
+        ):
+            nb, sb, mb, xb, qb = int(nb), int(sb), int(mb), int(xb), int(qb)
+            if first:
+                n, s, m, x, q = nb, sb, mb, xb, qb
+                first = False
+                continue
+            q = max(q, qb, s + xb - m)
+            m = min(m, s + mb)
+            x = max(x, s + xb)
+            s = s + sb
+            n = n + nb
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [n],
+                "x": [x],
+                "m": [m],
+                "q": [q],
+                "s": [s],
+                batch_col: [int(pdf[batch_col].max())],
+            }
+        )
+
+    return summaries.groupBy(group_col).applyInPandas(compose, schema=out_schema)

@@ -19,40 +19,135 @@ everything ingested so far:
   ``tests/test_stream_ann_index.py``), and any reader can probe the
   nprobe nearest cells exactly as ``ivf_topk`` would.
 
-Freezing the quantizer is the standard streaming-IVF trade (drift in
-the incoming distribution degrades cell balance, not correctness —
-every vector still lands in its argmin cell); re-training is a batch
-job over a bounded sample that atomically swaps the centroid list, at
-which point shards can be reassigned by the same stateless pass.
-Shard-count growth over pipeline lifetime is the novelty-index curve,
-bounded by the same ``sources/compaction.py`` machinery.
+Lifecycle beyond the frozen-quantizer steady state:
+
+- **Committed-only, subsumption-ruled reads** and **shard
+  compaction** come from ``streaming/shardstore.py`` — reads skip
+  partially-written dirs, and :func:`compact_ivf_shards` folds the
+  per-batch postings into one ``compact_upto=N`` dir (plain union —
+  postings are rows, not summaries) so the probe's list+open cost
+  stays bounded over the stream's lifetime.
+- **Re-training** (:func:`retrain_ivf_index`): drift in the incoming
+  distribution degrades cell BALANCE under a frozen quantizer (never
+  correctness — every vector still lands in its argmin cell).  The
+  fix is a batch job over the accumulated postings: train fresh
+  centroids on a bounded deterministic sample, re-run the same
+  stateless assignment over every stored vector into a NEW
+  ``epoch=E+1`` posting tree, then atomically publish the new
+  centroid list + epoch (one ``os.replace`` of the store's
+  ``_centroids.json`` — the same single-rename publish as
+  ``SilverStore.write``'s epoch file, ``plans/medallion.py:212``).
+  Readers and store-managed writers resolve the epoch from that one
+  file, so every crash window is safe: before the swap they keep
+  serving/writing epoch E (the half-built E+1 tree is invisible and
+  is overwritten on retry); after the swap they move to E+1 together,
+  and a batch REPLAYED across the swap lands ``epoch=E+1/batch=N``
+  with ``N <=`` the compacted watermark, which the subsumption rule
+  ignores — no duplicates.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import shardstore
+
+#: atomic store metadata: {"epoch": E, "centroids": [[...], ...]}
+CENTROIDS_FILE = "_centroids.json"
+
+
+# ---------------------------------------------------------------------------
+# centroid store — one atomically-replaced JSON file holds the ACTIVE
+# (epoch, centroid list); posting shards for epoch E live under
+# ``out_dir/epoch=E/``.  Stores created with an explicit centroid list
+# passed to the writer (no metadata file) keep the flat legacy layout.
+# ---------------------------------------------------------------------------
+
+
+def write_centroids(out_dir: str, centroids: list[list[float]], epoch: int) -> None:
+    """Publish a centroid list atomically: write-to-temp + one
+    ``os.replace`` — readers see either the old epoch or the new one,
+    never a torn file.  JSON round-trips Python floats exactly
+    (shortest-repr), so the assignment arithmetic is unchanged by the
+    store hop."""
+    os.makedirs(out_dir, exist_ok=True)
+    dest = os.path.join(out_dir, CENTROIDS_FILE)
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"epoch": int(epoch), "centroids": [list(map(float, c)) for c in centroids]},
+            fh,
+        )
+    os.replace(tmp, dest)
+
+
+def read_centroids(out_dir: str) -> tuple[list[list[float]], int] | None:
+    """The store's active ``(centroids, epoch)``, or ``None`` for a
+    legacy flat store with no metadata file."""
+    p = os.path.join(out_dir, CENTROIDS_FILE)
+    try:
+        with open(p) as fh:
+            meta = json.load(fh)
+    except OSError:
+        return None
+    return meta["centroids"], int(meta["epoch"])
+
+
+def init_ivf_store(out_dir: str, centroids: list[list[float]]) -> None:
+    """Create an epoch-managed store at epoch 0."""
+    write_centroids(out_dir, centroids, epoch=0)
+
+
+def _postings_root(out_dir: str) -> str:
+    """Where this store's posting shards live: ``epoch=E/`` for an
+    epoch-managed store, the store root for a legacy flat one."""
+    meta = read_centroids(out_dir)
+    if meta is None:
+        return out_dir
+    return os.path.join(out_dir, f"epoch={meta[1]}")
 
 
 def make_ivf_batch_writer(
     out_dir: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
     """``foreachBatch`` body: assign THIS batch's vectors to the
-    frozen centroids, write the posting shard."""
+    frozen centroids, write the posting shard.
+
+    With an explicit ``centroids`` list the store is caller-managed
+    (flat layout, quantizer frozen for the writer's lifetime).  With
+    ``centroids=None`` the store is EPOCH-MANAGED: each batch resolves
+    ``(centroids, epoch)`` from the store's one metadata file — a
+    per-batch O(K x dim) driver read — and writes under ``epoch=E/``,
+    so a :func:`retrain_ivf_index` swap takes effect on the next batch
+    with no writer restart."""
     from pyspark.sql import functions as F
 
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.similarity import assign_ivf_cluster
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if centroids is None:
+            meta = read_centroids(out_dir)
+            if meta is None:
+                raise ValueError(
+                    f"IVF store {out_dir!r} has no {CENTROIDS_FILE}; "
+                    "call init_ivf_store first or pass centroids explicitly"
+                )
+            cents, epoch = meta
+            root = os.path.join(out_dir, f"epoch={epoch}")
+        else:
+            cents, root = centroids, out_dir
         assigned = assign_ivf_cluster(
-            batch_df.select(id_col, vec_col), centroids, vec_col=vec_col
+            batch_df.select(id_col, vec_col), cents, vec_col=vec_col
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         assigned.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+            os.path.join(root, f"batch={batch_id}")
         )
 
     return handle
@@ -61,7 +156,7 @@ def make_ivf_batch_writer(
 def ivf_index_sink(
     stream: DataFrame,
     out_dir: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
@@ -79,9 +174,87 @@ def ivf_index_sink(
 
 
 def read_ivf_index(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The IVF index of EVERYTHING ingested so far: union of posting
-    shards, ``(id, vec, cluster, batch_id)``.  Row-identical to a
-    batch-mode assignment of the concatenated stream (stateless
-    per-row argmin), so a probe query filters ``cluster IN (nprobe
-    nearest cells)`` and scores exactly as ``ivf_topk`` does."""
-    return spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    """The IVF index of EVERYTHING ingested so far: union of the
+    ACTIVE committed posting shards (``shardstore`` — ``_SUCCESS``
+    filtered, compaction-subsumption applied), ``(id, vec, cluster,
+    batch_id)``.  Row-identical to a batch-mode assignment of the
+    concatenated stream (stateless per-row argmin), so a probe query
+    filters ``cluster IN (nprobe nearest cells)`` and scores exactly
+    as ``ivf_topk`` does."""
+    df = shardstore.read_shards(spark, _postings_root(out_dir))
+    if df is None:
+        raise FileNotFoundError(f"no committed IVF posting shards under {out_dir!r}")
+    return df
+
+
+def compact_ivf_shards(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    """Fold the per-batch posting shards into one ``compact_upto=N``
+    dir — postings are plain rows (no summary to merge), so the fold
+    is the identity union, value-neutral trivially; commit-then-delete
+    via ``shardstore.compact_shards``."""
+    return shardstore.compact_shards(spark, _postings_root(out_dir))
+
+
+def retrain_ivf_index(
+    spark: SparkSession,
+    out_dir: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> dict[str, int]:
+    """The quantizer-drift fix: re-train on the accumulated vectors,
+    re-assign every stored posting, atomically swap the epoch.
+
+    1. Read the active postings of the CURRENT epoch (committed-only).
+    2. Train fresh centroids (``build_ivf_centroids`` — bounded
+       deterministic md5 sample, the exact trainer the batch path
+       uses, so a swapped index ≡ a fresh batch build over the same
+       rows — test-pinned).
+    3. Re-run the stateless argmin over all stored ``(id, vec)`` rows
+       into ``epoch=E+1/compact_upto=N`` (N = current max batch id),
+       committed via ``_SUCCESS``.  One pass, no shuffle: the postings
+       scan maps straight to the new cluster column.
+    4. Publish: one ``os.replace`` of ``_centroids.json`` flips every
+       reader and store-managed writer to epoch E+1; then the old
+       epoch tree is deleted (a crash before the delete leaves dead
+       garbage, never a wrong read — nothing resolves epoch E
+       anymore).
+
+    Requires an epoch-managed store (:func:`init_ivf_store`).
+    """
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.similarity import (
+        assign_ivf_cluster,
+        build_ivf_centroids,
+    )
+
+    meta = read_centroids(out_dir)
+    if meta is None:
+        raise ValueError(
+            f"IVF store {out_dir!r} is not epoch-managed; call init_ivf_store"
+        )
+    _old_cents, epoch = meta
+    old_root = os.path.join(out_dir, f"epoch={epoch}")
+    shards = shardstore.active_shard_dirs(old_root)
+    if not shards:
+        raise FileNotFoundError(f"no committed posting shards under {old_root!r}")
+    n = max(nn for _, nn, _ in shards)
+    postings = spark.read.parquet(*[p for _, _, p in shards])
+    new_cents = build_ivf_centroids(
+        postings, vec_col, id_col, k=k, iterations=iterations
+    )
+    reassigned = assign_ivf_cluster(
+        postings.drop("cluster"), new_cents, vec_col=vec_col
+    ).withColumn("batch_id", F.col("batch_id").cast("long"))
+    new_root = os.path.join(out_dir, f"epoch={epoch + 1}")
+    # a crashed prior attempt left a half-built tree here — overwrite
+    reassigned.write.mode("overwrite").parquet(
+        os.path.join(new_root, f"{shardstore.COMPACT_PREFIX}{n}")
+    )
+    # the atomic publish point: after this rename, every reader and
+    # store-managed writer resolves epoch E+1
+    write_centroids(out_dir, new_cents, epoch=epoch + 1)
+    shutil.rmtree(old_root, ignore_errors=True)
+    return {"epoch": epoch + 1, "n_clusters": int(k), "max_batch": int(n)}

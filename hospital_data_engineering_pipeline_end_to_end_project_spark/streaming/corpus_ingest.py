@@ -54,6 +54,7 @@ from pyspark.sql.window import Window
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
 from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import shardstore
 
 #: directory names under the store root
 INDEX_DIR = "fingerprints"
@@ -79,36 +80,10 @@ def index_shard_path(root: str, batch_id: int) -> str:
 def _committed_shard_dirs(root: str) -> list[tuple[str, int, str]]:
     """``(kind, n, path)`` for every COMMITTED index dir — kind is
     ``"batch"`` (``batch_id=n``) or ``"compact"`` (``compact_upto=n``);
-    commit = Spark's ``_SUCCESS``, so partial writes are invisible."""
-    p = os.path.join(root, INDEX_DIR)
-    out = []
-    if not os.path.isdir(p):
-        return out
-    for e in sorted(os.listdir(p)):
-        if e.startswith("batch_id="):
-            kind, n = "batch", int(e.split("=", 1)[1])
-        elif e.startswith(COMPACT_PREFIX):
-            kind, n = "compact", int(e.split("=", 1)[1])
-        else:
-            continue
-        path = os.path.join(p, e)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            out.append((kind, n, path))
-    return out
-
-
-def _cleanup_subsumed(root: str) -> None:
-    """Finish an interrupted compaction: once a ``compact_upto=M`` dir
-    is committed, every batch shard <= M and every older compacted dir
-    is redundant — delete them (idempotent; safe to run any time)."""
-    shards = _committed_shard_dirs(root)
-    ms = [n for kind, n, _ in shards if kind == "compact"]
-    if not ms:
-        return
-    m = max(ms)
-    for kind, n, path in shards:
-        if (kind == "batch" and n <= m) or (kind == "compact" and n < m):
-            shutil.rmtree(path, ignore_errors=True)
+    commit = Spark's ``_SUCCESS``, so partial writes are invisible,
+    and unparseable suffixes (a stray temp dir) are skipped, not
+    raised (``shardstore.committed_shard_dirs``)."""
+    return shardstore.committed_shard_dirs(os.path.join(root, INDEX_DIR))
 
 
 def read_index(
@@ -117,50 +92,49 @@ def read_index(
     id_col: str = "doc_id",
     exclude_batch: int | None = None,
 ) -> DataFrame:
-    """Union of all committed fingerprint shards (explicit committed
-    paths — never a partially-written dir); ``None`` when no shard
-    exists yet.  ``exclude_batch`` drops that batch's own shard from
-    the view — the replay path's self-exclusion guard."""
+    """The ACTIVE committed fingerprint shards (explicit committed
+    paths under the subsumption rule — never a partially-written dir,
+    never a compaction-superseded one); ``None`` when no shard exists
+    yet.
+
+    ``exclude_batch`` is the replay path's self-exclusion guard, and
+    it must survive COMPACTION: once ``compact_index`` has folded
+    batch N into a ``compact_upto=M`` dir and deleted the shard, a
+    replayed batch N would otherwise test its docs against their own
+    fingerprints inside the merged dir, mark everything non-novel, and
+    overwrite its accepted output with an empty frame.  Every shard
+    row therefore carries its ``batch_id`` as a COLUMN (stamped at
+    write, preserved verbatim by the union-only compaction), and
+    exclusion filters on the column — shard-dir skipping alone is only
+    an optimization for the not-yet-compacted case.  The replay then
+    recomputes the ORIGINAL verdicts exactly: docs admitted in batch N
+    stay novel against later batches too, because anything admitted
+    after them was itself banded-checked > max_hamming away from their
+    indexed fingerprints."""
     paths = [
         path
-        for kind, n, path in _committed_shard_dirs(root)
+        for kind, n, path in shardstore.active_shard_dirs(
+            os.path.join(root, INDEX_DIR)
+        )
         if not (kind == "batch" and n == exclude_batch)
     ]
     if not paths:
         return None
-    return spark.read.parquet(*paths).select(id_col, "simhash")
+    df = spark.read.parquet(*paths)
+    if exclude_batch is not None and "batch_id" in df.columns:
+        df = df.filter(F.col("batch_id") != F.lit(int(exclude_batch)))
+    return df.select(id_col, "simhash")
 
 
 def compact_index(spark, root: str) -> dict[str, int]:
-    """Merge every committed index shard into one ``compact_upto=N``
-    dir (N = the highest batch id seen) and delete the subsumed
-    sources.  Membership-identical by construction: the merged frame
-    is the plain union of exactly the dirs it replaces.  Returns
-    before/after shard-dir counts."""
-    shards = _committed_shard_dirs(root)
-    if len(shards) <= 1:
-        return {"dirs_before": len(shards), "dirs_after": len(shards)}
-    n = max(n for _, n, _ in shards)
-    if any(kind == "compact" and nn == n for kind, nn, _ in shards):
-        # the newest committed dir IS a compacted one — batches are
-        # sequential, so every other shard is <= n and already merged
-        # into it (a crash mid-cleanup replayed): just finish cleanup
-        _cleanup_subsumed(root)
-        return {
-            "dirs_before": len(shards),
-            "dirs_after": len(_committed_shard_dirs(root)),
-        }
-    dest = os.path.join(root, INDEX_DIR, f"{COMPACT_PREFIX}{n}")
-    merged = spark.read.parquet(*[p for _, _, p in shards])
-    # overwrite clobbers a half-written dest from a crashed prior run;
-    # _SUCCESS lands before any source is deleted, so the index is
-    # readable at every instant
-    merged.coalesce(1).write.mode("overwrite").parquet(dest)
-    _cleanup_subsumed(root)
-    return {
-        "dirs_before": len(shards),
-        "dirs_after": len(_committed_shard_dirs(root)),
-    }
+    """Merge the active index shards into one ``compact_upto=N`` dir
+    (N = the highest batch id seen) and delete the subsumed sources
+    (``shardstore.compact_shards`` — commit-then-delete, output sized
+    by bytes rather than ``coalesce(1)``'s single ever-growing file).
+    Membership-identical by construction: the merged frame is the
+    plain union of exactly the dirs it replaces, ``batch_id`` column
+    included.  Returns before/after shard-dir counts."""
+    return shardstore.compact_shards(spark, os.path.join(root, INDEX_DIR))
 
 
 def make_novelty_batch_ingestor(
@@ -249,7 +223,11 @@ def make_novelty_batch_ingestor(
         accepted.write.mode("overwrite").parquet(
             accepted_batch_path(root, batch_id)
         )
-        novel.write.mode("overwrite").parquet(shard)
+        # the batch id rides along as a COLUMN so self-exclusion
+        # survives compaction folding this shard away (see read_index)
+        novel.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        ).write.mode("overwrite").parquet(shard)
         if skip_applied:
             _write_marker(marker)
         if compact_every is not None:

@@ -29,6 +29,7 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metri
     hash_sample_bottom_k,
     sample_quantiles,
 )
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import shardstore
 
 
 def make_sketch_batch_writer(
@@ -81,10 +82,11 @@ def read_merged_quantiles(
 ) -> DataFrame:
     """Quantile estimates over EVERYTHING the stream has ingested,
     computed from the shards alone: union all per-batch sketches
-    (``parts x k`` rows, never raw data) and let
+    (``parts x k`` rows, never raw data — COMMITTED shards only, so a
+    crash mid-shard-write can't corrupt the read) and let
     :func:`sample_quantiles`'s merge re-rank reproduce the direct
     sketch bit-for-bit."""
-    shards = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    shards = shardstore.read_shards(spark, out_dir)
     return sample_quantiles(
         shards.select(*group_cols, "h", val_col), group_cols, val_col,
         ps=ps, k=k,
@@ -154,7 +156,7 @@ def read_merged_countmin(
     to probe candidates."""
     from pyspark.sql import functions as F
 
-    shards = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    shards = shardstore.read_shards(spark, out_dir)
     return shards.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -237,5 +239,70 @@ def read_merged_cusum(
     Returns ``(group_col, n_events, peak_cusum)``."""
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import cusum_fold_summaries
 
-    shards = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    shards = shardstore.read_shards(spark, out_dir)
     return cusum_fold_summaries(shards, group_col, "batch_id")
+
+
+# ---------------------------------------------------------------------------
+# shard compaction — the monitor sinks write one ``batch=N`` dir per
+# micro-batch forever; these fold the accumulated shards into a single
+# ``compact_upto=N`` dir (commit-then-delete, see
+# ``streaming/shardstore.py``) with a VALUE-NEUTRAL per-sink fold, so
+# post-compaction reads stay bit-identical (test-pinned per sink)
+# ---------------------------------------------------------------------------
+
+
+def compact_sketch_shards(
+    spark: SparkSession,
+    out_dir: str,
+    group_cols: list[str],
+    val_col: str,
+    k: int = 256,
+) -> dict[str, int]:
+    """Compact the quantile-monitor store: the fold keeps each group's
+    ``k`` smallest hashes (same ``(h, val)`` tie order as the sketch
+    itself) — value-neutral by the bottom-k subset identity: the k
+    smallest of the whole stream are a subset of the union of each
+    shard's k smallest, so re-ranking the union to k rows loses
+    nothing any future merge could need."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def fold(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy("h", val_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    return shardstore.compact_shards(spark, out_dir, fold=fold)
+
+
+def compact_countmin_shards(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    """Compact the count-min store: counters are LINEAR, so the fold
+    is plain per-(row, bucket) summation — exactly what the read path
+    does anyway, hence value-neutral by associativity of ``+``."""
+    from pyspark.sql import functions as F
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+    return shardstore.compact_shards(spark, out_dir, fold=fold)
+
+
+def compact_cusum_shards(
+    spark: SparkSession, out_dir: str, group_col: str
+) -> dict[str, int]:
+    """Compact the CUSUM store: segment summaries form a MONOID
+    (``operators/temporal.py:cusum_compose_summaries``), so each
+    group's per-batch rows compose into one summary stamped with the
+    group's max batch id — which still folds before any future batch.
+    Value-neutral because a composed prefix folds to the same
+    ``(T, Mg, P)`` carried state, integer arithmetic end-to-end."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import cusum_compose_summaries
+
+    def fold(df: DataFrame) -> DataFrame:
+        return cusum_compose_summaries(df, group_col, "batch_id")
+
+    return shardstore.compact_shards(spark, out_dir, fold=fold)

@@ -94,3 +94,82 @@ def test_ivf_index_live_stream_and_probe(spark, tmp_path):
         .collect()
     }
     assert probe == want
+
+
+def test_ivf_compaction_and_post_compaction_replay(spark, tmp_path):
+    """Compaction folds the posting shards into one dir with a
+    row-identical read; a batch REPLAYED after its shard was compacted
+    away lands under the subsumption watermark and is ignored — no
+    duplicate postings."""
+    import shutil
+
+    out = str(tmp_path / "ivf")
+    vecs = _vectors(spark)
+    cents = build_ivf_centroids(vecs, "embedding", "vec_id", k=_K)
+    handle = ann_index.make_ivf_batch_writer(out, cents)
+    cuts = (0, 80, 200, 10**18)
+    for b in range(3):
+        handle(
+            vecs.filter((vecs.vec_id >= cuts[b]) & (vecs.vec_id < cuts[b + 1])), b
+        )
+    before = _rows(ann_index.read_ivf_index(spark, out))
+    stats = ann_index.compact_ivf_shards(spark, out)
+    assert stats["dirs_after"] == 1 and stats["dirs_before"] == 3
+    assert _rows(ann_index.read_ivf_index(spark, out)) == before
+    # crash-replay of batch 1 after its shard was compacted away
+    handle(vecs.filter((vecs.vec_id >= cuts[1]) & (vecs.vec_id < cuts[2])), 1)
+    assert _rows(ann_index.read_ivf_index(spark, out)) == before
+    # partial shard (no _SUCCESS) and a stray temp dir are skipped
+    shutil.copytree(
+        os.path.join(out, "compact_upto=2"), os.path.join(out, "batch=9")
+    )
+    os.remove(os.path.join(out, "batch=9", "_SUCCESS"))
+    os.makedirs(os.path.join(out, "batch=tmp-xyz"))
+    assert _rows(ann_index.read_ivf_index(spark, out)) == before
+
+
+def test_ivf_retrain_atomic_swap(spark, tmp_path):
+    """The quantizer-drift fix: retrain on the accumulated postings,
+    reassign statelessly, publish the new epoch atomically.  The
+    swapped index must be ROW-IDENTICAL to a fresh batch-mode
+    assignment of the same vectors under the new centroids, and a
+    batch replayed ACROSS the swap must not duplicate anything."""
+    out = str(tmp_path / "ivf")
+    vecs = _vectors(spark)
+    # bootstrap the store with a deliberately-poor quantizer: trained
+    # on a skewed slice, so the retrain has real work to do
+    cents0 = build_ivf_centroids(
+        vecs.filter(vecs.vec_id < 60), "embedding", "vec_id", k=2
+    )
+    ann_index.init_ivf_store(out, cents0)
+    assert ann_index.read_centroids(out) == (
+        [list(map(float, c)) for c in cents0], 0
+    )
+    handle = ann_index.make_ivf_batch_writer(out)  # store-managed
+    handle(vecs.filter(vecs.vec_id < 150), 0)
+    handle(vecs.filter(vecs.vec_id >= 150), 1)
+    assert ann_index.read_ivf_index(spark, out).count() == vecs.count()
+
+    stats = ann_index.retrain_ivf_index(spark, out, k=_K)
+    assert stats["epoch"] == 1 and stats["max_batch"] == 1
+    new_cents, epoch = ann_index.read_centroids(out)
+    assert epoch == 1 and len(new_cents) == _K
+    merged = ann_index.read_ivf_index(spark, out)
+    direct = assign_ivf_cluster(vecs, new_cents)
+    assert _rows(merged) == _rows(direct)
+    # the old epoch tree is gone; postings live under epoch=1
+    assert not os.path.isdir(os.path.join(out, "epoch=0"))
+    assert os.path.isdir(os.path.join(out, "epoch=1"))
+
+    # replay of batch 1 across the swap: the writer resolves the NEW
+    # epoch and assigns under the NEW centroids, but its shard id sits
+    # under the reassigned watermark, so the read is unchanged
+    handle(vecs.filter(vecs.vec_id >= 150), 1)
+    assert _rows(ann_index.read_ivf_index(spark, out)) == _rows(direct)
+
+    # and a genuinely NEW post-swap batch extends the index under the
+    # new quantizer exactly as batch mode would
+    extra = vecs.withColumn("vec_id", vecs.vec_id + 10**6)
+    handle(extra, 2)
+    want = _rows(assign_ivf_cluster(vecs.union(extra), new_cents))
+    assert _rows(ann_index.read_ivf_index(spark, out)) == want

@@ -291,3 +291,179 @@ def test_cusum_monitor_live_stream(spark, tmp_path):
         for r in events.groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# shard lifecycle: compaction is value-neutral per sink, reads are
+# committed-only, garbage dirs degrade to skipped
+# ---------------------------------------------------------------------------
+
+
+def _quantiles(spark, out, k):
+    return sorted(
+        map(
+            tuple,
+            monitor.read_merged_quantiles(
+                spark, out, ["event_type"], "value", k=k
+            ).collect(),
+        )
+    )
+
+
+def test_sketch_compaction_read_identical(spark, tmp_path):
+    """Bottom-k re-rank compaction: post-compaction quantiles are
+    bit-identical, and a batch arriving AFTER compaction still merges
+    into the exact full-data sketch."""
+    out = str(tmp_path / "sk")
+    k = 32
+    events = _events_frame(spark)
+    writer = monitor.make_sketch_batch_writer(
+        out, ["event_type"], "event_id", "value", k=k
+    )
+    cuts = (0, 100, 250, 400, 10**18)
+    for b in range(3):
+        writer(
+            events.filter(
+                (events.event_id >= cuts[b]) & (events.event_id < cuts[b + 1])
+            ),
+            b,
+        )
+    before = _quantiles(spark, out, k)
+    stats = monitor.compact_sketch_shards(spark, out, ["event_type"], "value", k=k)
+    assert stats["dirs_after"] == 1 and stats["dirs_before"] == 3
+    assert _quantiles(spark, out, k) == before
+    # a post-compaction batch still folds to the full-data sketch
+    writer(
+        events.filter(
+            (events.event_id >= cuts[3]) & (events.event_id < cuts[4])
+        ),
+        3,
+    )
+    direct = sorted(
+        map(
+            tuple,
+            sample_quantiles(
+                hash_sample_bottom_k(
+                    events, ["event_type"], "event_id", "value", k=k
+                ),
+                ["event_type"],
+                "value",
+                k=k,
+            ).collect(),
+        )
+    )
+    assert _quantiles(spark, out, k) == direct
+
+
+def test_countmin_compaction_read_identical(spark, tmp_path):
+    """Counter-summation compaction: merged estimates identical before
+    and after, and after a post-compaction batch the store equals a
+    batch-mode sketch over all rows."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions.metrics import countmin_counts
+
+    out = str(tmp_path / "cm")
+    events = _events_frame(spark)
+    writer = monitor.make_countmin_batch_writer(out, "event_type", depth=4, width=64)
+    cuts = (0, 150, 350, 10**18)
+    for b in range(3):
+        writer(
+            events.filter(
+                (events.event_id >= cuts[b]) & (events.event_id < cuts[b + 1])
+            ),
+            b,
+        )
+
+    def snap():
+        return sorted(
+            map(tuple, monitor.read_merged_countmin(spark, out).collect())
+        )
+
+    before = snap()
+    stats = monitor.compact_countmin_shards(spark, out)
+    assert stats["dirs_after"] == 1
+    assert snap() == before
+    writer(events.filter(events.event_id >= cuts[2]), 3)
+    # the replayed-range batch 3 = batch 2's rows: totals now count
+    # that range twice, exactly like a batch-mode build over the
+    # concatenated input
+    both = events.union(events.filter(events.event_id >= cuts[2]))
+    direct = sorted(
+        map(tuple, countmin_counts(both, "event_type", depth=4, width=64).collect())
+    )
+    assert snap() == direct
+
+
+def test_cusum_compaction_read_identical(spark, tmp_path):
+    """Segment-monoid compaction: composing batches <= N into one
+    summary row folds bit-identically, including with batches arriving
+    after the compaction."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import temporal
+
+    out = str(tmp_path / "cu")
+    events = _events_frame(spark)
+    handle = monitor.make_cusum_batch_writer(
+        out, "event_type", "event_id", "value", k_scaled=1000, scale=1000
+    )
+    cuts = (0, 80, 200, 350, 10**18)
+    for b in range(3):
+        handle(
+            events.filter(
+                (events.event_id >= cuts[b]) & (events.event_id < cuts[b + 1])
+            ),
+            b,
+        )
+
+    def snap():
+        return sorted(
+            map(tuple, monitor.read_merged_cusum(spark, out, "event_type").collect())
+        )
+
+    before = snap()
+    stats = monitor.compact_cusum_shards(spark, out, "event_type")
+    assert stats["dirs_after"] == 1
+    assert snap() == before
+    # order-sensitivity across the compaction boundary: batch 3 folds
+    # AFTER the composed prefix, reproducing the batch-mode statistic
+    handle(
+        events.filter(
+            (events.event_id >= cuts[3]) & (events.event_id < cuts[4])
+        ),
+        3,
+    )
+    direct = sorted(
+        map(
+            tuple,
+            temporal.cusum_drift(
+                events, "event_type", "event_id", "value",
+                k_scaled=1000, scale=1000,
+            ).collect(),
+        )
+    )
+    assert snap() == direct
+
+
+def test_monitor_reads_skip_partial_and_garbage_dirs(spark, tmp_path):
+    """A crash mid-shard-write (no _SUCCESS) and a stray
+    non-numeric-suffix dir must both degrade to 'skipped', never to a
+    corrupt or raising read."""
+    import shutil
+
+    out = str(tmp_path / "cu")
+    events = _events_frame(spark)
+    handle = monitor.make_cusum_batch_writer(
+        out, "event_type", "event_id", "value", k_scaled=1000, scale=1000
+    )
+    handle(events.filter(events.event_id < 200), 0)
+    handle(events.filter(events.event_id >= 200), 1)
+    before = sorted(
+        map(tuple, monitor.read_merged_cusum(spark, out, "event_type").collect())
+    )
+    # partial shard: data files present, _SUCCESS missing
+    shutil.copytree(os.path.join(out, "batch=1"), os.path.join(out, "batch=2"))
+    os.remove(os.path.join(out, "batch=2", "_SUCCESS"))
+    # stray temp dir with an unparseable suffix
+    os.makedirs(os.path.join(out, "batch=tmp-abc123"))
+    after = sorted(
+        map(tuple, monitor.read_merged_cusum(spark, out, "event_type").collect())
+    )
+    assert after == before

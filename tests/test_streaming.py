@@ -670,3 +670,98 @@ def test_compact_index_interrupted_cleanup_is_finished(spark, tmp_path):
     stats = corpus_ingest.compact_index(spark, store.root)
     assert stats["dirs_after"] == 1
     assert sorted(os.listdir(idx_root)) == ["compact_upto=1"]
+
+
+def test_novelty_replay_after_compaction_keeps_accepted_docs(spark, tmp_path):
+    """The replay-vs-compaction hole (round-10 advice): once
+    compact_index has folded batch N's fingerprint shard into
+    compact_upto=M, a replayed batch N (marker ledger lost, or
+    skip_applied=False) must NOT test its docs against their own
+    fingerprints inside the merged dir — that would mark everything
+    non-novel and overwrite accepted/batch=N with an empty frame.
+    Self-exclusion now rides the batch_id COLUMN, which compaction
+    preserves, so the replay recomputes the original verdicts."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    # skip_applied=False: every call recomputes (the harsher replay
+    # mode the advice names); compaction runs past 2 shards
+    ingest = corpus_ingest.make_novelty_batch_ingestor(
+        store, skip_applied=False, compact_every=2
+    )
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog while the cat "
+           "watches from the warm windowsill in the afternoon sun",
+        1: "completely different text about spark shuffles partitions "
+           "and broadcast joins running on large clusters with executors",
+    }
+    for b, t in texts.items():
+        ingest(
+            spark.createDataFrame([(b, t)], "doc_id long, text string"), b
+        )
+    # both batch shards are folded away
+    idx_root = os.path.join(store.root, corpus_ingest.INDEX_DIR)
+    assert sorted(os.listdir(idx_root)) == ["compact_upto=1"]
+
+    # replay batch 0: its fingerprints live ONLY inside the compacted
+    # dir now; the column-level self-exclusion must keep doc 0 novel
+    ingest(
+        spark.createDataFrame([(0, texts[0])], "doc_id long, text string"), 0
+    )
+    acc0 = spark.read.parquet(corpus_ingest.accepted_batch_path(store.root, 0))
+    assert [r["doc_id"] for r in acc0.collect()] == [0]
+    # membership unchanged: the replayed shard (batch_id=0 <= M) is
+    # ignored by the subsumption rule, the compacted rows still serve
+    idx = corpus_ingest.read_index(spark, store.root)
+    assert sorted({r["doc_id"] for r in idx.collect()}) == [0, 1]
+
+    # and the gate still rejects a near-dup of the replayed doc
+    ingest(
+        spark.createDataFrame(
+            [(30, texts[0].replace("afternoon", "evening")),
+             (31, "a genuinely new document about watermarks state "
+                  "stores and exactly once semantics in streams")],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    acc2 = spark.read.parquet(corpus_ingest.accepted_batch_path(store.root, 2))
+    assert [r["doc_id"] for r in acc2.collect()] == [31]
+
+
+def test_novelty_index_ignores_stray_temp_dirs(spark, tmp_path):
+    """A leftover dir with an unparseable suffix under the index root
+    (a crashed rename, a manual copy) must be skipped, not raise
+    ValueError and brick every read and ingest on the store."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    store = SilverStore(spark, str(tmp_path / "corpus"))
+    ingest = corpus_ingest.make_novelty_batch_ingestor(store)
+    ingest(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog while the "
+                 "cat watches from the warm windowsill in the sun")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    os.makedirs(
+        os.path.join(store.root, corpus_ingest.INDEX_DIR, "batch_id=tmp-999")
+    )
+    assert corpus_ingest.read_index(spark, store.root).count() == 1
+    # ingest keeps working too
+    ingest(
+        spark.createDataFrame(
+            [(2, "completely different text about spark shuffles and "
+                 "broadcast joins running on large clusters today")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert corpus_ingest.read_index(spark, store.root).count() == 2
