@@ -707,6 +707,42 @@ def exact_dup_groups_small(
     )
 
 
+def exact_dup_groups_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_max_rows: int = 2_000_000,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """Size-dispatched exact dedup (r10 review follow-up): probe the
+    input's row count and pick the plan.  ``approx_rows`` is the
+    caller's hint (e.g. parquet footer metadata — a driver-side
+    millisecond read, no Spark job); without it the probe is one
+    metadata-cheap ``count()`` action (the scan prunes to zero
+    columns).  The hint only steers PLAN choice — an inaccurate one
+    costs performance, never correctness, since both plans are pinned
+    equal:
+
+    - ``n <= window_max_rows`` → :func:`exact_dup_groups_small`.  A
+      duplicate group can never exceed the row count, so the bound
+      caps the largest possible window partition at a size one task
+      handles comfortably, and the one-level window saves the
+      two-level form's extra exchange (measured 0.61 s → 0.25 s at
+      sf0.1).
+    - above it → :func:`exact_dup_groups`, the skew-proof
+      groupBy+join-back: at corpus scale the hot key is BY DEFINITION
+      the most-duplicated text, a window partition cannot be split by
+      AQE, and only the two-level form survives a boilerplate page
+      copied 10^8 times.
+
+    Output identical either way (test-pinned equality)."""
+    n = approx_rows if approx_rows is not None else df.count()
+    if n <= window_max_rows:
+        return exact_dup_groups_small(df, id_col, text_col)
+    return exact_dup_groups(df, id_col, text_col)
+
+
 def prefix_jaccard_join(
     docs: DataFrame,
     id_col: str,

@@ -43,8 +43,16 @@ TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
 # ---------------------------------------------------------------------------
 
 def q20_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # size-dispatched (r10 verdict): at bench scales the corpus bounds
+    # every duplicate group, so the one-level window plan applies; the
+    # skew-proof two-level rewrite takes over past the row threshold.
+    # The probe is the parquet footer (driver-side ms), not a job.
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import parquet_row_count
+
     d = load_table(spark, sf_dir, "documents")
-    return dedupe.exact_dup_groups(d, "doc_id", "text")
+    return dedupe.exact_dup_groups_auto(
+        d, "doc_id", "text", approx_rows=parquet_row_count(sf_dir, "documents")
+    )
 
 
 Q20_SQL = r"""

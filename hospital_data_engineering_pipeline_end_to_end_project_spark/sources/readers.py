@@ -167,3 +167,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         )
         df.createOrReplaceTempView(name)
     return list(TPCH_TABLES)
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Row count of a benchmark table from parquet FOOTER metadata —
+    a driver-side millisecond read (pyarrow, no Spark job), for
+    size-dispatch hints like ``dedupe.exact_dup_groups_auto``.
+    ``None`` when the path isn't local parquet (caller falls back to
+    a Spark-side probe)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(p).metadata.num_rows
+    except (OSError, ValueError):
+        return None

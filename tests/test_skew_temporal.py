@@ -302,3 +302,22 @@ def test_exact_dup_groups_small_equals_default(spark):
     assert sorted(map(tuple, small.collect())) == sorted(
         map(tuple, default.collect())
     )
+
+
+def test_exact_dup_groups_auto_dispatch(spark):
+    """The size dispatcher picks the one-level window below the row
+    threshold and the skew-proof two-level form above it — output
+    identical either way (both already pinned equal above)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    small = dedupe.exact_dup_groups_auto(d, "doc_id", "text")
+    # below the threshold: one Window, no join-back aggregate pair
+    p = small._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") > 0
+    big = dedupe.exact_dup_groups_auto(d, "doc_id", "text", window_max_rows=1)
+    pb = big._jdf.queryExecution().executedPlan().toString()
+    assert pb.count("Window") == 0
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, big.collect())
+    )
