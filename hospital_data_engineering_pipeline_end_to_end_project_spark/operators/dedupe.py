@@ -751,6 +751,8 @@ def prefix_jaccard_join(
     shingle_n: int = 5,
     t_num: int = 4,
     t_den: int = 5,
+    max_df: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering — the
     deterministic counterpart to the MinHash family (which is
@@ -782,11 +784,26 @@ def prefix_jaccard_join(
     candidates x doc-size, never an all-pairs product.  The per-doc
     shingle ranking window partitions by doc id — bounded by
     document length, no hot key.  groupBy (map-side combinable)
-    computes the df table; the only data-dependent risk is a corpus
-    whose every doc is pure boilerplate, where prefixes still carry
-    frequent shingles — the same regime where MinHash banding
-    degenerates, and the honest answer is the df-cap escape used by
-    :func:`jaccard_verify` callers.
+    computes the df table.
+
+    ``max_df`` is the boilerplate-degenerate escape (r10 review): on
+    a corpus whose every doc is near-pure boilerplate, prefixes still
+    carry frequent shingles (there is nothing rarer to keep) and the
+    candidate self-join's posting lists blow up — the same regime
+    where MinHash banding degenerates.  The cap drops shingles with
+    ``df > max_df`` from CANDIDATE GENERATION ONLY; verification
+    still runs against the FULL shingle sets, so every emitted pair
+    carries its exact intersection/union/Jaccard and the threshold
+    filter is exact (precision 1.0 always).  What the cap trades is
+    RECALL on capped pairs: a qualifying pair whose every shared
+    prefix shingle exceeds the cap is never generated — the standard
+    stop-shingle trade, stated rather than hidden.  On corpora where
+    no prefix shingle exceeds the cap the output is IDENTICAL
+    (test-pinned), because the guarantee's witness shingle survives.
+
+    ``stats`` (diagnostic hook, triggers counting jobs — tests and
+    measurement harnesses only): filled with ``n_prefix_rows`` and
+    ``n_candidates``.
 
     Output: ``doc_a < doc_b, inter_size, union_size, jaccard``
     (round-6 display value; the FILTER is integer-exact).
@@ -816,9 +833,12 @@ def prefix_jaccard_join(
     )
     # p = n - ceil(t*n) + 1, integer ceil on positive ints
     ceil_tn = F.expr(f"({t_num} * __n + {t_den} - 1) DIV {t_den}")
-    prefix = ranked.filter(F.col("__rank") <= F.col("__n") - ceil_tn + 1).select(
-        "__doc", "__s", "__n"
-    )
+    prefix = ranked.filter(F.col("__rank") <= F.col("__n") - ceil_tn + 1)
+    if max_df is not None:
+        # candidate-generation-only cap: verification below still
+        # probes the FULL sh frame, so surviving pairs stay exact
+        prefix = prefix.filter(F.col("__df") <= max_df)
+    prefix = prefix.select("__doc", "__s", "__n")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, "__s")
@@ -833,6 +853,9 @@ def prefix_jaccard_join(
         )
         .distinct()
     )
+    if stats is not None:
+        stats["n_prefix_rows"] = prefix.count()
+        stats["n_candidates"] = cand.count()
     inter = (
         cand.join(sh.withColumnsRenamed({"__doc": "doc_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"__doc": "doc_b"}), ["doc_b", "__s"])

@@ -20,3 +20,101 @@ def test_cluster_keepers_quality_and_ties(spark):
     # label 1: quality tie 30/30 between docs 2 and 3 -> lowest id 2
     # label 7: tie 4/4 between 7 and 9 -> 7; label 5: singleton
     assert got == {1: (2, 30, 3), 7: (7, 4, 2), 5: (5, 2, 1)}
+
+
+def test_prefix_jaccard_max_df_identical_on_normal_corpus(spark):
+    """With a cap no prefix shingle reaches, the output is IDENTICAL —
+    the completeness witness (the globally-rarest shared shingle)
+    survives the cap by definition on a diverse corpus."""
+    from tests.conftest import SF_SMOKE
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    base = sorted(
+        map(
+            tuple,
+            dedupe.prefix_jaccard_join(
+                docs, "doc_id", "text", t_num=4, t_den=5
+            ).collect(),
+        )
+    )
+    stats = {}
+    capped = sorted(
+        map(
+            tuple,
+            dedupe.prefix_jaccard_join(
+                docs, "doc_id", "text", t_num=4, t_den=5,
+                max_df=10**6, stats=stats,
+            ).collect(),
+        )
+    )
+    assert capped == base
+    assert stats["n_prefix_rows"] > 0
+
+
+def test_prefix_jaccard_max_df_bounds_adversarial_candidates(spark):
+    """Boilerplate-degenerate corpus: every doc = the SAME long
+    boilerplate plus a small unique tail, so every prefix still
+    carries corpus-wide shingles and the uncapped candidate set is the
+    full n^2/2 cross of the boilerplate postings.  The cap drops those
+    postings from candidate generation — bounded volume — while pairs
+    that share surviving rare shingles still verify EXACTLY."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    boiler = " ".join(f"tok{i}" for i in range(40))
+    # 60 docs: unique 8-token tails -> no pair qualifies at t=0.8,
+    # but every doc's prefix is pure boilerplate (df=60 shingles)
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(8)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped, capped = {}, {}
+    out_un = dedupe.prefix_jaccard_join(
+        docs, "doc_id", "text", t_num=4, t_den=5, stats=uncapped
+    ).collect()
+    out_cap = dedupe.prefix_jaccard_join(
+        docs, "doc_id", "text", t_num=4, t_den=5, max_df=5, stats=capped
+    ).collect()
+    # uncapped: the boilerplate postings generate the full pair cross
+    assert uncapped["n_candidates"] == 60 * 59 // 2
+    # capped: boilerplate shingles (df=60 > 5) fall out of candidate
+    # generation entirely; only the disjoint unique tails remain
+    assert capped["n_candidates"] == 0 and capped["n_prefix_rows"] > 0
+    # ground truth: no pair qualifies, and the capped run agrees with
+    # the uncapped one here (nothing to lose - tails are disjoint)
+    assert out_un == [] and out_cap == []
+
+
+def test_prefix_jaccard_max_df_recall_semantics_exact(spark):
+    """The cap's documented trade, pinned precisely: a qualifying pair
+    that shares a BELOW-cap shingle is still found with the exact same
+    integer intersection/union (precision 1.0 — verification runs on
+    full sets); a qualifying pair whose every shared shingle is
+    above-cap is the one and only thing lost."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    twin = boiler + " rare marker words here now"
+    rows = [(1, twin), (2, twin + " extra"), (3, boiler + " other tail words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(max_df=None):
+        return {
+            (r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"])
+            for r in dedupe.prefix_jaccard_join(
+                docs, "doc_id", "text", t_num=1, t_den=2, max_df=max_df
+            ).collect()
+        }
+
+    base, capped = pairs(), pairs(max_df=2)
+    # uncapped finds all three pairs (they all share the boilerplate)
+    assert set(base) == {(1, 2), (1, 3), (2, 3)}
+    # (1,2) share rare "marker" shingles (df=2 <= cap): kept, with
+    # bit-identical exact stats
+    assert capped[(1, 2)] == base[(1, 2)]
+    # (1,3)/(2,3) share ONLY above-cap boilerplate shingles: the
+    # documented recall loss — and nothing else changes
+    assert set(capped) == {(1, 2)}
