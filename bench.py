@@ -139,6 +139,11 @@ HEADLINE = [
     "q135_token_gini",
     "q136_cluster_keepers",
     "q137_winnowing_fingerprints",
+    # round-11 wave: winnowing promoted to pair-level MOSS output,
+    # incremental batch-vs-corpus LSH dedup, integer-TF cosine join
+    "q138_winnowing_pairs",
+    "q139_lsh_incremental_join",
+    "q140_tf_cosine_join",
 ]
 
 

@@ -928,6 +928,45 @@ def cluster_keepers(
     )
 
 
+def _winnow_fp_arrays(
+    docs: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Per-doc winnowing selection (shared by
+    :func:`winnowing_fingerprints` and :func:`winnowing_pairs`):
+    ``(id_col, __nh, __fps)`` — k-gram count and the DISTINCT selected
+    fingerprints, entirely per-document array work on the scan.  See
+    :func:`winnowing_fingerprints` for the selection-rule derivation
+    and the short-doc guard ordering."""
+    toks = TX.tokens(text_col)
+    n_grams = F.size(toks) - (k - 1)
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15), 16, 10).cast("long"),
+    )
+    d = (
+        # guard BEFORE building hs: a doc shorter than w + k - 1
+        # tokens has no full window, and sequence(1, n_grams) with
+        # n_grams <= 0 would run DESCENDING into slice(start=0)
+        docs.filter(F.size(toks) >= w + k - 1)
+        .select(F.col(id_col), hs.alias("__hs"))
+        .withColumn("__nh", F.size("__hs"))
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("__nh") - (w - 1)),
+            lambda j: j
+            + w
+            - F.array_position(F.reverse(F.slice(F.col("__hs"), j, w)), F.array_min(F.slice(F.col("__hs"), j, w))),
+        )
+    )
+    return d.withColumn(
+        "__fps",
+        F.array_distinct(
+            F.transform(sel, lambda p: F.element_at("__hs", p.cast("int")))
+        ),
+    ).select(id_col, "__nh", "__fps")
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     id_col: str,
@@ -968,35 +1007,7 @@ def winnowing_fingerprints(
     ``n_shared`` counts the doc's distinct fingerprints that appear
     in at least one OTHER document.
     """
-    toks = TX.tokens(text_col)
-    n_grams = F.size(toks) - (k - 1)
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15), 16, 10).cast("long"),
-    )
-    d = (
-        # guard BEFORE building hs: a doc shorter than w + k - 1
-        # tokens has no full window, and sequence(1, n_grams) with
-        # n_grams <= 0 would run DESCENDING into slice(start=0)
-        docs.filter(F.size(toks) >= w + k - 1)
-        .select(F.col(id_col), hs.alias("__hs"))
-        .withColumn("__nh", F.size("__hs"))
-    )
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.col("__nh") - (w - 1)),
-            lambda j: j
-            + w
-            - F.array_position(F.reverse(F.slice(F.col("__hs"), j, w)), F.array_min(F.slice(F.col("__hs"), j, w))),
-        )
-    )
-    fp = d.withColumn(
-        "__fps",
-        F.array_distinct(
-            F.transform(sel, lambda p: F.element_at("__hs", p.cast("int")))
-        ),
-    ).select(id_col, "__nh", "__fps")
-    fp = materialize(fp)
+    fp = materialize(_winnow_fp_arrays(docs, id_col, text_col, k, w))
     ex = fp.select(F.col(id_col), F.explode("__fps").alias("__fp"))
     dup = (
         ex.groupBy("__fp")
@@ -1016,5 +1027,298 @@ def winnowing_fingerprints(
             F.col("__nh").cast("long").alias("n_kgrams"),
             F.size("__fps").cast("long").alias("n_fingerprints"),
             F.coalesce(F.col("__shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 9,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pair-level winnowing — where the MOSS use case actually ends:
+    ranked DOC PAIRS, not per-doc counts
+    (:func:`winnowing_fingerprints` says *how many* of a doc's
+    fingerprints appear elsewhere; this says *which other docs* share
+    them and how strongly).
+
+    Same selection as :func:`winnowing_fingerprints`
+    (Schleimer/Wilkerson/Aiken winnowing, rightmost-min-per-window as
+    a portable expression), at PRODUCTION-class knobs by default:
+    ``k=8`` token-grams (specific enough that random collisions are
+    nil — MOSS's k≈25 characters is about five tokens; eight is a
+    stricter match unit) and ``w=9`` (fingerprint density
+    ``2/(w+1) = 0.2``, the cost point where winnowing actually beats
+    keeping every gram) — so the guarantee bites: any shared token
+    run of length >= ``w + k - 1 = 16`` produces a shared
+    fingerprint.
+
+    Sharing becomes pairs through the POSTINGS self-join (the q133
+    verification shape): explode each doc's distinct fingerprints,
+    equi-join postings on fingerprint with ``doc_a < doc_b``, and a
+    map-side-combinable groupBy counts each pair's shared
+    fingerprints.  Cost is sum over fingerprints of df^2 — bounded by
+    fingerprint specificity for real corpora; a fingerprint shared by
+    half the corpus (pure boilerplate) is the same degenerate regime
+    as :func:`prefix_jaccard_join`'s, and gets the same escape:
+    ``max_df`` drops above-cap fingerprints from pair generation
+    (counts then reflect the surviving fingerprints only — stated,
+    not hidden).
+
+    ``overlap`` ranks pairs: shared / min(n_fps_a, n_fps_b), round-6
+    display value (the ``min_shared`` FILTER is integer-exact).
+    Returns ``doc_a < doc_b, n_shared_fps, n_fps_a, n_fps_b,
+    overlap``.
+    """
+    fp = materialize(
+        _winnow_fp_arrays(docs, id_col, text_col, k, w).withColumn(
+            "__nf", F.size("__fps")
+        )
+    )
+    ex = fp.select(F.col(id_col).alias("__doc"), F.explode("__fps").alias("__fp"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__fp")
+        )
+        ex = ex.join(keep, "__fp", "left_semi")
+    a = ex.withColumnRenamed("__doc", "doc_a")
+    b = ex.withColumnRenamed("__doc", "doc_b")
+    pairs = (
+        a.join(b, "__fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+    na = fp.select(F.col(id_col).alias("doc_a"), F.col("__nf").alias("__nfa"))
+    nb = fp.select(F.col(id_col).alias("doc_b"), F.col("__nf").alias("__nfb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_fps",
+            F.col("__nfa").cast("long").alias("n_fps_a"),
+            F.col("__nfb").cast("long").alias("n_fps_b"),
+            F.round(
+                F.col("n_shared_fps").cast("double")
+                / F.least("__nfa", "__nfb").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+def lsh_incremental_join(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash-LSH near-dup join — the
+    shape production dedup actually runs daily: not "dedupe the
+    corpus against itself" (:func:`near_dup_candidates`, a one-time
+    job) but "which of today's arriving documents near-duplicate
+    something ALREADY IN the corpus".
+
+    Candidates come from the band equi-join of the batch's LSH bands
+    against the corpus's — the batch side is broadcast (a daily shard
+    is always small next to the accumulated corpus), so the corpus is
+    NEVER shuffled: at 100 TB this is one scan of the stored band
+    index with a map-side hash probe per row.  In a deployed pipeline
+    the corpus bands are the PERSISTED index, maintained per-batch
+    exactly like the novelty gate's fingerprint shards
+    (``streaming/corpus_ingest.py``) — recomputing them here keeps
+    the operator self-contained; the candidate/verify plan is
+    identical either way.
+
+    Verification is exact: candidate pairs probe the full distinct
+    shingle sets and the threshold test is the integer
+    cross-multiplication ``(t_den + t_num) * inter >= t_num *
+    (na + nb)`` — so emitted pairs are exactly the banded candidates
+    with true Jaccard >= t (same recall semantics as any MinHash
+    pipeline: a qualifying pair missed by all bands is missed; the
+    banding collision probability is the standard S-curve).
+
+    Returns ``(batch_doc, corpus_doc, inter_size, union_size,
+    jaccard)`` — round-6 display value, integer-exact filter.
+    """
+    cb = minhash_bands(corpus, id_col, text_col, num_hashes, bands, shingle_n)
+    bb = minhash_bands(batch, id_col, text_col, num_hashes, bands, shingle_n)
+    cand = (
+        cb.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_doc"),
+            F.col(f"c.{id_col}").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    shc = corpus.select(
+        F.col(id_col).alias("corpus_doc"),
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("__shc"),
+    )
+    shb = batch.select(
+        F.col(id_col).alias("batch_doc"),
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("__shb"),
+    )
+    inter = F.size(F.array_intersect("__shb", "__shc"))
+    union = F.size("__shb") + F.size("__shc") - inter
+    return (
+        cand.join(F.broadcast(shb), "batch_doc")
+        .join(shc, "corpus_doc")
+        .withColumn("inter_size", inter.cast("long"))
+        .withColumn("union_size", union.cast("long"))
+        .filter(
+            (t_den + t_num) * F.col("inter_size")
+            >= t_num * (F.size("__shb") + F.size("__shc"))
+        )
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            "inter_size",
+            "union_size",
+            F.round(
+                F.col("inter_size").cast("double") / F.col("union_size"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def tf_cosine_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    term_n: int = 3,
+    t_num: int = 8,
+    t_den: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT cosine-similarity self-join over integer term-frequency
+    vectors — the weighted (bag-of-words) counterpart of
+    :func:`prefix_jaccard_join`'s distinct-set Jaccard: repetition
+    counts, so a doc that copies another's vocabulary at different
+    multiplicities scores differently than set Jaccard sees.
+
+    ``term_n`` picks the vector dimension: 1 = unigram counts (the
+    textbook form — on small-vocabulary corpora every doc shares
+    every term and the join degenerates), n > 1 = token n-gram
+    counts, whose natural sparsity keeps posting lists short (the
+    default 3 measures ~30x fewer candidate rows than bigrams on the
+    benchmark corpus).
+
+    Entirely INTEGER until the display column: with ``c`` the raw
+    token counts, ``S = sum(ca*cb)``, ``n2 = sum(c^2)``, the
+    threshold ``cos >= t`` is tested as ``t_den^2 * S^2 >= t_num^2 *
+    n2_a * n2_b`` (valid since ``S >= 0``) — no float comparison in
+    the filter, so the oracle replays it bit-for-bit.  The round-6
+    ``cosine`` display divides by ``sqrt(n2_a * n2_b)`` (sqrt and
+    division are correctly-rounded IEEE ops; the product stays exact
+    in a double for ``n2 < 2^26`` — any doc under ~8M tokens).
+    64-bit headroom: ``t_den^2 * S^2 < 2^63`` holds for docs up to
+    ~100k tokens at ``t_den <= 30``.
+
+    Candidates: any pair with ``cos > 0`` shares a term, so the
+    postings equi-join on tokens is COMPLETE; it is also the cost
+    center — a term in ``d`` docs fans out ``d^2/2`` rows, so at
+    corpus scale stopword-class terms are the quadratic failure mode.
+    ``max_df`` is the q133-style escape: above-cap terms are dropped
+    from candidate generation ONLY (verification recomputes ``S``
+    over ALL shared terms of each candidate pair, so precision and
+    scores stay exact; the documented trade is recall on pairs
+    sharing nothing but above-cap terms).
+
+    Returns ``doc_a < doc_b, dot, norm2_a, norm2_b, cosine``.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    terms = (
+        TX.tokens(text_col) if term_n == 1 else TX.shingles(text_col, term_n)
+    )
+    cnt = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(F.col(id_col).alias("__doc"), F.explode(terms).alias("__t"))
+        .groupBy("__doc", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # consumed by the norm table, candidate generation and both
+    # verification probes — materialize once (the q133 trap: AQE's
+    # one-side broadcast defeats ReusedExchange)
+    cnt = materialize(cnt)
+    n2 = cnt.groupBy("__doc").agg(F.sum(F.col("__c") * F.col("__c")).alias("__n2"))
+    gen = cnt
+    if max_df is not None:
+        keep = (
+            cnt.groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__t")
+        )
+        gen = gen.join(keep, "__t", "left_semi")
+    cand = (
+        gen.alias("a")
+        .join(gen.alias("b"), "__t")
+        .filter(F.col("a.__doc") < F.col("b.__doc"))
+        .select(
+            F.col("a.__doc").alias("doc_a"), F.col("b.__doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    dot = (
+        cand.join(
+            cnt.select(
+                F.col("__doc").alias("doc_a"), "__t", F.col("__c").alias("__ca")
+            ),
+            "doc_a",
+        )
+        .join(
+            cnt.select(
+                F.col("__doc").alias("doc_b"), "__t", F.col("__c").alias("__cb")
+            ),
+            ["doc_b", "__t"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__s"))
+    )
+    na = n2.select(F.col("__doc").alias("doc_a"), F.col("__n2").alias("__n2a"))
+    nb = n2.select(F.col("__doc").alias("doc_b"), F.col("__n2").alias("__n2b"))
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.lit(t_den * t_den) * F.col("__s") * F.col("__s")
+            >= F.lit(t_num * t_num) * F.col("__n2a") * F.col("__n2b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__s").cast("long").alias("dot"),
+            F.col("__n2a").cast("long").alias("norm2_a"),
+            F.col("__n2b").cast("long").alias("norm2_b"),
+            F.round(
+                F.col("__s").cast("double")
+                / F.sqrt((F.col("__n2a") * F.col("__n2b")).cast("double")),
+                6,
+            ).alias("cosine"),
         )
     )

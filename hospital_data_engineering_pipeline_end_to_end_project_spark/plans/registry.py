@@ -47,6 +47,7 @@ def _modules():
     # in every pytest run.
     mods = []
     for name in (
+        "wave11",
         "wave10",
         "corpus_ops",
         "scale_ops",
@@ -94,15 +95,91 @@ def _modules():
 #: tests/test_oracle_parity.py at sf0.001 and the 50-window at
 #: sf0.01 by tests/test_gate_scale_parity.py in every pytest run.
 #:
-#: R11 ROTATION PLAN (write it down while the state is fresh): after
-#: r10's gate the oldest official rows are the r08 core-relational
-#: tail (q02–q19, q21–q24, q32–q41, q47, q58–q60 vintage r08 — the
-#: late q133–q137 arrivals displaced q02–q06 from r10's window) and
-#: the r09 window (50 names, aging to two rounds).  r11 should pin
-#: (a) whatever code r11 changes, (b) new arrivals, (c) the r08
-#: remainder first, then the oldest-r09 families.
+#: ROUND 11 window (exactly 50 names), per the r10 verdict's #1 item
+#: and the plan recorded below last round:
+#:   1. q138/q139/q140 — the r11 arrivals (winnowing pairs,
+#:      incremental LSH join, integer-TF cosine join), in-window on
+#:      arrival;
+#:   2. every query whose backing code changed in r11: q20 (the
+#:      size-dispatch resolving the r10 weak flag), q133 (max_df
+#:      candidate cap + stats hook on prefix_jaccard_join), q137
+#:      (winnowing selection refactored into the shared
+#:      _winnow_fp_arrays helper);
+#:   3. all 43 queries whose freshest official row is r08 vintage
+#:      (q02-q19, q21-q25, q27, q29, q30, q32-q41, q47, q48,
+#:      q58-q60, q87, q88) — exactly two rounds old, code unchanged
+#:      (judge-verified r9 + r10), now re-attested officially;
+#:   4. one r09-vintage filler (q46) for the remaining slot.
+#: After this round the freshest-row ledger reads: 50 r11 + 43 r09 +
+#: 47 r10 — no official row older than two rounds.  R12 ROTATION
+#: PLAN: pin r12-changed code + new arrivals first, then the 43
+#: remaining r09-vintage rows (q100-q108, q111-q113, q115, q117-q119,
+#: q121-q123, q125, q26, q28, q31, q49, q51, q52, q61, q70, q79,
+#: q83-q86, q89, q90, q93-q99), then the aging r10 window.  The full catalog
+#: stays attested end-to-end by tests/test_oracle_parity.py at
+#: sf0.001 and the 50-window at sf0.01 by
+#: tests/test_gate_scale_parity.py in every pytest run.
 _GATE_FRONT = (
-    # -- 1: new r10 arrivals (registered as they land) --
+    "q138_winnowing_pairs",
+    "q139_lsh_incremental_join",
+    "q140_tf_cosine_join",
+    "q20_exact_dup_groups",
+    "q133_prefix_jaccard_join",
+    "q137_winnowing_fingerprints",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_star_join",
+    "q05_dedupe_exact",
+    "q06_latest_event_per_user",
+    "q07_cleanse_cast",
+    "q08_date_dim",
+    "q09_word_count",
+    "q10_scd2_orders",
+    "q11_monthly_revenue",
+    "q12_events_month_type",
+    "q13_running_user_totals",
+    "q14_hourly_event_window",
+    "q15_customers_without_orders",
+    "q16_active_customers_by_segment",
+    "q17_acctbal_rollup",
+    "q18_returnflag_pivot",
+    "q19_brand_nation_sales",
+    "q21_token_stats",
+    "q22_quality_score",
+    "q23_lang_id",
+    "q24_fingerprint",
+    "q25_minhash_bands",
+    "q27_simhash",
+    "q29_ann_lsh",
+    "q30_multimodal_features",
+    "q32_set_ops",
+    "q33_cube",
+    "q34_string_funcs",
+    "q35_asof_join",
+    "q36_range_join",
+    "q37_sessionize",
+    "q38_distinct_counts",
+    "q39_percentiles",
+    "q40_hospital_medallion_e2e",
+    "q41_catalog_ctas",
+    "q47_json_extract",
+    "q48_ivf_topk",
+    "q58_quantize_embeddings",
+    "q59_pit_join",
+    "q60_cdc_orders",
+    "q87_bm25_topk",
+    "q88_semantic_dedup",
+    "q46_top_words_per_lang",
+)
+
+#: Queries demoted to the BACK of the catalog (outside the window):
+#: only ever queries whose code is UNCHANGED this round and whose
+#: official row is freshest-available — the full r10 window (r10
+#: rows, one round old) plus the r09-fresh families not yet due for
+#: rotation.  With the front pinning a full 50-slot window the back
+#: list is belt-and-suspenders against a renamed front entry letting
+#: a fresh-rowed query drift into the window.
+_GATE_BACK = (
     "q126_hamming_rerank_topk",
     "q127_bigram_fluency",
     "q128_label_propagation",
@@ -110,19 +187,15 @@ _GATE_FRONT = (
     "q130_url_dedup",
     "q131_ann_recall_eval",
     "q132_cusum_drift",
-    "q133_prefix_jaccard_join",
     "q134_source_calibration",
     "q135_token_gini",
     "q136_cluster_keepers",
-    "q137_winnowing_fingerprints",
-    # -- 2: r10 changed-code pins --
     "q109_pq_adc_topk",
     "q110_ivf_pq_topk",
     "q114_power_iteration_pc",
     "q116_pca_project",
     "q120_bloom_semi_join",
     "q124_token_budget_mix",
-    # -- 3: the 31 r07-vintage official rows --
     "q42_group_mean_deviation",
     "q43_regex_token_count",
     "q44_range_source",
@@ -154,24 +227,7 @@ _GATE_FRONT = (
     "q82_outer_explode",
     "q91_event_funnel",
     "q92_retention_cohorts",
-    # -- 4: oldest-r08 filler (core relational) --
     "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_star_join",
-    "q05_dedupe_exact",
-    "q06_latest_event_per_user",
-    "q07_cleanse_cast",
-)
-
-#: Queries demoted to the BACK of the catalog (outside the window):
-#: only ever queries whose code is UNCHANGED this round and whose
-#: official row is freshest-available.  With the r10 front pinning a
-#: full 50-slot window the back list is belt-and-suspenders — it
-#: keeps the freshest-attested r09 families (corpus_ops q94+, the
-#: ANN tier, the hot-window rewrites) from drifting into the window
-#: if a front name is ever renamed.
-_GATE_BACK = (
     "q87_bm25_topk",
     "q88_semantic_dedup",
     "q94_temperature_resample",

@@ -1,0 +1,226 @@
+"""Round-11 query wave (q138-q140).
+
+- q138 winnowing PAIR detection — the MOSS pipeline taken to where
+  the use case actually ends: ranked document pairs sharing selected
+  fingerprints, at production-class knobs (token k=8 grams, window
+  w=9 → fingerprint density 2/(w+1) = 0.2, guarantee span w+k-1 = 16
+  tokens), instead of q137's per-doc counts at toy k=w=4.
+- q139 incremental (batch-vs-corpus) MinHash-LSH near-dup join — the
+  shape production dedup runs daily: a small arriving shard's bands
+  broadcast against the corpus band index, exact integer-thresholded
+  Jaccard verification; the corpus is never shuffled.
+- q140 exact integer-TF cosine self-join over token trigram terms —
+  the weighted counterpart of q133's distinct-set Jaccard; the
+  threshold is the cross-multiplied SQUARED cosine, all-integer.
+
+Exactness arguments live on the operators (``operators/dedupe.py``:
+``winnowing_pairs`` / ``lsh_incremental_join`` / ``tf_cosine_join``):
+selection/banding replay md5-derived integers on both engines, joins
+and thresholds are integer end-to-end, and the only non-integer
+output columns are round-6 display ratios (for q140 a division by a
+correctly-rounded sqrt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# q138 — winnowing pair detection at production knobs
+# ---------------------------------------------------------------------------
+
+_Q138_K = 8
+_Q138_W = 9
+
+
+def q138_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.winnowing_pairs(
+        d, "doc_id", "text", k=_Q138_K, w=_Q138_W, min_shared=1
+    )
+
+
+Q138_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+hv AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(array_to_string(t[i:i+{_Q138_K - 1}], ' ')), 1, 15) AS BIGINT)
+          FOR i IN range(1, len(t) - {_Q138_K - 1} + 1)] AS hs
+  FROM toks WHERE len(t) >= {_Q138_K}
+),
+win AS (SELECT doc_id, hs, len(hs) AS nh FROM hv WHERE len(hs) >= {_Q138_W}),
+sel AS (
+  SELECT doc_id,
+         list_distinct([hs[j + {_Q138_W} - list_position(list_reverse(hs[j:j+{_Q138_W - 1}]),
+                                                         list_min(hs[j:j+{_Q138_W - 1}]))]
+                        FOR j IN range(1, nh - {_Q138_W} + 2)]) AS fps
+  FROM win
+),
+nf AS (SELECT doc_id, len(fps) AS nf FROM sel),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared_fps,
+       CAST(na.nf AS BIGINT) AS n_fps_a,
+       CAST(nb.nf AS BIGINT) AS n_fps_b,
+       round(p.n_shared / least(na.nf, nb.nf), 6) AS overlap
+FROM pairs p
+JOIN nf na ON p.doc_a = na.doc_id
+JOIN nf nb ON p.doc_b = nb.doc_id
+WHERE p.n_shared >= 1
+"""
+
+QUERIES["q138_winnowing_pairs"] = q138_winnowing_pairs
+ORACLES["q138_winnowing_pairs"] = Q138_SQL
+
+
+# ---------------------------------------------------------------------------
+# q139 — incremental (batch-vs-corpus) MinHash-LSH near-dup join
+#
+# The production shape: today's shard (doc_id % 17 == 0, ~6% of the
+# corpus) probed against everything else.  The oracle replays the
+# identical MinHash banding (Q25's construction) on both sides, the
+# band equi-join, and the exact integer-thresholded verification.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sql_consts() -> tuple[str, str, int]:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.dedupe import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    return (
+        "[" + ", ".join(map(str, MINHASH_A)) + "]",
+        "[" + ", ".join(map(str, MINHASH_B)) + "]",
+        MINHASH_P,
+    )
+
+
+_MA, _MB, _MP = _minhash_sql_consts()
+_Q139_T = (7, 10)
+
+
+def q139_lsh_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    batch = d.filter(F.col("doc_id") % 17 == 0)
+    return dedupe.lsh_incremental_join(
+        corpus, batch, "doc_id", "text",
+        t_num=_Q139_T[0], t_den=_Q139_T[1],
+    )
+
+
+Q139_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
+  FROM toks WHERE len(t) >= 5
+),
+shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh0),
+hv AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MP} FOR s IN sh] AS hs
+  FROM shd
+),
+sigs AS (
+  SELECT doc_id,
+         [list_aggregate([({_MA}[j+1] * h + {_MB}[j+1]) % {_MP} FOR h IN hs],
+                         'min') FOR j IN range(8)] AS sig
+  FROM hv
+),
+bnd AS (
+  SELECT doc_id, band_id,
+         md5(CAST(band_id AS VARCHAR) || '|' || CAST(sig[2*band_id + 1] AS VARCHAR)
+             || '|' || CAST(sig[2*band_id + 2] AS VARCHAR)) AS band_hash
+  FROM sigs, (SELECT unnest(range(4)) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+  FROM bnd b JOIN bnd c
+    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+  WHERE b.doc_id % 17 = 0 AND c.doc_id % 17 <> 0
+),
+ver AS (
+  SELECT cand.batch_doc, cand.corpus_doc,
+         len(list_intersect(sb.sh, sc.sh)) AS inter_size,
+         len(sb.sh) AS nb, len(sc.sh) AS nc
+  FROM cand
+  JOIN shd sb ON sb.doc_id = cand.batch_doc
+  JOIN shd sc ON sc.doc_id = cand.corpus_doc
+)
+SELECT batch_doc, corpus_doc,
+       CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(nb + nc - inter_size AS BIGINT) AS union_size,
+       round(CAST(inter_size AS DOUBLE) / (nb + nc - inter_size), 6) AS jaccard
+FROM ver
+WHERE ({_Q139_T[1]} + {_Q139_T[0]}) * inter_size >= {_Q139_T[0]} * (nb + nc)
+"""
+
+QUERIES["q139_lsh_incremental_join"] = q139_lsh_incremental_join
+ORACLES["q139_lsh_incremental_join"] = Q139_SQL
+
+
+# ---------------------------------------------------------------------------
+# q140 — exact integer-TF cosine self-join over token trigram terms
+#
+# All-integer threshold (cross-multiplied SQUARED cosine); the only
+# float is the round-6 display division by a correctly-rounded sqrt.
+# ---------------------------------------------------------------------------
+
+_Q140_T = (8, 10)
+_Q140_N = 3
+
+
+def q140_tf_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.tf_cosine_join(
+        d, "doc_id", "text",
+        term_n=_Q140_N, t_num=_Q140_T[0], t_den=_Q140_T[1],
+    )
+
+
+Q140_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i+1:i+{_Q140_N}], ' ')
+                 FOR i IN range(len(t) - {_Q140_N - 1})]) AS tok
+  FROM toks WHERE len(t) >= {_Q140_N}
+),
+c AS (SELECT doc_id, tok, count(*) AS c FROM g GROUP BY doc_id, tok),
+n2 AS (SELECT doc_id, sum(c*c) AS n2 FROM c GROUP BY doc_id),
+dot AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.c * b.c) AS s
+  FROM c a JOIN c b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(s AS BIGINT) AS dot,
+       CAST(na.n2 AS BIGINT) AS norm2_a,
+       CAST(nb.n2 AS BIGINT) AS norm2_b,
+       round(CAST(s AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cosine
+FROM dot
+JOIN n2 na ON na.doc_id = doc_a
+JOIN n2 nb ON nb.doc_id = doc_b
+WHERE {_Q140_T[1] ** 2} * s * s >= {_Q140_T[0] ** 2} * na.n2 * nb.n2
+"""
+
+QUERIES["q140_tf_cosine_join"] = q140_tf_cosine_join
+ORACLES["q140_tf_cosine_join"] = Q140_SQL

@@ -119,6 +119,15 @@ QUERIES = (
     # winnowing: per-doc array selection on the scan + two combinable
     # groupBys + a semi-join — growth should track the k-gram scan
     "q137_winnowing_fingerprints",
+    # round-11: pair-level winnowing — postings self-join; cross-copy
+    # fingerprints are disjoint (salted tokens), so pairs grow
+    # linearly with copies, the honest axis for a pair join
+    "q138_winnowing_pairs",
+    # round-11: incremental LSH join (batch bands broadcast against
+    # the corpus band scan) and the trigram-TF cosine join (postings
+    # join; cross-copy trigrams disjoint under the salt)
+    "q139_lsh_incremental_join",
+    "q140_tf_cosine_join",
 )
 
 #: Two-orders-of-magnitude family (``python scale_check.py 100 deep``):
@@ -737,6 +746,26 @@ def main() -> None:
         out["curve_growth_ratio"] = {
             q: round(c_scaled[q] / c_base[q], 2) for q in names
         }
+    if family == "deepdocs":
+        # composition-heavy newcomers two orders up on the docs axis
+        # (r10 verdict item 7): label propagation (edges ~100x),
+        # keeper selection (labels + salted top-1) and the two
+        # winnowing forms.  Base min-of-2, scaled single-run — the
+        # deep-family protocol.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        names = (
+            "q128_label_propagation",
+            "q136_cluster_keepers",
+            "q137_winnowing_fingerprints",
+            "q138_winnowing_pairs",
+        )
+        d_base = time_queries(spark, SF_DIR, names=names)
+        d_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["deepdocs_base_sec"] = d_base
+        out["deepdocs_scaled_sec"] = d_scaled
+        out["deepdocs_growth_ratio"] = {
+            q: round(d_scaled[q] / d_base[q], 2) for q in names
+        }
     if family == "deeptpch":
         # fact-table axis two orders up: 100x lineitem (~60M rows) /
         # orders (~15M) over the fixed dim catalog — the axis that
@@ -961,6 +990,61 @@ def main() -> None:
             "tail_mean_off": round(sum(t_off[-h:]) / h, 2),
             "head_mean_on": round(sum(t_on[:h]) / h, 2),
             "tail_mean_on": round(sum(t_on[-h:]) / h, 2),
+        }
+    if family == "moncompact":
+        # monitor-sink probe-cost-vs-shard-count (round-11): write
+        # ``copies`` CUSUM batch shards, timing the merged read at
+        # checkpoints along the way (the lifetime curve), then
+        # compact via the segment-monoid fold and re-time.  The
+        # merged statistic must be bit-identical across the
+        # compaction (also pinned by tests/test_stream_monitor.py).
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import monitor
+
+        n_batches = copies
+        events = (
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+            .select("event_id", "event_type", F.col("value").cast("double"))
+        )
+        mon_dir = os.path.join(scaled_dir, "cusum_mon")
+        handle = monitor.make_cusum_batch_writer(
+            mon_dir, "event_type", "event_id", "value", k_scaled=1000
+        )
+
+        def t_read():
+            t0 = time.time()
+            monitor.read_merged_cusum(spark, mon_dir, "event_type").collect()
+            return round(time.time() - t0, 3)
+
+        curve = []
+        h = max(1, n_batches // 5)
+        for b in range(n_batches):
+            handle(
+                events.filter((F.col("event_id") % n_batches) == b), b
+            )
+            if (b + 1) % h == 0 or b == n_batches - 1:
+                curve.append({"shards": b + 1, "read_sec": min(t_read(), t_read())})
+        before = sorted(
+            map(
+                tuple,
+                monitor.read_merged_cusum(spark, mon_dir, "event_type").collect(),
+            )
+        )
+        stats = monitor.compact_cusum_shards(spark, mon_dir, "event_type")
+        after = sorted(
+            map(
+                tuple,
+                monitor.read_merged_cusum(spark, mon_dir, "event_type").collect(),
+            )
+        )
+        out["moncompact"] = {
+            "n_batches": n_batches,
+            "probe_curve": curve,
+            "dirs_before": stats["dirs_before"],
+            "dirs_after": stats["dirs_after"],
+            "read_sec_compacted": min(t_read(), t_read()),
+            "bit_identical": before == after,
         }
     if family == "stream10":
         # streaming throughput at 10x input: same file/trigger layout

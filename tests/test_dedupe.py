@@ -118,3 +118,111 @@ def test_prefix_jaccard_max_df_recall_semantics_exact(spark):
     # (1,3)/(2,3) share ONLY above-cap boilerplate shingles: the
     # documented recall loss — and nothing else changes
     assert set(capped) == {(1, 2)}
+
+
+def test_lsh_incremental_join_finds_corpus_matches(spark):
+    """Batch docs that exact/near-duplicate a corpus doc are matched
+    (banded candidates + exact integer-thresholded verification);
+    unrelated batch docs are not.  Pairs are directional:
+    (batch_doc, corpus_doc)."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun today"
+    )
+    other = (
+        "completely different text about spark shuffles partitions and "
+        "broadcast joins running on large clusters with many executors"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, base),                                   # exact dup of 1
+         (101, base.replace("afternoon", "evening")),   # near dup of 1
+         (102, "an entirely novel document about watermarks state "
+               "stores and exactly once semantics in streaming land")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["batch_doc"], r["corpus_doc"]): (r["inter_size"], r["jaccard"])
+        for r in dedupe.lsh_incremental_join(
+            corpus, batch, "doc_id", "text", t_num=7, t_den=10
+        ).collect()
+    }
+    assert (100, 1) in got and got[(100, 1)][1] == 1.0
+    assert (101, 1) in got and got[(101, 1)][1] < 1.0
+    assert all(b != 102 for b, _ in got)
+
+
+def test_tf_cosine_join_exact_integer_scores(spark):
+    """Dot products and squared norms replay integer-exactly against a
+    Python computation over unigram counts; the threshold filter is
+    the cross-multiplied squared cosine."""
+    from collections import Counter
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    rows = [
+        (1, "a a b c"),
+        (2, "a a a b b c c"),   # same direction-ish, heavier
+        (3, "x y z"),           # disjoint
+        (4, "a b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["norm2_a"], r["norm2_b"])
+        for r in dedupe.tf_cosine_join(
+            docs, "doc_id", "text", term_n=1, t_num=1, t_den=100
+        ).collect()
+    }
+    cnts = {i: Counter(t.split()) for i, t in rows}
+    for (a, b), (dot, n2a, n2b) in got.items():
+        ca, cb = cnts[a], cnts[b]
+        assert dot == sum(ca[t] * cb[t] for t in ca)
+        assert n2a == sum(v * v for v in ca.values())
+        assert n2b == sum(v * v for v in cb.values())
+    assert (1, 2) in got and (3, 4) not in got and all(3 not in p for p in got)
+    # a tight threshold keeps only the aligned pair
+    tight = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedupe.tf_cosine_join(
+            docs, "doc_id", "text", term_n=1, t_num=95, t_den=100
+        ).collect()
+    }
+    assert (1, 2) in tight and (1, 4) not in tight
+
+
+def test_tf_cosine_join_max_df_candidate_cap(spark):
+    """The q133-style escape on the TF join: above-cap terms fall out
+    of candidate generation only; surviving pairs keep exact scores
+    computed over ALL shared terms."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    # 'common' appears in every doc; 'rare*' links only 1-2
+    rows = [
+        (1, "common rare1 rare1 alpha"),
+        (2, "common rare1 rare1 alpha"),
+        (3, "common beta gamma delta"),
+        (4, "common beta2 gamma2 delta2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["cosine"])
+        for r in dedupe.tf_cosine_join(
+            docs, "doc_id", "text", term_n=1, t_num=9, t_den=10
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): (r["dot"], r["cosine"])
+        for r in dedupe.tf_cosine_join(
+            docs, "doc_id", "text", term_n=1, t_num=9, t_den=10, max_df=2
+        ).collect()
+    }
+    # (1,2) share rare terms: kept under the cap with the IDENTICAL
+    # exact dot (which still counts the above-cap 'common' term)
+    assert capped[(1, 2)] == base[(1, 2)] and base[(1, 2)][1] == 1.0
+    # any qualifying pair sharing ONLY 'common' is the documented
+    # recall loss under the cap
+    assert all(p == (1, 2) for p in capped)
