@@ -1266,40 +1266,58 @@ def tf_cosine_join(
     # one-side broadcast defeats ReusedExchange)
     cnt = materialize(cnt)
     n2 = cnt.groupBy("__doc").agg(F.sum(F.col("__c") * F.col("__c")).alias("__n2"))
-    gen = cnt
-    if max_df is not None:
+    if max_df is None:
+        # uncapped fast path: S accumulates DIRECTLY in the postings
+        # self-join's groupBy (map-side combinable) — no candidate
+        # materialization, no distinct, no re-probe: one shuffle on
+        # the term, one on the pair.  Complete because every pair
+        # with cos > 0 shares a term.
+        dot = (
+            cnt.alias("a")
+            .join(cnt.alias("b"), "__t")
+            .filter(F.col("a.__doc") < F.col("b.__doc"))
+            .groupBy(
+                F.col("a.__doc").alias("doc_a"),
+                F.col("b.__doc").alias("doc_b"),
+            )
+            .agg(F.sum(F.col("a.__c") * F.col("b.__c")).alias("__s"))
+        )
+    else:
+        # capped path: candidates from the CAPPED postings only, then
+        # S recomputed over ALL shared terms of each candidate pair —
+        # the q133 two-stage shape that keeps surviving scores exact
         keep = (
             cnt.groupBy("__t")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_df)
             .select("__t")
         )
-        gen = gen.join(keep, "__t", "left_semi")
-    cand = (
-        gen.alias("a")
-        .join(gen.alias("b"), "__t")
-        .filter(F.col("a.__doc") < F.col("b.__doc"))
-        .select(
-            F.col("a.__doc").alias("doc_a"), F.col("b.__doc").alias("doc_b")
+        gen = cnt.join(keep, "__t", "left_semi")
+        cand = (
+            gen.alias("a")
+            .join(gen.alias("b"), "__t")
+            .filter(F.col("a.__doc") < F.col("b.__doc"))
+            .select(
+                F.col("a.__doc").alias("doc_a"), F.col("b.__doc").alias("doc_b")
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    dot = (
-        cand.join(
-            cnt.select(
-                F.col("__doc").alias("doc_a"), "__t", F.col("__c").alias("__ca")
-            ),
-            "doc_a",
+        dot = (
+            cand.join(
+                cnt.select(
+                    F.col("__doc").alias("doc_a"), "__t", F.col("__c").alias("__ca")
+                ),
+                "doc_a",
+            )
+            .join(
+                cnt.select(
+                    F.col("__doc").alias("doc_b"), "__t", F.col("__c").alias("__cb")
+                ),
+                ["doc_b", "__t"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__s"))
         )
-        .join(
-            cnt.select(
-                F.col("__doc").alias("doc_b"), "__t", F.col("__c").alias("__cb")
-            ),
-            ["doc_b", "__t"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__s"))
-    )
     na = n2.select(F.col("__doc").alias("doc_a"), F.col("__n2").alias("__n2a"))
     nb = n2.select(F.col("__doc").alias("doc_b"), F.col("__n2").alias("__n2b"))
     return (
