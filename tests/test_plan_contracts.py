@@ -252,3 +252,28 @@ def test_pagerank_iterations_are_equi_joins(plans):
     # a nested loop
     p = plans["q123_pagerank"]
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_lsh_incremental_join_never_shuffles_for_joins(plans):
+    # q139's 100 TB claim: the batch side (bands AND shingle sets) is
+    # broadcast, so the corpus is only ever scanned and map-side
+    # probed — a sort-merge join would mean the corpus shuffled
+    p = plans["q139_lsh_incremental_join"]
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_tf_cosine_join_uncapped_single_pass(plans):
+    # q140's uncapped fast path accumulates the dot product IN the
+    # postings groupBy: no candidate-distinct stage, no re-probe
+    # joins, no sort-merge join anywhere
+    p = plans["q140_tf_cosine_join"]
+    assert "SortMergeJoin" not in p
+    # exactly one pair-keyed aggregate (partial+final), not the
+    # two-stage shape's distinct + aggregate
+    assert p.count("HashAggregate") <= 8
+
+
+def test_winnowing_pairs_no_sort_merge(plans):
+    p = plans["q138_winnowing_pairs"]
+    assert "SortMergeJoin" not in p
