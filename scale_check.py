@@ -608,6 +608,51 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
     nov_sec = time.monotonic() - t0
     n_admitted = corpus_ingest.read_index(spark, nov_store.root).count()
 
+    # LSH band index maintenance over the same doc-stream layout
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import ann_index, lsh_index
+
+    lsh_dir = os.path.join(scratch_dir, "lsh_index")
+    lsh_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .json(doc_src)
+    )
+    t0 = time.monotonic()
+    q = lsh_index.lsh_index_sink(
+        lsh_stream, lsh_dir,
+        checkpoint_dir=os.path.join(scratch_dir, "lsh_ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    lsh_sec = time.monotonic() - t0
+
+    # IVF posting index maintenance over a vector stream (embeddings
+    # replayed as 10 NDJSON files, 2 per trigger; quantizer trained
+    # once on the base table — the frozen-quantizer contract)
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.similarity import build_ivf_centroids
+
+    vec_src = os.path.join(scratch_dir, "vec_stream_src")
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_vecs = vecs.count()
+    vecs.repartition(10).write.mode("overwrite").json(vec_src)
+    cents = build_ivf_centroids(vecs, "embedding", "vec_id", k=8)
+    ivf_dir = os.path.join(scratch_dir, "ivf_index")
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 2)
+        .json(vec_src)
+    )
+    t0 = time.monotonic()
+    q = ann_index.ivf_index_sink(
+        vec_stream, ivf_dir, cents,
+        checkpoint_dir=os.path.join(scratch_dir, "ivf_ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    ivf_sec = time.monotonic() - t0
+
     return {
         "rows": n_rows,
         "files": n_files,
@@ -627,6 +672,11 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "novelty_ingest_admitted": n_admitted,
         "novelty_ingest_sec": round(nov_sec, 2),
         "novelty_ingest_docs_per_sec": int(n_docs / nov_sec),
+        "lsh_index_sec": round(lsh_sec, 2),
+        "lsh_index_docs_per_sec": int(n_docs / lsh_sec),
+        "ivf_index_vecs": n_vecs,
+        "ivf_index_sec": round(ivf_sec, 2),
+        "ivf_index_vecs_per_sec": int(n_vecs / ivf_sec),
     }
 
 
@@ -1054,6 +1104,7 @@ def main() -> None:
         # a state-accumulating operator would degrade instead.
         make_scaled_documents(SF_DIR, scaled_dir, copies)
         make_scaled_events(SF_DIR, scaled_dir, copies)
+        make_scaled_embeddings(SF_DIR, scaled_dir, copies)
         out["streaming_base"] = time_streaming(
             spark, SF_DIR, os.path.join(scaled_dir, "stream_base")
         )
