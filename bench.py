@@ -144,6 +144,7 @@ HEADLINE = [
     "q138_winnowing_pairs",
     "q139_lsh_incremental_join",
     "q140_tf_cosine_join",
+    "q141_incremental_labels",
 ]
 
 

@@ -386,3 +386,52 @@ def label_propagation_min(
             .agg(F.min("label").alias("label"))
         )
     return labels
+
+
+def incremental_labels(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 4,
+) -> DataFrame:
+    """Incremental cluster-label maintenance — fold a batch's new
+    near-dup edges into EXISTING labels without recomputing the
+    corpus graph: the production companion of the incremental join
+    (``dedupe.lsh_incremental_join``), which yields exactly such
+    edges daily.
+
+    The stored label table is itself a COLLAPSED form of the old
+    graph: rewriting each ``(node, label)`` row as an edge
+    ``node — label`` turns every existing cluster into a star of
+    diameter <= 2 around its representative, which preserves
+    connectivity and min-reachability while discarding the original
+    edge set entirely.  Union those star edges with the batch's new
+    edges and re-run :func:`label_propagation_min`: a new doc joins
+    its cluster in one hop, and a batch doc that BRIDGES two existing
+    clusters merges them through a <= 4-hop path (rep_a — member_a —
+    bridge doc — member_b — rep_b) — hence the default ``rounds=4``,
+    one per hop of that worst single-bridge path.  Chained merges
+    (several clusters daisy-linked by several batch docs in ONE
+    batch) can exceed any constant bound; as everywhere in this repo
+    the fixed round count is the DEFINED algorithm (min label within
+    ``rounds`` hops), and at convergence it equals a from-scratch
+    labeling of (old graph + new edges), which the star collapse
+    makes dramatically cheaper than on the raw accumulated graph
+    (test-pinned against converged connected components on the
+    benchmark fixture).
+
+    Cost ∝ (|labels| + |new edges|) x rounds — per-batch work scales
+    with the LABEL TABLE (one row per clustered doc), never with the
+    corpus's accumulated edge multiset; same combinable-min,
+    hub-proof shape as the underlying primitive.
+
+    Returns ``(node, label)`` for every node on some edge (isolated
+    batch docs — no near-dup anywhere — carry no label, matching the
+    primitive's contract).
+    """
+    star = labels.select(
+        F.col("node").alias(src), F.col("label").alias(dst)
+    )
+    edges = star.union(new_edges.select(F.col(src), F.col(dst)))
+    return label_propagation_min(edges, src, dst, rounds)

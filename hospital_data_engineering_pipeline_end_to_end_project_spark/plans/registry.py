@@ -97,9 +97,9 @@ def _modules():
 #:
 #: ROUND 11 window (exactly 50 names), per the r10 verdict's #1 item
 #: and the plan recorded below last round:
-#:   1. q138/q139/q140 — the r11 arrivals (winnowing pairs,
-#:      incremental LSH join, integer-TF cosine join), in-window on
-#:      arrival;
+#:   1. q138–q141 — the r11 arrivals (winnowing pairs, incremental
+#:      LSH join, integer-TF cosine join, incremental cluster-label
+#:      maintenance), in-window on arrival;
 #:   2. every query whose backing code changed in r11: q20 (the
 #:      size-dispatch resolving the r10 weak flag), q133 (max_df
 #:      candidate cap + stats hook on prefix_jaccard_join), q137
@@ -109,13 +109,14 @@ def _modules():
 #:      (q02-q19, q21-q25, q27, q29, q30, q32-q41, q47, q48,
 #:      q58-q60, q87, q88) — exactly two rounds old, code unchanged
 #:      (judge-verified r9 + r10), now re-attested officially;
-#:   4. one r09-vintage filler (q46) for the remaining slot.
-#: After this round the freshest-row ledger reads: 50 r11 + 43 r09 +
+#:   4. no filler — the four arrivals + three pins + 43 r08 rows
+#:      fill the window exactly.
+#: After this round the freshest-row ledger reads: 50 r11 + 44 r09 +
 #: 47 r10 — no official row older than two rounds.  R12 ROTATION
-#: PLAN: pin r12-changed code + new arrivals first, then the 43
+#: PLAN: pin r12-changed code + new arrivals first, then the 44
 #: remaining r09-vintage rows (q100-q108, q111-q113, q115, q117-q119,
-#: q121-q123, q125, q26, q28, q31, q49, q51, q52, q61, q70, q79,
-#: q83-q86, q89, q90, q93-q99), then the aging r10 window.  The full catalog
+#: q121-q123, q125, q26, q28, q31, q46, q49, q51, q52, q61, q70,
+#: q79, q83-q86, q89, q90, q93-q99), then the aging r10 window.  The full catalog
 #: stays attested end-to-end by tests/test_oracle_parity.py at
 #: sf0.001 and the 50-window at sf0.01 by
 #: tests/test_gate_scale_parity.py in every pytest run.
@@ -123,6 +124,7 @@ _GATE_FRONT = (
     "q138_winnowing_pairs",
     "q139_lsh_incremental_join",
     "q140_tf_cosine_join",
+    "q141_incremental_labels",
     "q20_exact_dup_groups",
     "q133_prefix_jaccard_join",
     "q137_winnowing_fingerprints",
@@ -169,7 +171,6 @@ _GATE_FRONT = (
     "q60_cdc_orders",
     "q87_bm25_topk",
     "q88_semantic_dedup",
-    "q46_top_words_per_lang",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):

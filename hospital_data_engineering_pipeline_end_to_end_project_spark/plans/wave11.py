@@ -1,4 +1,4 @@
-"""Round-11 query wave (q138-q140).
+"""Round-11 query wave (q138-q141).
 
 - q138 winnowing PAIR detection — the MOSS pipeline taken to where
   the use case actually ends: ranked document pairs sharing selected
@@ -12,6 +12,11 @@
 - q140 exact integer-TF cosine self-join over token trigram terms —
   the weighted counterpart of q133's distinct-set Jaccard; the
   threshold is the cross-multiplied SQUARED cosine, all-integer.
+- q141 incremental cluster-label maintenance — existing labels
+  star-collapsed into edges, unioned with the arriving batch's new
+  near-dup edges (q139's output shape), re-propagated with one round
+  per hop of the worst single-bridge merge path; both propagations
+  oracle-unrolled as CTEs.
 
 Exactness arguments live on the operators (``operators/dedupe.py``:
 ``winnowing_pairs`` / ``lsh_incremental_join`` / ``tf_cosine_join``):
@@ -224,3 +229,125 @@ WHERE {_Q140_T[1] ** 2} * s * s >= {_Q140_T[0] ** 2} * na.n2 * nb.n2
 
 QUERIES["q140_tf_cosine_join"] = q140_tf_cosine_join
 ORACLES["q140_tf_cosine_join"] = Q140_SQL
+
+
+# ---------------------------------------------------------------------------
+# q141 — incremental cluster-label maintenance
+#
+# The capstone of the incremental-dedup lifecycle: existing corpus
+# labels (bounded min-label propagation over corpus near-dup edges)
+# collapsed to star edges + the arriving batch's new edges (cross
+# batch-corpus + intra-batch band pairs), re-propagated.  The oracle
+# unrolls BOTH propagations as CTEs over the identical banding —
+# round-for-round the same algorithm, so parity is exact by
+# construction.
+# ---------------------------------------------------------------------------
+
+#: corpus-label rounds match q128's convention; the incremental fold
+#: gets one round per hop of the worst single-bridge merge path
+_Q141_ROUNDS = 3
+_Q141_INC_ROUNDS = 4
+
+
+def q141_incremental_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    batch = d.filter(F.col("doc_id") % 17 == 0)
+    cb = dedupe.minhash_bands(corpus, "doc_id", "text")
+    bb = dedupe.minhash_bands(batch, "doc_id", "text")
+    # yesterday's state: labels over the corpus-only near-dup graph
+    labels = components.label_propagation_min(
+        dedupe.near_dup_candidates(cb, "doc_id"), rounds=_Q141_ROUNDS
+    )
+    # today's new edges: batch-vs-corpus band matches + intra-batch
+    cross = (
+        cb.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("b.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    intra = dedupe.near_dup_candidates(bb, "doc_id")
+    return components.incremental_labels(
+        labels, cross.union(intra), rounds=_Q141_INC_ROUNDS
+    )
+
+
+def _lp_step(sym: str, prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM {prev}
+    UNION ALL
+    SELECT s.v AS node, l.label FROM {sym} s JOIN {prev} l ON s.u = l.node
+  ) GROUP BY node
+)"""
+
+
+Q141_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
+  FROM toks WHERE len(t) >= 5
+),
+hv AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MP}
+          FOR s IN list_distinct(sh)] AS hs
+  FROM sh0
+),
+sigs AS (
+  SELECT doc_id,
+         [list_aggregate([({_MA}[j+1] * h + {_MB}[j+1]) % {_MP} FOR h IN hs],
+                         'min') FOR j IN range(8)] AS sig
+  FROM hv
+),
+bands AS (
+  SELECT doc_id, band_id,
+         md5(CAST(band_id AS VARCHAR) || '|' || CAST(sig[2*band_id + 1] AS VARCHAR)
+             || '|' || CAST(sig[2*band_id + 2] AS VARCHAR)) AS band_hash
+  FROM sigs, (SELECT unnest(range(4)) AS band_id)
+),
+ce AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS u,
+                  greatest(a.doc_id, b.doc_id) AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 <> 0
+),
+csym AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+c0 AS (SELECT DISTINCT u AS node, u AS label FROM csym),
+{",".join(_lp_step("csym", f"c{i - 1}", f"c{i}") for i in range(1, _Q141_ROUNDS + 1))},
+ne AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS u,
+                  greatest(a.doc_id, b.doc_id) AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 17 = 0 OR b.doc_id % 17 = 0
+),
+e2 AS (
+  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM (
+    SELECT node AS x, label AS y FROM c{_Q141_ROUNDS} WHERE node <> label
+    UNION ALL
+    SELECT u AS x, v AS y FROM ne
+  ) WHERE x <> y
+),
+sym2 AS (SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2),
+m0 AS (SELECT DISTINCT u AS node, u AS label FROM sym2),
+{",".join(_lp_step("sym2", f"m{i - 1}", f"m{i}") for i in range(1, _Q141_INC_ROUNDS + 1))}
+SELECT node, label FROM m{_Q141_INC_ROUNDS}
+"""
+
+QUERIES["q141_incremental_labels"] = q141_incremental_labels
+ORACLES["q141_incremental_labels"] = Q141_SQL

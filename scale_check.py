@@ -128,6 +128,10 @@ QUERIES = (
     # join; cross-copy trigrams disjoint under the salt)
     "q139_lsh_incremental_join",
     "q140_tf_cosine_join",
+    # round-11 capstone: star-collapsed labels + batch edges,
+    # re-propagated — per-batch cost tracks the label table + new
+    # edges, not the accumulated graph
+    "q141_incremental_labels",
 )
 
 #: Two-orders-of-magnitude family (``python scale_check.py 100 deep``):

@@ -204,3 +204,69 @@ def test_triangle_degree_cap_bounds_hub_and_stays_exact_below(spark):
         for r in triangle_counts(edges, max_degree=1000).collect()
     }
     assert big_cap == exact
+
+
+def test_incremental_labels_merge_and_join(spark):
+    """Incremental maintenance semantics on a hand graph: a new doc
+    joins its cluster in one hop, and a batch doc BRIDGING two
+    existing clusters merges them to the global min label."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components
+
+    # existing state: two clusters {1,2,3} (rep 1) and {10,11} (rep 10)
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, label long"
+    )
+    # batch: doc 100 joins cluster 1; doc 200 bridges both clusters
+    new_edges = spark.createDataFrame(
+        [(100, 2), (200, 3), (200, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in components.incremental_labels(labels, new_edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 100: 1, 200: 1, 10: 1, 11: 1}
+
+
+def test_incremental_labels_equals_converged_cc(spark):
+    """On the benchmark fixture, folding the batch's edges into the
+    corpus labels partitions the nodes EXACTLY as converged connected
+    components over the full accumulated graph — the star collapse
+    loses nothing."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components, dedupe
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    batch = d.filter(F.col("doc_id") % 17 == 0)
+    cb = dedupe.minhash_bands(corpus, "doc_id", "text")
+    bb = dedupe.minhash_bands(batch, "doc_id", "text")
+    labels = components.label_propagation_min(
+        dedupe.near_dup_candidates(cb, "doc_id")
+    )
+    cross = (
+        cb.alias("c")
+        .join(
+            bb.alias("b"),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("b.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+        .distinct()
+    )
+    new_edges = cross.union(dedupe.near_dup_candidates(bb, "doc_id"))
+    inc = {
+        r["node"]: r["label"]
+        for r in components.incremental_labels(labels, new_edges).collect()
+    }
+    # ground truth: converged CC over the FULL accumulated edge set
+    corpus_edges = dedupe.near_dup_candidates(cb, "doc_id")
+    full = {
+        r["node"]: r["component"]
+        for r in components.connected_components(
+            corpus_edges.union(new_edges)
+        ).collect()
+    }
+    assert set(inc) == set(full) and len(inc) > 0
+    assert inc == full
