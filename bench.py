@@ -145,6 +145,7 @@ HEADLINE = [
     "q139_lsh_incremental_join",
     "q140_tf_cosine_join",
     "q141_incremental_labels",
+    "q142_leakage_free_split",
 ]
 
 

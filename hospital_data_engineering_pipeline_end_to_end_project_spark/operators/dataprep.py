@@ -1352,3 +1352,49 @@ def token_gini(
             (n * n - F.col("__ssq")).cast("double") / (n * n).cast("double"), 6
         ).alias("gini"),
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-aware train/val/test split — :func:`hash_split` with
+    the near-dup CLUSTER as the split unit, closing the leakage hole
+    a per-document split leaves open: a test document whose near-twin
+    sits in train is evaluation contamination no decontamination scrub
+    catches, because both copies are legitimately in-corpus.  Every
+    member of a cluster hashes the same unit key (its label), so a
+    cluster lands in exactly one split by construction; documents
+    with no near-dup anywhere (absent from ``labels``) fall back to
+    their own id — for them the per-doc split IS leakage-free.
+
+    ``labels`` is ``(node, label)`` from
+    :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components.label_propagation_min`
+    or connected components — the same table
+    :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components.incremental_labels`
+    maintains per batch, so the split stays stable as the corpus
+    grows: admitting a new member to an existing cluster lands it in
+    the cluster's (unchanged) split, and only genuinely-new clusters
+    roll fresh buckets.
+
+    Cost: one equi-join against the label table + the q50 narrow
+    projection — no extra shuffle beyond the join.  Adds ``unit``,
+    ``bucket``, ``split``.
+    """
+    unit = (
+        df.join(
+            labels.select(
+                F.col("node").alias(id_col), F.col("label").alias("__lbl")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "unit", F.coalesce(F.col("__lbl"), F.col(id_col)).cast("long")
+        )
+        .drop("__lbl")
+    )
+    return hash_split(unit, "unit", weights, salt)

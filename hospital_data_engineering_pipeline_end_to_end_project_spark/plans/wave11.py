@@ -17,6 +17,10 @@
   near-dup edges (q139's output shape), re-propagated with one round
   per hop of the worst single-bridge merge path; both propagations
   oracle-unrolled as CTEs.
+- q142 leakage-free train/val/test split — the q50 md5-bucket split
+  with the near-dup CLUSTER (q128's label) as the split unit, so a
+  test document's near-twin can never sit in train; documents with
+  no near-dup fall back to their own id.
 
 Exactness arguments live on the operators (``operators/dedupe.py``:
 ``winnowing_pairs`` / ``lsh_incremental_join`` / ``tf_cosine_join``):
@@ -351,3 +355,67 @@ SELECT node, label FROM m{_Q141_INC_ROUNDS}
 
 QUERIES["q141_incremental_labels"] = q141_incremental_labels
 ORACLES["q141_incremental_labels"] = Q141_SQL
+
+
+# ---------------------------------------------------------------------------
+# q142 — leakage-free (cluster-aware) train/val/test split
+#
+# Composition of two gated pipelines: the q128 label derivation
+# (MinHash banding -> bounded min-label propagation) feeding
+# ``dataprep.leakage_free_split`` — q50's md5-bucket assignment with
+# the CLUSTER label as the hashed unit.  The oracle wraps Q128_SQL
+# (the q136 idiom) and replays the left-join/coalesce plus the exact
+# q50 bucket CASE; everything is string/integer, no arithmetic
+# argument needed.
+# ---------------------------------------------------------------------------
+
+
+def q142_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+        components,
+        dataprep,
+    )
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.data_prep import (
+        SPLIT_WEIGHTS,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    pairs = dedupe.near_dup_candidates(bands, "doc_id")
+    labels = components.label_propagation_min(pairs, rounds=3)
+    return dataprep.leakage_free_split(
+        d.select("doc_id"), labels, "doc_id", SPLIT_WEIGHTS
+    )
+
+
+def _q142_sql() -> str:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dataprep
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.data_prep import (
+        SPLIT_WEIGHTS,
+        _split_case_sql,
+    )
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave10 import Q128_SQL
+
+    return f"""
+WITH lp AS ({Q128_SQL}),
+u AS (
+  SELECT d.doc_id, CAST(coalesce(lp.label, d.doc_id) AS BIGINT) AS unit
+  FROM documents d LEFT JOIN lp ON lp.node = d.doc_id
+),
+b AS (
+  SELECT doc_id, unit,
+         substr(md5(CAST(unit AS VARCHAR)), 1, {dataprep.SPLIT_PREFIX_LEN})
+           AS bucket
+  FROM u
+)
+SELECT doc_id, unit, bucket, {_split_case_sql()} AS split
+FROM b
+"""
+
+
+Q142_SQL = _q142_sql()
+
+QUERIES["q142_leakage_free_split"] = q142_leakage_free_split
+ORACLES["q142_leakage_free_split"] = Q142_SQL

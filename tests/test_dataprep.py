@@ -642,3 +642,64 @@ def test_pack_sequences_two_level_equals_one_level(spark):
         )
     )
     assert got == naive
+
+
+def test_leakage_free_split_cluster_coherence(spark):
+    # clusters {1,2,3} (label 1) and {10, 11} (label 10); 20/21 have
+    # no near-dup anywhere so they are absent from the label table
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, label long"
+    )
+    out = dataprep.leakage_free_split(docs, labels, "doc_id").cache()
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # every cluster member lands in exactly one split: the label's
+    assert len({rows[i]["split"] for i in (1, 2, 3)}) == 1
+    assert len({rows[i]["split"] for i in (10, 11)}) == 1
+    # and hashes the label as the unit, not its own id
+    assert all(rows[i]["unit"] == 1 for i in (1, 2, 3))
+    assert all(rows[i]["unit"] == 10 for i in (10, 11))
+    # unlabeled docs fall back to the per-doc split (q50 semantics)
+    solo = dataprep.hash_split(
+        docs.filter(F.col("doc_id") >= 20), "doc_id"
+    ).collect()
+    for r in solo:
+        assert rows[r["doc_id"]]["split"] == r["split"]
+        assert rows[r["doc_id"]]["bucket"] == r["bucket"]
+    out.unpersist()
+
+
+def test_leakage_free_split_no_cross_split_edges(spark, docs):
+    # end-to-end invariant on real data: NO near-dup edge crosses a
+    # split boundary (the exact leakage a per-doc split permits)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+        components,
+        dedupe,
+    )
+
+    bands = dedupe.minhash_bands(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    pairs = dedupe.near_dup_candidates(bands, "doc_id").cache()
+    labels = components.label_propagation_min(pairs, rounds=3)
+    out = dataprep.leakage_free_split(docs.select("doc_id"), labels, "doc_id")
+    s = out.select("doc_id", "split")
+    crossing = (
+        pairs.join(s.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(s.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossing == 0
+    # the per-doc split DOES leak on the same graph (the hole exists)
+    naive = dataprep.hash_split(docs.select("doc_id"), "doc_id").select("doc_id", "split")
+    leaked = (
+        pairs.join(naive.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(naive.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked > 0, "fixture has no cross-split near-dup edges to guard against"
+    pairs.unpersist()
