@@ -1375,10 +1375,18 @@ def leakage_free_split(
     :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components.label_propagation_min`
     or connected components — the same table
     :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.components.incremental_labels`
-    maintains per batch, so the split stays stable as the corpus
-    grows: admitting a new member to an existing cluster lands it in
-    the cluster's (unchanged) split, and only genuinely-new clusters
-    roll fresh buckets.
+    maintains per batch.  Stability under growth: labels are min ids,
+    so with monotonically assigned doc ids a newly admitted member
+    never lowers its cluster's label — it lands in the cluster's
+    unchanged split, and only genuinely-new clusters roll fresh
+    buckets.  When a batch doc BRIDGES two existing clusters the
+    merged cluster takes the lower label and the higher-label side's
+    documents move into its split — not an instability but the
+    definition doing its job: a leakage-free split cannot leave one
+    cluster straddling two splits, so one side must move, and
+    hashing the (deterministic) min label picks which side once and
+    reproducibly (pinned by ``test_leakage_free_split_merge_moves_
+    one_side_coherently``).
 
     Cost: one equi-join against the label table + the q50 narrow
     projection — no extra shuffle beyond the join.  Adds ``unit``,

@@ -703,3 +703,35 @@ def test_leakage_free_split_no_cross_split_edges(spark, docs):
     )
     assert leaked > 0, "fixture has no cross-split near-dup edges to guard against"
     pairs.unpersist()
+
+
+def test_leakage_free_split_merge_moves_one_side_coherently(spark):
+    # two clusters with different splits, then a bridge merges them:
+    # the union takes the min-label's split wholesale (one side must
+    # move — a leakage-free split can't straddle a cluster)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    day1 = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "node long, label long"
+    )
+    before = {
+        r["doc_id"]: r["split"]
+        for r in dataprep.leakage_free_split(docs, day1, "doc_id").collect()
+    }
+    # doc 5 arrives bridging clusters 1 and 3
+    bridge = spark.createDataFrame(
+        [(5, 2), (5, 4)], "id_a long, id_b long"
+    )
+    day2 = components.incremental_labels(day1, bridge)
+    after = {
+        r["doc_id"]: r["split"]
+        for r in dataprep.leakage_free_split(docs, day2, "doc_id").collect()
+    }
+    merged = {after[i] for i in (1, 2, 3, 4, 5)}
+    assert len(merged) == 1, "merged cluster must land in ONE split"
+    # and it is the min-label (=1) cluster's pre-merge split
+    assert merged == {before[1]}
+    # untouched docs never move
+    for i in (6, 7, 8):
+        assert after[i] == before[i]
