@@ -146,6 +146,7 @@ HEADLINE = [
     "q140_tf_cosine_join",
     "q141_incremental_labels",
     "q142_leakage_free_split",
+    "q143_repeated_spans",
 ]
 
 

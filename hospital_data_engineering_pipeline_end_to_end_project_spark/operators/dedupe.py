@@ -1340,3 +1340,116 @@ def tf_cosine_join(
             ).alias("cosine"),
         )
     )
+
+
+def repeated_span_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 9,
+    min_span: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact cross-document repeated-SPAN extraction — the operator
+    behind suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as two relational stages instead of a monolithic
+    suffix array, which does not distribute:
+
+    1. **Candidates** — :func:`winnowing_pairs` at the same ``(k, w)``
+       knobs.  The winnowing guarantee is exactly the right filter:
+       any shared token run of length >= ``w + k - 1`` forces a
+       shared selected fingerprint, so every pair with a qualifying
+       span IS a candidate — the stage is lossless for the spans this
+       operator reports (``min_span`` is floored at ``w + k - 1`` and
+       a smaller request raises rather than silently under-reporting).
+    2. **Span extraction, per candidate pair** — positional k-gram
+       hashes ``(doc, pos, h)`` are built ONLY for candidate docs
+       (left-semi prune, the lsh_index "re-read only candidates"
+       idiom), matched within each pair on hash, and maximal runs of
+       consecutive matches fall out of the diagonal identity: matches
+       of one contiguous shared span share ``pos_a - pos_b`` (the
+       diagonal) and consecutive ``pos_a``, so island id =
+       ``pos_a - row_number() OVER (pair, diagonal ORDER BY pos_a)``
+       and a combinable groupBy yields each maximal run's length and
+       start offsets.  A run of ``L`` matched k-grams is a span of
+       ``L + k - 1`` tokens.
+
+    Scale shape: stage-1 cost is winnowing's (fingerprint-specificity
+    bounded, ``max_df`` escape passed through); stage-2 volume is
+    sum over candidate pairs of matched positions — pair-bounded,
+    never corpus-quadratic, and the island window's partition
+    ``(pair, diagonal)`` is bounded by the shorter document's length,
+    never by corpus size, so no salting is needed.  All arithmetic is
+    integer; hashes are md5-derived and engine-portable.
+
+    Returns ``doc_a < doc_b, start_a, start_b, span_tokens`` — one
+    row per maximal shared span of at least ``min_span`` tokens
+    (1-based token offsets).
+    """
+    guarantee = w + k - 1
+    if min_span is None:
+        min_span = guarantee
+    if min_span < guarantee:
+        raise ValueError(
+            f"min_span={min_span} below the winnowing guarantee bound "
+            f"w + k - 1 = {guarantee}: stage 1 could miss qualifying "
+            "pairs; lower w or raise min_span"
+        )
+    min_run = min_span - k + 1
+    pairs = materialize(
+        winnowing_pairs(
+            docs, id_col, text_col, k=k, w=w, min_shared=1, max_df=max_df
+        ).select("doc_a", "doc_b")
+    )
+    cand = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    toks = TX.tokens(text_col)
+    n_grams = F.size(toks) - (k - 1)
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    pos = (
+        docs.join(cand, id_col, "left_semi")
+        # guard BEFORE building hs (the q137 descending-sequence trap)
+        .filter(F.size(toks) >= k)
+        .select(F.col(id_col), F.posexplode(hs).alias("__p0", "__h"))
+        .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
+    )
+    pa = pos.select(
+        F.col(id_col).alias("doc_a"), F.col("__pos").alias("__pa"), "__h"
+    )
+    pb = pos.select(
+        F.col(id_col).alias("doc_b"), F.col("__pos").alias("__pb"), "__h"
+    )
+    m = pairs.join(pa, "doc_a").join(pb, ["doc_b", "__h"])
+    isl_w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("__pa") - F.col("__pb")
+    ).orderBy("__pa")
+    return (
+        m.withColumn("__isl", F.col("__pa") - F.row_number().over(isl_w))
+        .groupBy("doc_a", "doc_b", F.col("__pa") - F.col("__pb"), "__isl")
+        .agg(
+            F.count(F.lit(1)).alias("__len"),
+            F.min("__pa").alias("__sa"),
+            F.min("__pb").alias("__sb"),
+        )
+        .filter(F.col("__len") >= min_run)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__sa").cast("long").alias("start_a"),
+            F.col("__sb").cast("long").alias("start_b"),
+            (F.col("__len") + (k - 1)).cast("long").alias("span_tokens"),
+        )
+    )

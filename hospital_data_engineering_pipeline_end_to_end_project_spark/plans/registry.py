@@ -97,28 +97,28 @@ def _modules():
 #:
 #: ROUND 11 window (exactly 50 names), per the r10 verdict's #1 item
 #: and the plan recorded below last round:
-#:   1. q138–q142 — the r11 arrivals (winnowing pairs, incremental
+#:   1. q138–q143 — the r11 arrivals (winnowing pairs, incremental
 #:      LSH join, integer-TF cosine join, incremental cluster-label
-#:      maintenance, leakage-free cluster split), in-window on
-#:      arrival;
+#:      maintenance, leakage-free cluster split, repeated-span
+#:      extraction), in-window on arrival;
 #:   2. every query whose backing code changed in r11: q20 (the
 #:      size-dispatch resolving the r10 weak flag), q133 (max_df
 #:      candidate cap + stats hook on prefix_jaccard_join), q137
 #:      (winnowing selection refactored into the shared
 #:      _winnow_fp_arrays helper);
 #:   3. the r08-vintage rows (q02-q19, q21-q25, q27, q29, q30,
-#:      q32-q41, q47, q48, q58-q60, q87) — exactly two rounds old,
-#:      code unchanged (judge-verified r9 + r10), now re-attested
+#:      q32-q41, q47, q48, q58-q60) — exactly two rounds old, code
+#:      unchanged (judge-verified r9 + r10), now re-attested
 #:      officially;
-#:   4. no filler — five arrivals + three pins + 42 r08 rows fill
-#:      the window exactly.  The late q142 arrival displaces ONE r08
-#:      row, q88_semantic_dedup (code unchanged since r8; new
-#:      arrivals outrank filler — the accepted trade) — q88 is
-#:      pinned FIRST in the r12 plan below so the debt lasts one
-#:      round.
+#:   4. no filler — six arrivals + three pins + 41 r08 rows fill
+#:      the window exactly.  The late q142/q143 arrivals displace
+#:      TWO r08 rows, q88_semantic_dedup and q87_bm25_topk (code
+#:      unchanged since r8; new arrivals outrank filler — the
+#:      accepted trade) — both are pinned FIRST in the r12 plan
+#:      below so the debt lasts one round.
 #: After this round the freshest-row ledger reads: 50 r11 + 44 r09 +
-#: 47 r10 + 1 r08 (q88).  R12 ROTATION PLAN: pin q88 first, then
-#: r12-changed code + new arrivals, then the 44 remaining
+#: 47 r10 + 2 r08 (q87, q88).  R12 ROTATION PLAN: pin q87/q88 first,
+#: then r12-changed code + new arrivals, then the 44 remaining
 #: r09-vintage rows (q100-q108, q111-q113, q115, q117-q119,
 #: q121-q123, q125, q26, q28, q31, q46, q49, q51, q52, q61, q70,
 #: q79, q83-q86, q89, q90, q93-q99), then the aging r10 window.  The full catalog
@@ -131,6 +131,7 @@ _GATE_FRONT = (
     "q140_tf_cosine_join",
     "q141_incremental_labels",
     "q142_leakage_free_split",
+    "q143_repeated_spans",
     "q20_exact_dup_groups",
     "q133_prefix_jaccard_join",
     "q137_winnowing_fingerprints",
@@ -175,7 +176,6 @@ _GATE_FRONT = (
     "q58_quantize_embeddings",
     "q59_pit_join",
     "q60_cdc_orders",
-    "q87_bm25_topk",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):

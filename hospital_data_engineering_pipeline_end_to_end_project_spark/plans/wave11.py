@@ -21,6 +21,9 @@
   with the near-dup CLUSTER (q128's label) as the split unit, so a
   test document's near-twin can never sit in train; documents with
   no near-dup fall back to their own id.
+- q143 exact repeated-span extraction — suffix-array substring dedup
+  (Lee et al. 2022) as winnowing candidates (lossless >= w + k - 1)
+  + per-pair positional k-gram match + maximal diagonal runs.
 
 Exactness arguments live on the operators (``operators/dedupe.py``:
 ``winnowing_pairs`` / ``lsh_incremental_join`` / ``tf_cosine_join``):
@@ -419,3 +422,78 @@ Q142_SQL = _q142_sql()
 
 QUERIES["q142_leakage_free_split"] = q142_leakage_free_split
 ORACLES["q142_leakage_free_split"] = Q142_SQL
+
+
+# ---------------------------------------------------------------------------
+# q143 — exact cross-document repeated-span extraction
+#
+# Suffix-array substring dedup (Lee et al. 2022) as two relational
+# stages: winnowing candidates (lossless for spans >= w + k - 1 by
+# the winnowing guarantee) -> per-pair positional k-gram match ->
+# maximal runs via the diagonal identity (matches of one contiguous
+# span share pos_a - pos_b and consecutive pos_a).  Everything is
+# md5-derived integers; the oracle replays the identical two stages.
+# ---------------------------------------------------------------------------
+
+_Q143_MIN_SPAN = _Q138_W + _Q138_K - 1  # the guarantee bound, 16 tokens
+
+
+def q143_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedupe.repeated_span_pairs(
+        d, "doc_id", "text", k=_Q138_K, w=_Q138_W, min_span=_Q143_MIN_SPAN
+    )
+
+
+Q143_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+hv AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(array_to_string(t[i:i+{_Q138_K - 1}], ' ')), 1, 15) AS BIGINT)
+          FOR i IN range(1, len(t) - {_Q138_K - 1} + 1)] AS hs
+  FROM toks WHERE len(t) >= {_Q138_K}
+),
+win AS (SELECT doc_id, hs, len(hs) AS nh FROM hv WHERE len(hs) >= {_Q138_W}),
+sel AS (
+  SELECT doc_id,
+         list_distinct([hs[j + {_Q138_W} - list_position(list_reverse(hs[j:j+{_Q138_W - 1}]),
+                                                         list_min(hs[j:j+{_Q138_W - 1}]))]
+                        FOR j IN range(1, nh - {_Q138_W} + 2)]) AS fps
+  FROM win
+),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+p2 AS (
+  SELECT doc_id, unnest([{{'p': i, 'h': hs[i]}} FOR i IN range(1, len(hs) + 1)]) AS ph
+  FROM hv
+),
+pos AS (SELECT doc_id, ph.p AS pos, ph.h AS h FROM p2),
+m AS (
+  SELECT pr.doc_a, pr.doc_b, a.pos AS pa, b.pos AS pb
+  FROM pairs pr
+  JOIN pos a ON a.doc_id = pr.doc_a
+  JOIN pos b ON b.doc_id = pr.doc_b AND b.h = a.h
+),
+r AS (
+  SELECT doc_a, doc_b, pa - pb AS delta, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS isl
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, min(pa) AS sa, min(pb) AS sb, count(*) AS len
+  FROM r GROUP BY doc_a, doc_b, delta, isl
+)
+SELECT doc_a, doc_b,
+       CAST(sa AS BIGINT) AS start_a,
+       CAST(sb AS BIGINT) AS start_b,
+       CAST(len + {_Q138_K - 1} AS BIGINT) AS span_tokens
+FROM runs
+WHERE len >= {_Q143_MIN_SPAN - _Q138_K + 1}
+"""
+
+QUERIES["q143_repeated_spans"] = q143_repeated_spans
+ORACLES["q143_repeated_spans"] = Q143_SQL

@@ -226,3 +226,58 @@ def test_tf_cosine_join_max_df_candidate_cap(spark):
     # any qualifying pair sharing ONLY 'common' is the documented
     # recall loss under the cap
     assert all(p == (1, 2) for p in capped)
+
+
+def test_repeated_span_pairs_exact_boundaries(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    # one 20-token span planted at token 5 of doc 0 and token 3 of
+    # doc 1; all surrounding tokens are doc-unique, so the maximal
+    # run is exactly the planted span with exact 1-based offsets
+    span = [f"s{i}" for i in range(20)]
+    d0 = " ".join([f"a{i}" for i in range(4)] + span + ["z1", "z2"])
+    d1 = " ".join(["b1", "b2"] + span + ["c1"])
+    frame = spark.createDataFrame([(0, d0), (1, d1)], "doc_id int, text string")
+    rows = dedupe.repeated_span_pairs(frame, "doc_id", "text", k=8, w=9).collect()
+    assert [
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in rows
+    ] == [(0, 1, 5, 3, 20)]
+
+
+def test_repeated_span_pairs_threshold_and_guard(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    import pytest as _pt
+
+    # a 15-token shared span sits below min_span = w + k - 1 = 16:
+    # no qualifying output even though stage 1 may surface the pair
+    span = [f"t{i}" for i in range(15)]
+    frame = spark.createDataFrame(
+        [
+            (0, " ".join([f"a{i}" for i in range(4)] + span)),
+            (1, " ".join(span + [f"b{i}" for i in range(4)])),
+        ],
+        "doc_id int, text string",
+    )
+    assert dedupe.repeated_span_pairs(frame, "doc_id", "text", k=8, w=9).count() == 0
+    # requesting spans below the winnowing guarantee must raise, not
+    # silently under-report
+    with _pt.raises(ValueError):
+        dedupe.repeated_span_pairs(frame, "doc_id", "text", k=8, w=9, min_span=10)
+
+
+def test_repeated_span_pairs_two_occurrences_two_diagonals(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    # doc 1 contains the span TWICE: each occurrence is its own
+    # diagonal, so two maximal runs are reported for the pair
+    span = [f"u{i}" for i in range(16)]
+    d0 = " ".join(span + ["q1", "q2"])
+    d1 = " ".join(span + [f"m{i}" for i in range(3)] + span)
+    frame = spark.createDataFrame([(0, d0), (1, d1)], "doc_id int, text string")
+    rows = sorted(
+        (r["start_a"], r["start_b"], r["span_tokens"])
+        for r in dedupe.repeated_span_pairs(frame, "doc_id", "text", k=8, w=9).collect()
+    )
+    assert rows == [(1, 1, 16), (1, 20, 16)]
