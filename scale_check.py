@@ -820,6 +820,53 @@ def main() -> None:
         out["deepdocs_growth_ratio"] = {
             q: round(d_scaled[q] / d_base[q], 2) for q in names
         }
+    if family == "deepdocs2":
+        # r11 late newcomers two orders up on the docs axis:
+        # incremental LSH join + incremental labels, the
+        # leakage-free cluster split and the repeated-span extractor;
+        # q140 TF-cosine runs CAPPED (max_df) at this scale — the
+        # synthetic trigram vocabulary SATURATES under copies (the
+        # 2/5 of trigrams untouched by the per-copy salt recur in
+        # every copy, df ~ copies), so the uncapped exact join is
+        # quadratic by design here, and the cap is the documented
+        # scale path (candidate-generation-only, recall semantics
+        # stated on the operator).  Base min-of-2, scaled single-run.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        names = (
+            "q139_lsh_incremental_join",
+            "q141_incremental_labels",
+            "q142_leakage_free_split",
+            "q143_repeated_spans",
+        )
+        d_base = time_queries(spark, SF_DIR, names=names)
+        d_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["deepdocs2_base_sec"] = d_base
+        out["deepdocs2_scaled_sec"] = d_scaled
+        out["deepdocs2_growth_ratio"] = {
+            q: round(d_scaled[q] / d_base[q], 2) for q in names
+        }
+
+        def _run140(dirpath: str) -> float:
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+            t0 = time.monotonic()
+            dedupe.tf_cosine_join(
+                load_table(spark, dirpath, "documents"),
+                "doc_id",
+                "text",
+                term_n=3,
+                t_num=8,
+                t_den=10,
+                max_df=64,
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.monotonic() - t0, 3)
+
+        b140 = min(_run140(SF_DIR) for _ in range(2))
+        s140 = _run140(scaled_dir)
+        out["q140_capped_base_sec"] = b140
+        out["q140_capped_scaled_sec"] = s140
+        out["q140_capped_growth_ratio"] = round(s140 / b140, 2)
     if family == "deeptpch":
         # fact-table axis two orders up: 100x lineitem (~60M rows) /
         # orders (~15M) over the fixed dim catalog — the axis that
