@@ -1382,8 +1382,15 @@ def repeated_span_pairs(
     sum over candidate pairs of matched positions — pair-bounded,
     never corpus-quadratic, and the island window's partition
     ``(pair, diagonal)`` is bounded by the shorter document's length,
-    never by corpus size, so no salting is needed.  All arithmetic is
-    integer; hashes are md5-derived and engine-portable.
+    never by corpus size, so no salting is needed.  The one
+    data-dependent regime is a mega-duplicated document: a text with
+    ``m`` verbatim copies yields ``m(m-1)/2`` candidate pairs, and
+    stage 2 replicates its positions per pair.  That regime belongs
+    to upstream EXACT dedup (the standard pipeline order — this
+    operator's job is partial overlap between distinct docs), and
+    ``max_df`` drops the shared fingerprints of whatever boilerplate
+    survives it.  All arithmetic is integer; hashes are md5-derived
+    and engine-portable.
 
     Returns ``doc_a < doc_b, start_a, start_b, span_tokens`` — one
     row per maximal shared span of at least ``min_span`` tokens
