@@ -938,22 +938,28 @@ def _winnow_fp_arrays(
     :func:`winnowing_fingerprints` for the selection-rule derivation
     and the short-doc guard ordering."""
     toks = TX.tokens(text_col)
-    n_grams = F.size(toks) - (k - 1)
+    # sequence ends are CLAMPED to 1 so every expression here is
+    # TOTAL: the short-doc guard below still excludes docs without a
+    # full window, but Catalyst's InferFiltersFromGenerate can place
+    # an inferred `size(__fps) > 0` predicate BESIDE the guard (same
+    # Filter node, conjunct order unspecified), evaluating __fps on
+    # short docs — an unclamped sequence(1, n <= 0) runs DESCENDING
+    # into slice(start=0) and aborts the job.  For clamped short
+    # docs the junk single-element arrays are dropped by the guard;
+    # for guarded docs the clamp is inert (n_grams >= w >= 1).
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
     hs = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15), 16, 10).cast("long"),
     )
     d = (
-        # guard BEFORE building hs: a doc shorter than w + k - 1
-        # tokens has no full window, and sequence(1, n_grams) with
-        # n_grams <= 0 would run DESCENDING into slice(start=0)
         docs.filter(F.size(toks) >= w + k - 1)
         .select(F.col(id_col), hs.alias("__hs"))
         .withColumn("__nh", F.size("__hs"))
     )
     sel = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.col("__nh") - (w - 1)),
+            F.sequence(F.lit(1), F.greatest(F.col("__nh") - (w - 1), F.lit(1))),
             lambda j: j
             + w
             - F.array_position(F.reverse(F.slice(F.col("__hs"), j, w)), F.array_min(F.slice(F.col("__hs"), j, w))),
@@ -1416,22 +1422,8 @@ def repeated_span_pairs(
         .union(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    toks = TX.tokens(text_col)
-    n_grams = F.size(toks) - (k - 1)
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15),
-            16,
-            10,
-        ).cast("long"),
-    )
-    pos = (
-        docs.join(cand, id_col, "left_semi")
-        # guard BEFORE building hs (the q137 descending-sequence trap)
-        .filter(F.size(toks) >= k)
-        .select(F.col(id_col), F.posexplode(hs).alias("__p0", "__h"))
-        .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
+    pos = positional_gram_hashes(
+        docs.join(cand, id_col, "left_semi"), id_col, text_col, k
     )
     pa = pos.select(
         F.col(id_col).alias("doc_a"), F.col("__pos").alias("__pa"), "__h"
@@ -1440,23 +1432,77 @@ def repeated_span_pairs(
         F.col(id_col).alias("doc_b"), F.col("__pos").alias("__pb"), "__h"
     )
     m = pairs.join(pa, "doc_a").join(pb, ["doc_b", "__h"])
-    isl_w = Window.partitionBy(
-        "doc_a", "doc_b", F.col("__pa") - F.col("__pb")
-    ).orderBy("__pa")
+    return diagonal_spans(
+        m, "doc_a", "doc_b", "__pa", "__pb", k=k, min_run=min_run
+    )
+
+
+def positional_gram_hashes(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Positional k-gram hashes ``(id_col, __pos, __h)`` — 1-based
+    token position, 60-bit md5-derived hash of the k token window —
+    the stage-2 input of :func:`repeated_span_pairs` and its
+    streaming index-served counterpart.  Pure per-doc array work on
+    the scan (transform + posexplode); the sequence end is CLAMPED
+    so the expression is total even when Catalyst's
+    InferFiltersFromGenerate evaluates it beside (not after) the
+    short-doc guard — see the note in ``_winnow_fp_arrays``."""
+    toks = TX.tokens(text_col)
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
     return (
-        m.withColumn("__isl", F.col("__pa") - F.row_number().over(isl_w))
-        .groupBy("doc_a", "doc_b", F.col("__pa") - F.col("__pb"), "__isl")
+        docs.filter(F.size(toks) >= k)
+        .select(F.col(id_col), F.posexplode(hs).alias("__p0", "__h"))
+        .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__h")
+    )
+
+
+def diagonal_spans(
+    m: DataFrame,
+    left_id: str,
+    right_id: str,
+    pos_left: str,
+    pos_right: str,
+    *,
+    k: int,
+    min_run: int,
+    out_left: str = "start_a",
+    out_right: str = "start_b",
+) -> DataFrame:
+    """Maximal-run extraction over matched positional k-grams: rows of
+    one contiguous shared span share the diagonal ``pos_left -
+    pos_right`` and carry consecutive ``pos_left``, so island id =
+    ``pos_left - row_number()`` per (pair, diagonal) and a combinable
+    groupBy yields each maximal run's length and 1-based start
+    offsets.  The window partition is bounded by the shorter
+    document's length — never corpus size."""
+    isl_w = Window.partitionBy(
+        left_id, right_id, F.col(pos_left) - F.col(pos_right)
+    ).orderBy(pos_left)
+    return (
+        m.withColumn("__isl", F.col(pos_left) - F.row_number().over(isl_w))
+        .groupBy(
+            left_id, right_id, F.col(pos_left) - F.col(pos_right), "__isl"
+        )
         .agg(
             F.count(F.lit(1)).alias("__len"),
-            F.min("__pa").alias("__sa"),
-            F.min("__pb").alias("__sb"),
+            F.min(pos_left).alias("__sl"),
+            F.min(pos_right).alias("__sr"),
         )
         .filter(F.col("__len") >= min_run)
         .select(
-            "doc_a",
-            "doc_b",
-            F.col("__sa").cast("long").alias("start_a"),
-            F.col("__sb").cast("long").alias("start_b"),
+            left_id,
+            right_id,
+            F.col("__sl").cast("long").alias(out_left),
+            F.col("__sr").cast("long").alias(out_right),
             (F.col("__len") + (k - 1)).cast("long").alias("span_tokens"),
         )
     )
