@@ -629,6 +629,23 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
     q.awaitTermination()
     lsh_sec = time.monotonic() - t0
 
+    # winnowing fingerprint index maintenance (the span-dedup leg)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import span_index
+
+    span_dir = os.path.join(scratch_dir, "span_index")
+    span_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .json(doc_src)
+    )
+    t0 = time.monotonic()
+    q = span_index.span_index_sink(
+        span_stream, span_dir,
+        checkpoint_dir=os.path.join(scratch_dir, "span_ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    span_sec = time.monotonic() - t0
+
     # IVF posting index maintenance over a vector stream (embeddings
     # replayed as 10 NDJSON files, 2 per trigger; quantizer trained
     # once on the base table — the frozen-quantizer contract)
@@ -678,6 +695,8 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "novelty_ingest_docs_per_sec": int(n_docs / nov_sec),
         "lsh_index_sec": round(lsh_sec, 2),
         "lsh_index_docs_per_sec": int(n_docs / lsh_sec),
+        "span_index_sec": round(span_sec, 2),
+        "span_index_docs_per_sec": int(n_docs / span_sec),
         "ivf_index_vecs": n_vecs,
         "ivf_index_sec": round(ivf_sec, 2),
         "ivf_index_vecs_per_sec": int(n_vecs / ivf_sec),
