@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
 from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import shardstore
 
 
@@ -48,9 +49,15 @@ def _fp_postings(
 ) -> DataFrame:
     """Exploded winnowing postings ``(id_col, fp)`` for one batch —
     the per-doc selection of ``dedupe._winnow_fp_arrays`` (distinct
-    selected fingerprints), one posting row per (doc, fingerprint)."""
+    selected fingerprints), one posting row per (doc, fingerprint).
+
+    ``fan_out`` first: a micro-batch has as many partitions as files
+    in the trigger (2 in the harness), and winnowing selection is
+    the compute-bound O(n*w) interpreted-HOF pass — without the
+    balancing shuffle the whole batch runs on that many cores (the
+    single-file-scan trap, here in streaming form)."""
     return dedupe._winnow_fp_arrays(
-        batch_df.select(id_col, text_col), id_col, text_col, k, w
+        fan_out(batch_df.select(id_col, text_col)), id_col, text_col, k, w
     ).select(F.col(id_col), F.explode("__fps").alias("fp"))
 
 
