@@ -1307,3 +1307,55 @@ def test_winnowing_guarantee_shared_span(spark, span, pre, post):
         ).collect()
     }
     assert got[0] >= 1 and got[1] >= 1
+
+
+def _py_repeated_spans(ta, tb, k, min_span):
+    """Literal replay of repeated_span_pairs for two docs: match
+    positional k-grams on string equality, group matches by diagonal,
+    take maximal consecutive runs, keep spans >= min_span.  Returns
+    {(start_a, start_b, span_tokens)} with 1-based offsets."""
+    ka = [" ".join(ta[i : i + k]) for i in range(len(ta) - k + 1)]
+    kb = [" ".join(tb[i : i + k]) for i in range(len(tb) - k + 1)]
+    matched = {
+        (i + 1, j + 1)
+        for i, ga in enumerate(ka)
+        for j, gb in enumerate(kb)
+        if ga == gb
+    }
+    out = set()
+    for pa, pb in matched:
+        if (pa - 1, pb - 1) in matched:
+            continue  # not a run start
+        length = 1
+        while (pa + length, pb + length) in matched:
+            length += 1
+        span = length + k - 1
+        if span >= min_span:
+            out.add((pa, pb, span))
+    return out
+
+
+@SLOW
+@given(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=8, max_size=28),
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=8, max_size=28),
+)
+def test_repeated_spans_match_python_replay(spark, ta, tb):
+    """The diagonal-island extraction against a literal per-pair
+    replay, on a 3-token alphabet where within-doc repeated k-grams
+    (multiple diagonals, overlapping runs) arise constantly.  With
+    min_span = w + k - 1 the winnowing candidate stage is lossless,
+    so the replay needs no stage-1 model at all."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    k, w = 4, 4
+    frame = spark.createDataFrame(
+        [(0, " ".join(ta)), (1, " ".join(tb))], "doc_id int, text string"
+    )
+    got = {
+        (r["start_a"], r["start_b"], r["span_tokens"])
+        for r in dedupe.repeated_span_pairs(
+            frame, "doc_id", "text", k=k, w=w
+        ).collect()
+    }
+    assert got == _py_repeated_spans(ta, tb, k, min_span=w + k - 1)
