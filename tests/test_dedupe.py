@@ -281,3 +281,35 @@ def test_repeated_span_pairs_two_occurrences_two_diagonals(spark):
         for r in dedupe.repeated_span_pairs(frame, "doc_id", "text", k=8, w=9).collect()
     )
     assert rows == [(1, 1, 16), (1, 20, 16)]
+
+
+def test_repeated_span_pairs_max_df_semantics(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    # boilerplate-heavy adversarial corpus: every doc opens with the
+    # same 20-token block (a real >= 16-token shared span between
+    # EVERY pair — the true answer is quadratic) + a unique tail
+    boiler = [f"b{i}" for i in range(20)]
+    rows = [
+        (i, " ".join(boiler + [f"u{i}_{j}" for j in range(10)]))
+        for i in range(40)
+    ]
+    frame = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = dedupe.repeated_span_pairs(frame, "doc_id", "text", k=8, w=9)
+    assert uncapped.count() == 40 * 39 // 2  # every pair, one span each
+    # max_df drops the ubiquitous boilerplate fingerprints from
+    # candidate generation: the quadratic pair set is pruned away
+    # (stated recall trade — those spans are boilerplate, the thing
+    # the cap exists to ignore)
+    capped = dedupe.repeated_span_pairs(
+        frame, "doc_id", "text", k=8, w=9, max_df=8
+    )
+    assert capped.count() == 0
+    # and on a corpus with no above-cap fingerprint the cap is inert
+    distinct_rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(25))) for i in range(30)
+    ]
+    d2 = spark.createDataFrame(distinct_rows, "doc_id int, text string")
+    a = sorted(map(tuple, dedupe.repeated_span_pairs(d2, "doc_id", "text", k=8, w=9).collect()))
+    b = sorted(map(tuple, dedupe.repeated_span_pairs(d2, "doc_id", "text", k=8, w=9, max_df=10**6).collect()))
+    assert a == b
