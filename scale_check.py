@@ -1166,6 +1166,67 @@ def main() -> None:
             "read_sec_compacted": min(t_read(), t_read()),
             "bit_identical": before == after,
         }
+    if family == "spancompact":
+        # winnowing-span-index probe-cost-vs-shard-count: the
+        # moncompact protocol on the fourth index leg — write
+        # ``copies`` fingerprint shards, time the INDEX-SERVED
+        # incremental span join along the way (the probe a daily
+        # dedup batch actually pays), compact (plain-union fold),
+        # re-time; served rows must be identical across compaction.
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import span_index
+
+        n_batches = copies
+        docs = (
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select("doc_id", "text")
+        )
+        corpus = docs.filter(F.col("doc_id") % 17 != 0)
+        batch = docs.filter(F.col("doc_id") % 17 == 0)
+        span_dir = os.path.join(scaled_dir, "span_idx")
+        handle = span_index.make_span_batch_writer(span_dir)
+
+        def t_probe():
+            t0 = time.time()
+            span_index.incremental_spans_against_index(
+                spark, span_dir, corpus, batch
+            ).collect()
+            return round(time.time() - t0, 3)
+
+        curve = []
+        h = max(1, n_batches // 5)
+        for b in range(n_batches):
+            handle(
+                corpus.filter((F.col("doc_id") % n_batches) == b), b
+            )
+            if (b + 1) % h == 0 or b == n_batches - 1:
+                curve.append({"shards": b + 1, "probe_sec": min(t_probe(), t_probe())})
+        before = sorted(
+            map(
+                tuple,
+                span_index.incremental_spans_against_index(
+                    spark, span_dir, corpus, batch
+                ).collect(),
+            )
+        )
+        stats = span_index.compact_span_shards(spark, span_dir)
+        after = sorted(
+            map(
+                tuple,
+                span_index.incremental_spans_against_index(
+                    spark, span_dir, corpus, batch
+                ).collect(),
+            )
+        )
+        out["spancompact"] = {
+            "n_batches": n_batches,
+            "probe_curve": curve,
+            "dirs_before": stats["dirs_before"],
+            "dirs_after": stats["dirs_after"],
+            "probe_sec_compacted": min(t_probe(), t_probe()),
+            "row_identical": before == after,
+        }
     if family == "stream10":
         # streaming throughput at 10x input: same file/trigger layout
         # (20 event files, 4 per trigger — 5 micro-batches either way)
