@@ -137,10 +137,19 @@ def incremental_spans_against_index(
     k: int = 8,
     w: int = 9,
     min_span: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact repeated spans between ``batch`` and the indexed corpus,
     candidates served FROM the stored posting index instead of
     re-winnowing the corpus.
+
+    ``max_df`` is the boilerplate escape of the batch operator,
+    applied to the STORED postings: fingerprints held by more than
+    ``max_df`` indexed documents are dropped from candidate
+    generation (the same stated recall trade — spans whose every
+    shared fingerprint is corpus-ubiquitous are boilerplate by
+    definition).  The df is computed against the index, so the cap's
+    meaning is stable as the corpus grows.
 
     The ``(k, w)`` config must match the writer's (selection is
     exact given the config, so the candidate set is identical).
@@ -164,6 +173,14 @@ def incremental_spans_against_index(
             f"w + k - 1 = {guarantee}"
         )
     idx = read_span_index(spark, out_dir)
+    if max_df is not None:
+        keep = (
+            idx.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        idx = idx.join(keep, "fp", "left_semi")
     bfp = _fp_postings(batch, id_col, text_col, k, w)
     cand = (
         idx.alias("c")

@@ -130,3 +130,34 @@ def test_span_index_live_stream(spark, tmp_path):
     )
     expected = _cross_spans_via_batch_operator(docs, lambda d: d % 17 == 0)
     assert served == expected
+
+
+def test_index_served_spans_max_df(spark, tmp_path):
+    """The boilerplate escape on the index side: an above-cap
+    fingerprint's candidates vanish; a loose cap is output-identical."""
+    out = str(tmp_path / "spanidx")
+    boiler = [f"b{i}" for i in range(20)]
+    corpus_rows = [
+        (i, " ".join(boiler + [f"c{i}_{j}" for j in range(10)]))
+        for i in range(1, 31)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, " ".join(boiler + ["q1", "q2", "q3"]))],
+        "doc_id long, text string",
+    )
+    span_index.make_span_batch_writer(out)(corpus, 0)
+    uncapped = span_index.incremental_spans_against_index(
+        spark, out, corpus, batch
+    )
+    assert uncapped.count() == 30  # the boilerplate span vs every doc
+    capped = span_index.incremental_spans_against_index(
+        spark, out, corpus, batch, max_df=8
+    )
+    assert capped.count() == 0
+    loose = span_index.incremental_spans_against_index(
+        spark, out, corpus, batch, max_df=10**6
+    )
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
