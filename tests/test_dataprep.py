@@ -735,3 +735,41 @@ def test_leakage_free_split_merge_moves_one_side_coherently(spark):
     # untouched docs never move
     for i in (6, 7, 8):
         assert after[i] == before[i]
+
+
+def test_leakage_free_split_stable_under_pure_growth(spark):
+    # growing the corpus with docs that bridge nothing (the scaled-
+    # fixture construction: new ids, per-copy salted texts => 5-gram
+    # shingle sets disjoint from the base corpus) must not move ANY
+    # existing doc's split: labels are min ids, new ids are larger,
+    # and no merge path exists.  The complementary claim to the merge
+    # test above (merges move one side; growth moves nothing).
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+        components,
+        dedupe,
+    )
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    salted = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"(\S+\s+\S+\s+\S+\s+\S+\s+)\S+", r"$1w1x").alias("text"),
+    )
+    grown = base.union(salted)
+
+    def split_of(docs):
+        bands = dedupe.minhash_bands(docs, "doc_id", "text")
+        labels = components.label_propagation_min(
+            dedupe.near_dup_candidates(bands, "doc_id"), rounds=3
+        )
+        return dataprep.leakage_free_split(
+            docs.select("doc_id"), labels, "doc_id"
+        ).select("doc_id", "split")
+
+    before = {r["doc_id"]: r["split"] for r in split_of(base).collect()}
+    after = {
+        r["doc_id"]: r["split"]
+        for r in split_of(grown).filter(F.col("doc_id") < 10_000_000).collect()
+    }
+    assert after == before
