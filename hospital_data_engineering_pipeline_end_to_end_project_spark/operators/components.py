@@ -426,12 +426,37 @@ def incremental_labels(
     corpus's accumulated edge multiset; same combinable-min,
     hub-proof shape as the underlying primitive.
 
-    Returns ``(node, label)`` for every node on some edge (isolated
-    batch docs — no near-dup anywhere — carry no label, matching the
-    primitive's contract).
+    The star collapse is LOSSLESS only for converged input labels: a
+    non-converged table can hold a node whose label equals itself yet
+    is referenced by no other node (e.g. one bounded round over edges
+    1-5, 2-5 yields (1,1),(5,1),(2,2) — node 2 self-labels while 5
+    already reached 1).  Its star edge is a self-loop, which the
+    propagation primitive drops (``u != v``), so the node would vanish
+    from the maintained table — and a downstream
+    ``leakage_free_split`` would silently fall back to a per-doc split
+    for it, permanently.  The propagation result is therefore
+    full-outer-joined back onto the input node set, coalescing to the
+    old label: every previously-labeled node keeps a row no matter
+    what.  (For converged inputs the join is a no-op — every input
+    node reappears with a <= label — so the converged-path output is
+    unchanged; for non-converged inputs the retained old label is the
+    node's best-known label, refreshed the next time an edge touches
+    it.)
+
+    Returns ``(node, label)`` for every node on some edge plus every
+    previously-labeled node (isolated batch docs — no near-dup
+    anywhere — carry no label, matching the primitive's contract).
     """
     star = labels.select(
         F.col("node").alias(src), F.col("label").alias(dst)
     )
     edges = star.union(new_edges.select(F.col(src), F.col(dst)))
-    return label_propagation_min(edges, src, dst, rounds)
+    prop = label_propagation_min(edges, src, dst, rounds)
+    prev = labels.select("node", F.col("label").alias("_prev_label"))
+    return (
+        prop.join(prev, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("label", "_prev_label").alias("label"),
+        )
+    )

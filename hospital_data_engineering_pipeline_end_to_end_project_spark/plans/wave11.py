@@ -353,7 +353,10 @@ e2 AS (
 sym2 AS (SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2),
 m0 AS (SELECT DISTINCT u AS node, u AS label FROM sym2),
 {",".join(_lp_step("sym2", f"m{i - 1}", f"m{i}") for i in range(1, _Q141_INC_ROUNDS + 1))}
-SELECT node, label FROM m{_Q141_INC_ROUNDS}
+SELECT coalesce(m.node, c.node) AS node,
+       coalesce(m.label, c.label) AS label
+FROM m{_Q141_INC_ROUNDS} m
+FULL OUTER JOIN c{_Q141_ROUNDS} c ON m.node = c.node
 """
 
 QUERIES["q141_incremental_labels"] = q141_incremental_labels

@@ -216,10 +216,14 @@ def retrain_ivf_index(
        committed via ``_SUCCESS``.  One pass, no shuffle: the postings
        scan maps straight to the new cluster column.
     4. Publish: one ``os.replace`` of ``_centroids.json`` flips every
-       reader and store-managed writer to epoch E+1; then the old
-       epoch tree is deleted (a crash before the delete leaves dead
-       garbage, never a wrong read — nothing resolves epoch E
-       anymore).
+       reader and store-managed writer to epoch E+1; then any batch
+       shard committed to the OLD epoch after step 1's listing (a
+       writer racing the retrain) is migrated — re-assigned with the
+       new centroids into ``epoch=E+1/batch=M`` — by re-listing until
+       stable; only then is the old epoch tree deleted (a crash
+       before the delete leaves dead garbage, never a wrong read —
+       nothing resolves epoch E anymore, and a crash mid-migration
+       leaves old_root intact for the retried retrain to migrate).
 
     Requires an epoch-managed store (:func:`init_ivf_store`).
     """
@@ -256,5 +260,43 @@ def retrain_ivf_index(
     # the atomic publish point: after this rename, every reader and
     # store-managed writer resolves epoch E+1
     write_centroids(out_dir, new_cents, epoch=epoch + 1)
+    # LATE-SHARD MIGRATION — a writer batch that resolved epoch E
+    # before the publish can commit ``epoch=E/batch=M`` with M > n
+    # AFTER the listing above; its checkpoint has advanced, so it will
+    # never be replayed, and deleting old_root would silently lose its
+    # postings.  Re-list old_root until stable and re-assign every
+    # late committed shard (batch id > the compacted watermark n) into
+    # the new epoch under its own ``batch=M`` dir — ids <= n are
+    # subsumed by ``compact_upto={n}`` and stay ignored.  The loop
+    # closes every batch that was mid-commit at publish time; a writer
+    # that resolved epoch E and then stalls for longer than this whole
+    # retrain remains a documented residual — quiesce the writer
+    # around retrain for an absolute guarantee.
+    migrated = 0
+    prev_late: set[int] = set()
+    while True:
+        late = {
+            m: path
+            for kind, m, path in shardstore.active_shard_dirs(old_root)
+            if kind == "batch" and m > n
+        }
+        if set(late) == prev_late:
+            break
+        for m in sorted(set(late) - prev_late):
+            moved = assign_ivf_cluster(
+                spark.read.parquet(late[m]).drop("cluster"),
+                new_cents,
+                vec_col=vec_col,
+            ).withColumn("batch_id", F.col("batch_id").cast("long"))
+            moved.write.mode("overwrite").parquet(
+                os.path.join(new_root, f"batch={m}")
+            )
+            migrated += 1
+        prev_late = set(late)
     shutil.rmtree(old_root, ignore_errors=True)
-    return {"epoch": epoch + 1, "n_clusters": int(k), "max_batch": int(n)}
+    return {
+        "epoch": epoch + 1,
+        "n_clusters": int(k),
+        "max_batch": int(n),
+        "migrated_late_shards": migrated,
+    }

@@ -120,9 +120,18 @@ def read_index(
     ]
     if not paths:
         return None
-    df = spark.read.parquet(*paths)
+    # mergeSchema: a store upgraded mid-stream holds PRE-r11 shards
+    # with no batch_id column next to stamped ones — without the merge
+    # the read's schema depends on which footer Spark happens to pick,
+    # and the legacy rows may not surface a (null) batch_id at all
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     if exclude_batch is not None and "batch_id" in df.columns:
-        df = df.filter(F.col("batch_id") != F.lit(int(exclude_batch)))
+        # null-safe: pre-upgrade shards carry no batch_id column, so a
+        # compacted store can surface NULL batch_id rows — a plain `!=`
+        # would evaluate to NULL and silently drop every legacy
+        # fingerprint from the index view, blinding the novelty gate to
+        # the pre-upgrade corpus
+        df = df.filter(~F.col("batch_id").eqNullSafe(F.lit(int(exclude_batch))))
     return df.select(id_col, "simhash")
 
 

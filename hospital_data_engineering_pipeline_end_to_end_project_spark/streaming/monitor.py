@@ -87,6 +87,10 @@ def read_merged_quantiles(
     :func:`sample_quantiles`'s merge re-rank reproduce the direct
     sketch bit-for-bit."""
     shards = shardstore.read_shards(spark, out_dir)
+    if shards is None:
+        raise FileNotFoundError(
+            f"no committed sketch shards under {out_dir!r}"
+        )
     return sample_quantiles(
         shards.select(*group_cols, "h", val_col), group_cols, val_col,
         ps=ps, k=k,
@@ -157,6 +161,10 @@ def read_merged_countmin(
     from pyspark.sql import functions as F
 
     shards = shardstore.read_shards(spark, out_dir)
+    if shards is None:
+        raise FileNotFoundError(
+            f"no committed count-min shards under {out_dir!r}"
+        )
     return shards.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -240,6 +248,10 @@ def read_merged_cusum(
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.temporal import cusum_fold_summaries
 
     shards = shardstore.read_shards(spark, out_dir)
+    if shards is None:
+        raise FileNotFoundError(
+            f"no committed CUSUM shards under {out_dir!r}"
+        )
     return cusum_fold_summaries(shards, group_col, "batch_id")
 
 

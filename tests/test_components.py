@@ -270,3 +270,31 @@ def test_incremental_labels_equals_converged_cc(spark):
     }
     assert set(inc) == set(full) and len(inc) > 0
     assert inc == full
+
+
+def test_incremental_labels_keeps_unreferenced_selflabel_nodes(spark):
+    """A NON-converged input label table can hold a node whose label
+    equals itself yet is referenced by no other node — its star edge
+    is a self-loop, which the propagation primitive drops.  The
+    maintenance operator must still return a row for it (coalesced to
+    its old label): silently dropping a previously-labeled node would
+    make a downstream leakage-free split fall back to a per-doc split
+    for that doc, permanently."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components
+
+    # one bounded round over edges 1-5, 2-5 yields (1,1),(5,1),(2,2):
+    # node 2 still self-labels while 5 already reached 1
+    labels = spark.createDataFrame(
+        [(1, 1), (5, 1), (2, 2)], "node long, label long"
+    )
+    # a batch that never touches node 2
+    new_edges = spark.createDataFrame(
+        [(100, 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in components.incremental_labels(labels, new_edges).collect()
+    }
+    # node 2 keeps its best-known label instead of vanishing
+    assert got[2] == 2
+    assert got == {1: 1, 5: 1, 100: 1, 2: 2}

@@ -173,3 +173,53 @@ def test_ivf_retrain_atomic_swap(spark, tmp_path):
     handle(extra, 2)
     want = _rows(assign_ivf_cluster(vecs.union(extra), new_cents))
     assert _rows(ann_index.read_ivf_index(spark, out)) == want
+
+
+def test_ivf_retrain_migrates_racing_late_shard(spark, tmp_path, monkeypatch):
+    """A writer batch that commits to the OLD epoch after retrain's
+    shard listing but before the centroid swap must not be lost: its
+    checkpoint has advanced (never replayed), so retrain migrates it —
+    re-assigned under the NEW centroids — into the new epoch before
+    deleting the old tree."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import shardstore
+
+    out = str(tmp_path / "ivf")
+    vecs = _vectors(spark)
+    cents0 = build_ivf_centroids(
+        vecs.filter(vecs.vec_id < 60), "embedding", "vec_id", k=2
+    )
+    ann_index.init_ivf_store(out, cents0)
+    handle = ann_index.make_ivf_batch_writer(out)  # store-managed
+    late = vecs.filter(vecs.vec_id >= 150)
+    handle(vecs.filter(vecs.vec_id < 100), 0)
+    handle(vecs.filter((vecs.vec_id >= 100) & (vecs.vec_id < 150)), 1)
+
+    # inject the race: the FIRST listing of epoch=0 during retrain
+    # returns the pre-commit view, and batch 2 commits to epoch=0
+    # immediately after it (the writer resolved epoch 0 pre-swap)
+    real = shardstore.active_shard_dirs
+    state = {"fired": False}
+
+    def racy(root):
+        pre = real(root)
+        if not state["fired"] and root.rstrip("/").endswith("epoch=0"):
+            state["fired"] = True
+            handle(late, 2)  # commits epoch=0/batch=2 AFTER the listing
+        return pre
+
+    monkeypatch.setattr(shardstore, "active_shard_dirs", racy)
+    stats = ann_index.retrain_ivf_index(spark, out, k=_K)
+    monkeypatch.setattr(shardstore, "active_shard_dirs", real)
+
+    assert stats["epoch"] == 1
+    assert stats["max_batch"] == 1  # the listing raced, as constructed
+    assert stats["migrated_late_shards"] == 1
+    new_cents, epoch = ann_index.read_centroids(out)
+    assert epoch == 1
+    # NOTHING lost: the index equals a batch-mode assignment of ALL
+    # ingested vectors (early + the racing late batch) under the new
+    # centroids, and the old epoch tree is gone
+    want = _rows(assign_ivf_cluster(vecs, new_cents))
+    assert _rows(ann_index.read_ivf_index(spark, out)) == want
+    assert not os.path.isdir(os.path.join(out, "epoch=0"))
+    assert os.path.isdir(os.path.join(out, "epoch=1", "batch=2"))

@@ -467,3 +467,18 @@ def test_monitor_reads_skip_partial_and_garbage_dirs(spark, tmp_path):
         map(tuple, monitor.read_merged_cusum(spark, out, "event_type").collect())
     )
     assert after == before
+
+
+def test_merged_readers_raise_clearly_on_empty_store(spark, tmp_path):
+    """An empty / not-yet-committed store must fail with a clear
+    FileNotFoundError naming the directory — matching the index
+    readers' contract — not an AttributeError on NoneType."""
+    import pytest
+
+    empty = str(tmp_path / "nothing-here")
+    with pytest.raises(FileNotFoundError, match="nothing-here"):
+        monitor.read_merged_quantiles(spark, empty, ["g"], "v")
+    with pytest.raises(FileNotFoundError, match="nothing-here"):
+        monitor.read_merged_countmin(spark, empty)
+    with pytest.raises(FileNotFoundError, match="nothing-here"):
+        monitor.read_merged_cusum(spark, empty, "g")

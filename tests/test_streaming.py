@@ -765,3 +765,38 @@ def test_novelty_index_ignores_stray_temp_dirs(spark, tmp_path):
         1,
     )
     assert corpus_ingest.read_index(spark, store.root).count() == 2
+
+
+def test_read_index_null_safe_exclusion_keeps_legacy_shards(spark, tmp_path):
+    """A store upgraded mid-stream holds PRE-batch_id-column shards
+    next to stamped ones.  read_index's replay self-exclusion filters
+    on the batch_id COLUMN — a plain `!=` evaluates to NULL on the
+    legacy rows and would silently drop the entire pre-upgrade corpus
+    from the index view on every ingest, blinding the novelty gate.
+    The exclusion must be null-safe."""
+    import os
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest
+
+    root = str(tmp_path / "corpus")
+    # a compacted upgraded store: the merged dir holds pre-upgrade
+    # rows (NULL batch_id) next to stamped ones — dir-level skipping
+    # can't apply here, so the COLUMN filter is the only guard
+    spark.createDataFrame(
+        [(1, 1111, None), (2, 2222, None), (10, 3333, 5)],
+        "doc_id long, simhash long, batch_id long",
+    ).write.parquet(
+        os.path.join(root, corpus_ingest.INDEX_DIR, "compact_upto=5")
+    )
+    # plus a raw legacy batch shard with NO batch_id column at all —
+    # the mergeSchema read must surface it as null, not drop/miss it
+    spark.createDataFrame(
+        [(3, 4444)], "doc_id long, simhash long"
+    ).write.parquet(corpus_ingest.index_shard_path(root, 6))
+
+    # replaying batch 5 post-compaction: its own fingerprints must be
+    # excluded, every legacy fingerprint must SURVIVE the exclusion
+    idx = corpus_ingest.read_index(spark, root, exclude_batch=5)
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 2, 3]
+    # no exclusion: everything is visible
+    assert corpus_ingest.read_index(spark, root).count() == 4
