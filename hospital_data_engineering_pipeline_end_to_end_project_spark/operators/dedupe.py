@@ -1158,6 +1158,7 @@ def lsh_incremental_join(
     shingle_n: int = 5,
     t_num: int = 7,
     t_den: int = 10,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Incremental (batch-vs-corpus) MinHash-LSH near-dup join — the
     shape production dedup actually runs daily: not "dedupe the
@@ -1184,12 +1185,22 @@ def lsh_incremental_join(
     pipeline: a qualifying pair missed by all bands is missed; the
     banding collision probability is the standard S-curve).
 
+    The verify side shingles only CANDIDATE corpus docs — the
+    candidate frame (batch-bounded, materialized once per
+    ``materialize_mode``) semi-prunes the corpus BEFORE the shingle
+    arrays are built, the same idiom the index-served variant uses
+    (``streaming/lsh_index.py``): verification cost is candidates x
+    doc length, never corpus x doc length.  (The corpus is still
+    scanned once for banding — that scan is the candidate generator —
+    but its heavy shingle-array build no longer runs for
+    non-candidate rows.)
+
     Returns ``(batch_doc, corpus_doc, inter_size, union_size,
     jaccard)`` — round-6 display value, integer-exact filter.
     """
     cb = minhash_bands(corpus, id_col, text_col, num_hashes, bands, shingle_n)
     bb = minhash_bands(batch, id_col, text_col, num_hashes, bands, shingle_n)
-    cand = (
+    cand = materialize(
         cb.alias("c")
         .join(
             F.broadcast(bb.alias("b")),
@@ -1200,9 +1211,15 @@ def lsh_incremental_join(
             F.col(f"b.{id_col}").alias("batch_doc"),
             F.col(f"c.{id_col}").alias("corpus_doc"),
         )
-        .distinct()
+        .distinct(),
+        materialize_mode,
     )
-    shc = corpus.select(
+    corpus_cand = corpus.join(
+        F.broadcast(cand.select(F.col("corpus_doc").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
+    shc = corpus_cand.select(
         F.col(id_col).alias("corpus_doc"),
         F.array_distinct(TX.shingles(text_col, shingle_n)).alias("__shc"),
     )
@@ -1275,7 +1292,11 @@ def tf_cosine_join(
     from candidate generation ONLY (verification recomputes ``S``
     over ALL shared terms of each candidate pair, so precision and
     scores stay exact; the documented trade is recall on pairs
-    sharing nothing but above-cap terms).
+    sharing nothing but above-cap terms).  The verification re-probe
+    reads the term frame SEMI-PRUNED to candidate docs — the inner
+    probe joins restrict to candidates anyway, so output is identical
+    by construction, but the prune keeps the shuffled frame bounded
+    by candidates' terms instead of the whole corpus vocabulary.
 
     Returns ``doc_a < doc_b, dot, norm2_a, norm2_b, cosine``.
     """
@@ -1322,7 +1343,7 @@ def tf_cosine_join(
             .select("__t")
         )
         gen = cnt.join(keep, "__t", "left_semi")
-        cand = (
+        cand = materialize(
             gen.alias("a")
             .join(gen.alias("b"), "__t")
             .filter(F.col("a.__doc") < F.col("b.__doc"))
@@ -1331,19 +1352,26 @@ def tf_cosine_join(
             )
             .distinct()
         )
+        # verification re-probe bounded to CANDIDATE docs' terms: the
+        # inner joins below restrict to candidate docs anyway (output
+        # identical by construction), but without the semi-prune each
+        # probe SHUFFLES the full (doc, term, count) frame — in the
+        # saturated-vocabulary regime (the 100x bench row) that frame
+        # is the cost center, while candidates' terms stay bounded by
+        # the cap's pruning
+        probe_a = cnt.join(
+            F.broadcast(cand.select(F.col("doc_a").alias("__doc")).distinct()),
+            "__doc",
+            "left_semi",
+        ).select(F.col("__doc").alias("doc_a"), "__t", F.col("__c").alias("__ca"))
+        probe_b = cnt.join(
+            F.broadcast(cand.select(F.col("doc_b").alias("__doc")).distinct()),
+            "__doc",
+            "left_semi",
+        ).select(F.col("__doc").alias("doc_b"), "__t", F.col("__c").alias("__cb"))
         dot = (
-            cand.join(
-                cnt.select(
-                    F.col("__doc").alias("doc_a"), "__t", F.col("__c").alias("__ca")
-                ),
-                "doc_a",
-            )
-            .join(
-                cnt.select(
-                    F.col("__doc").alias("doc_b"), "__t", F.col("__c").alias("__cb")
-                ),
-                ["doc_b", "__t"],
-            )
+            cand.join(probe_a, "doc_a")
+            .join(probe_b, ["doc_b", "__t"])
             .groupBy("doc_a", "doc_b")
             .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__s"))
         )

@@ -257,10 +257,16 @@ def test_pagerank_iterations_are_equi_joins(plans):
 def test_lsh_incremental_join_never_shuffles_for_joins(plans):
     # q139's 100 TB claim: the batch side (bands AND shingle sets) is
     # broadcast, so the corpus is only ever scanned and map-side
-    # probed — a sort-merge join would mean the corpus shuffled
+    # probed — a sort-merge join would mean the corpus shuffled.
+    # (The band join itself sits behind the materialized candidate
+    # frame; the visible plan is the verify stage.)
     p = plans["q139_lsh_incremental_join"]
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2
+    # the corpus's shingle-array build sits ABOVE a candidate
+    # semi-join: only candidate docs are ever shingled for
+    # verification (the streaming lsh_index idiom)
+    assert "LeftSemi" in p
 
 
 def test_tf_cosine_join_uncapped_single_pass(plans):
