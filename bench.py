@@ -147,6 +147,10 @@ HEADLINE = [
     "q141_incremental_labels",
     "q142_leakage_free_split",
     "q143_repeated_spans",
+    # round-12 additions
+    "q144_lsh_index_served_join",
+    "q145_span_index_served_join",
+    "q146_image_dhash_pairs",
 ]
 
 

@@ -654,3 +654,247 @@ def video_frame_dims(media: DataFrame, sample_every: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(_frames, schema=VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing — dHash over DECODED PIXELS, the
+# cross-modality dedup tier: near-duplicate images collide under a
+# banded Hamming join exactly like near-duplicate texts do under
+# SimHash (operators/dedupe.simhash_near_dups)
+# ---------------------------------------------------------------------------
+
+PGM_MIME = "image/x-portable-graymap"
+
+#: dHash geometry: a 9x8 grayscale grid yields 8 row-adjacent
+#: comparisons per row x 8 rows = 64 bits, carried as FOUR 16-bit
+#: band integers (two grid rows per band) — the banded form is what
+#: both the candidate join and the exact Hamming verify consume, and
+#: it sidesteps int64 sign pitfalls in cross-engine replay entirely
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+DHASH_BANDS = 4
+
+_PGM_HEADER = f"P5\n{DHASH_GRID_W} {DHASH_GRID_H}\n255\n".encode()
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("b0", T.LongType(), True),
+        T.StructField("b1", T.LongType(), True),
+        T.StructField("b2", T.LongType(), True),
+        T.StructField("b3", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_minhash_pgm(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL grayscale thumbnails from document text,
+    built entirely with Column expressions (keyed md5 / array_min /
+    hex / unhex — JVM-side, a pure projection, no shuffle): pixel
+    ``i`` of the 9x8 grid is a uniform byte of the doc's ``i``-th
+    MinHash coordinate — ``min over distinct tokens of
+    md5(i || '|' || token)`` (the engine's established min-wise
+    permutation family, ``functions/text.py:minhash_signature``),
+    taking a LOW hex slice of the winning hash so the byte stays
+    uniform on [0, 255] instead of concentrating like the min's
+    magnitude does.  Serialized as a spec-correct binary PGM
+    (``P5`` header + raster).
+
+    The sketch rendering gives the downstream perceptual hash the
+    statistics dHash needs: by the MinHash property two documents
+    agree on each pixel with probability = their token-set Jaccard,
+    so near-duplicate texts produce near-identical images (J = 0.97
+    -> ~2 of 72 pixels differ) while unrelated documents get
+    independent uniform pixels — expected dHash Hamming distance 32,
+    essentially never within banding range by chance.  (First cut
+    rendered a 72-bucket token-count histogram: this fixture's shared
+    vocabulary made those images collide — ~18% of ALL doc pairs
+    under Hamming 3 — because most buckets tie at small counts.)
+    Exactly replayable by a SQL oracle (no external codec in the
+    loop; the container has no PIL/ffmpeg — the decode side parses
+    the PGM with stdlib only, the registry contract of this module).
+    Documents with no tokens render the all-zero (flat black)
+    thumbnail, dHash 0 — the standard flat-image degeneracy of dHash,
+    kept rather than hidden.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+
+    n_px = DHASH_GRID_W * DHASH_GRID_H
+    idc = F.col(id_col).cast("long")
+
+    def keyed_hash(i: int):
+        # closure factory (the functions/text.py idiom): a default-arg
+        # lambda would make PySpark pass the array index as a second
+        # parameter
+        prefix = f"{i}|"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    def pixel(dt, i: int):
+        # lexicographic min of the keyed hex = min-wise permutation i;
+        # hex chars 17-18 of the winner are uniform bytes; empty docs
+        # fall through NULL to 0 (every step total)
+        return F.coalesce(
+            F.conv(
+                F.substring(F.array_min(F.transform(dt, keyed_hash(i))), 17, 2),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(0),
+        )
+
+    # bind the distinct-token array as a lambda variable so the 72
+    # pixel expressions share ONE evaluation (the CollapseProject
+    # re-evaluation trap: a multi-referenced expensive array column is
+    # otherwise inlined once per reference)
+    pixels = F.element_at(
+        F.transform(
+            F.array(F.array_distinct(TX.tokens(text_col))),
+            lambda dt: F.array(*[pixel(dt, i) for i in range(n_px)]),
+        ),
+        1,
+    )
+    raster_hex = F.array_join(
+        F.transform(pixels, lambda p: F.lpad(F.hex(p), 2, "0")), ""
+    )
+    payload = F.concat(
+        F.unhex(F.lit(_PGM_HEADER.hex())), F.unhex(raster_hex)
+    )
+    return docs.select(
+        idc.alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(PGM_MIME).alias("mime"),
+            F.lit("synthetic-minhash-sketch").alias("source"),
+            F.length(payload).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+def pgm_decoder(b: bytes) -> dict:
+    """Stdlib binary-PGM decode: parse the ``P5`` header, return
+    ``{width, height, pixels}`` (raster bytes, row-major).  Raises on
+    anything malformed — the registry contract maps that to
+    ``decode_ok = false`` per row."""
+    import re
+
+    m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+    if m is None:
+        raise ValueError("not a binary PGM")
+    w, h, maxval = (int(g) for g in m.groups())
+    raster = b[m.end() :]
+    if maxval > 255 or len(raster) != w * h:
+        raise ValueError("unsupported or truncated PGM raster")
+    return {"width": w, "height": h, "pixels": raster}
+
+
+register_decoder(PGM_MIME, pgm_decoder)
+
+
+def dhash_bands_from_pgm(media: DataFrame) -> DataFrame:
+    """Arrow-batched dHash over DECODED pixels: parse each payload's
+    PGM raster (a real bytes->pixels decode, not a header peek) and
+    emit the 64-bit difference hash as four 16-bit band integers —
+    band ``j`` covers grid rows ``2j`` and ``2j+1``, bit
+    ``(r % 2) * 8 + c`` set when ``pixel[r][c] > pixel[r][c+1]``.
+
+    Per-row failure contract as everywhere in this module: a corrupt
+    or wrong-geometry payload yields ``decode_ok = false`` with null
+    bands, never a stage failure."""
+
+    def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, bands = [], [[], [], [], []]
+            for payload in pdf["payload"]:
+                try:
+                    d = pgm_decoder(bytes(payload))
+                    if d["width"] != DHASH_GRID_W or d["height"] != DHASH_GRID_H:
+                        raise ValueError("wrong dHash grid geometry")
+                except Exception:
+                    ok.append(False)
+                    for j in range(DHASH_BANDS):
+                        bands[j].append(None)
+                    continue
+                px = d["pixels"]
+                ok.append(True)
+                for j in range(DHASH_BANDS):
+                    v = 0
+                    for rr in range(2):
+                        row = (2 * j + rr) * DHASH_GRID_W
+                        for c in range(DHASH_GRID_W - 1):
+                            if px[row + c] > px[row + c + 1]:
+                                v |= 1 << (rr * 8 + c)
+                    bands[j].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "decode_ok": ok,
+                    "b0": pd.array(bands[0], dtype="Int64"),
+                    "b1": pd.array(bands[1], dtype="Int64"),
+                    "b2": pd.array(bands[2], dtype="Int64"),
+                    "b3": pd.array(bands[3], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_dh, schema=DHASH_SCHEMA)
+
+
+def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming self-join over dHash values — the perceptual
+    counterpart of ``dedupe.simhash_near_dups``, pigeonhole-EXACT for
+    the default threshold: two hashes within Hamming distance 3
+    differ in at most 3 of the 4 bands, so at least one band matches
+    bit-for-bit and the band equi-join's candidate set is COMPLETE
+    (``max_hamming`` above ``DHASH_BANDS - 1`` would make banding
+    lossy and raises instead).
+
+    Verification is exact integer work: ``sum over bands of
+    bit_count(xor)``.  Returns ``(doc_a < doc_b, hamming)``.
+    """
+    if max_hamming >= DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"with {DHASH_BANDS} bands (needs max_hamming < bands)"
+        )
+    h = hashes.filter(F.col("decode_ok"))
+    bands = h.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_id", "band_val"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = h.select(
+        F.col("media_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"__x{j}") for j in range(DHASH_BANDS)],
+    )
+    y = h.select(
+        F.col("media_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"__y{j}") for j in range(DHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"__x{j}").bitwiseXOR(F.col(f"__y{j}")))
+        for j in range(DHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -47,6 +47,7 @@ def _modules():
     # in every pytest run.
     mods = []
     for name in (
+        "wave12",
         "wave11",
         "wave10",
         "corpus_ops",
@@ -125,11 +126,95 @@ def _modules():
 #: stays attested end-to-end by tests/test_oracle_parity.py at
 #: sf0.001 and the 50-window at sf0.01 by
 #: tests/test_gate_scale_parity.py in every pytest run.
+#: ROUND 12 window (exactly 50 names), executing the r11 verdict's
+#: rotation plan verbatim:
+#:   1. q87/q88 FIRST — the only three-round-old rows (displaced by
+#:      the late r11 arrivals; the one-round debt closes here);
+#:   2. q144-q146 — the r12 arrivals (index-served incremental LSH
+#:      join, index-served span extraction, perceptual image dHash
+#:      dedup), in-window on arrival;
+#:   3. every query whose backing code changed in r12: q139
+#:      (lsh_incremental_join verify-side candidate semi-prune), q140
+#:      (tf_cosine_join capped-path re-probe semi-prune), q141
+#:      (incremental_labels non-converged-input node retention +
+#:      mirrored oracle);
+#:   4. 42 of the 43 r09-vintage rows (q100-q108, q111-q113, q115,
+#:      q117-q119, q121-q123, q125, q26, q28, q31, q49, q51, q52,
+#:      q61, q70, q79, q83-q86, q89, q90, q93-q99) — exactly the
+#:      cohort the r11 verdict names, code unchanged since r9
+#:      (judge-verified r10 + r11 diffs), officially re-attested
+#:      here.  The 50-slot cut leaves ONE r09 row out:
+#:      q46_top_words_per_lang (code unchanged; the accepted
+#:      one-round trade) — PINNED FIRST in the r13 plan below.
+#: After this round the freshest-row ledger reads: 50 r12 + 47 r10 +
+#: 48 r11 + 1 r09 (q46).  R13 ROTATION PLAN: pin q46 first, then
+#: r13-changed code + new arrivals, then the 47 r10-vintage rows
+#: (the r10 window minus rows since re-attested), then the aging r11
+#: window.  The full catalog stays attested end-to-end by
+#: tests/test_oracle_parity.py at sf0.001 and the 50-window at
+#: sf0.01 by tests/test_gate_scale_parity.py in every pytest run.
 _GATE_FRONT = (
-    "q138_winnowing_pairs",
+    "q87_bm25_topk",
+    "q88_semantic_dedup",
+    "q144_lsh_index_served_join",
+    "q145_span_index_served_join",
+    "q146_image_dhash_pairs",
     "q139_lsh_incremental_join",
     "q140_tf_cosine_join",
     "q141_incremental_labels",
+    "q100_cheapest_regional_supplier",
+    "q101_sole_late_supplier",
+    "q102_video_frame_sample",
+    "q103_mergeable_sketches",
+    "q104_passage_dup_coverage",
+    "q105_containment_pairs",
+    "q106_sketch_overlap",
+    "q107_contamination_scrub",
+    "q108_shuffled_export",
+    "q111_int8_sdc_topk",
+    "q112_quantile_sketches",
+    "q113_time_weighted_avg",
+    "q115_ols_trend",
+    "q117_robust_outliers",
+    "q118_binary_hamming_topk",
+    "q119_jl_projection",
+    "q121_copurchase_lift",
+    "q122_countmin_heavy",
+    "q123_pagerank",
+    "q125_salted_topk",
+    "q26_jaccard_pairs",
+    "q28_cosine_topk",
+    "q31_embedding_near_dups",
+    "q49_sketch_stats",
+    "q51_group_cap",
+    "q52_pack_sequences",
+    "q61_dup_clusters",
+    "q70_dedup_canonical",
+    "q79_corpus_prep_pipeline",
+    "q83_cluster_sizes",
+    "q84_decoded_media",
+    "q85_image_header_decode",
+    "q86_simhash_near_dups",
+    "q89_quality_filter",
+    "q90_zorder_roundtrip",
+    "q93_multi_signal_clusters",
+    "q94_temperature_resample",
+    "q95_boilerplate_stats",
+    "q96_source_divergence",
+    "q97_novelty_filter",
+    "q98_audio_frame_energy",
+    "q99_triangle_counts",
+)
+
+#: Queries demoted to the BACK of the catalog (outside the window):
+#: only ever queries whose code is UNCHANGED this round and whose
+#: official row is freshest-available — the full r10 window (r10
+#: rows, one round old) plus the r09-fresh families not yet due for
+#: rotation.  With the front pinning a full 50-slot window the back
+#: list is belt-and-suspenders against a renamed front entry letting
+#: a fresh-rowed query drift into the window.
+_GATE_BACK = (
+    "q138_winnowing_pairs",
     "q142_leakage_free_split",
     "q143_repeated_spans",
     "q20_exact_dup_groups",
@@ -176,16 +261,7 @@ _GATE_FRONT = (
     "q58_quantize_embeddings",
     "q59_pit_join",
     "q60_cdc_orders",
-)
-
-#: Queries demoted to the BACK of the catalog (outside the window):
-#: only ever queries whose code is UNCHANGED this round and whose
-#: official row is freshest-available — the full r10 window (r10
-#: rows, one round old) plus the r09-fresh families not yet due for
-#: rotation.  With the front pinning a full 50-slot window the back
-#: list is belt-and-suspenders against a renamed front entry letting
-#: a fresh-rowed query drift into the window.
-_GATE_BACK = (
+    "q46_top_words_per_lang",
     "q126_hamming_rerank_topk",
     "q127_bigram_fluency",
     "q128_label_propagation",
@@ -234,32 +310,6 @@ _GATE_BACK = (
     "q91_event_funnel",
     "q92_retention_cohorts",
     "q01_pricing_summary",
-    "q87_bm25_topk",
-    "q88_semantic_dedup",
-    "q94_temperature_resample",
-    "q95_boilerplate_stats",
-    "q96_source_divergence",
-    "q97_novelty_filter",
-    "q98_audio_frame_energy",
-    "q99_triangle_counts",
-    "q102_video_frame_sample",
-    "q103_mergeable_sketches",
-    "q104_passage_dup_coverage",
-    "q105_containment_pairs",
-    "q106_sketch_overlap",
-    "q107_contamination_scrub",
-    "q108_shuffled_export",
-    "q111_int8_sdc_topk",
-    "q112_quantile_sketches",
-    "q113_time_weighted_avg",
-    "q115_ols_trend",
-    "q117_robust_outliers",
-    "q118_binary_hamming_topk",
-    "q119_jl_projection",
-    "q121_copurchase_lift",
-    "q122_countmin_heavy",
-    "q123_pagerank",
-    "q125_salted_topk",
 )
 
 

@@ -1,0 +1,295 @@
+"""Round-12 query wave (q144-q146).
+
+- q144 index-served incremental LSH join — q139's daily near-dup
+  join answered FROM materialized band shards: the query builds the
+  corpus's LSH band index as three per-batch shards, compacts them
+  (the full shard lifecycle: write -> compact -> serve), and probes
+  with the arriving batch via
+  ``streaming/lsh_index.incremental_join_against_index`` — the
+  "build once, probe many" path a production corpus service actually
+  runs.  The oracle replays the RECOMPUTING construction (banding
+  both sides + exact integer-thresholded verification), so the hash
+  gate pins index-served ≡ recomputed.
+- q145 index-served incremental span extraction — the same lifecycle
+  for the winnowing fingerprint posting index
+  (``streaming/span_index.incremental_spans_against_index``): exact
+  repeated spans between the batch and the INDEXED corpus, candidates
+  from stored postings, positional stage-2 only over candidate docs.
+  Oracle replays the two-stage recompute restricted to batch-vs-corpus
+  pairs.
+- q146 perceptual image dedup — the cross-modality tier: documents
+  rendered as deterministic 9x8 grayscale token-histogram thumbnails
+  (REAL binary PGM payloads, Column-expression synthesis), dHash
+  computed from the DECODED raster bytes (Arrow-batched
+  ``mapInPandas``), near-duplicate pairs from a banded Hamming join
+  that is pigeonhole-exact at the gated threshold.  The oracle
+  replays synthesis + hash + banding + verification as pure integer
+  SQL.
+
+Both index-served queries use a doc_id % 13 batch split (distinct
+from q139/q141's % 17) so their gated row sets are not copies of the
+recomputing queries' rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave11 import (
+    _MA,
+    _MB,
+    _MP,
+    _Q138_K,
+    _Q138_W,
+    TOKS_SQL,
+)
+from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import lsh_index, span_index
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: batch split for the index-served queries: ~7.7% of the corpus
+_BATCH_MOD = 13
+
+#: index build: the corpus arrives as this many per-batch shards
+_N_INDEX_BATCHES = 3
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % _BATCH_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _BATCH_MOD == 0)
+    return corpus, batch
+
+
+def _fresh_store(tag: str, sf_dir: str) -> str:
+    """Per-(query, sf) scratch store, wiped before each build so a
+    re-invocation never reads a stale compaction of a prior run."""
+    root = scratch_path(tag, os.path.basename(os.path.normpath(sf_dir)), "idx")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# q144 — incremental LSH near-dup join served from the band index
+# ---------------------------------------------------------------------------
+
+_Q144_T = (7, 10)
+
+
+def q144_lsh_index_served_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, batch = _split(spark, sf_dir)
+    root = _fresh_store("q144", sf_dir)
+    writer = lsh_index.make_lsh_batch_writer(root)
+    for b in range(_N_INDEX_BATCHES):
+        writer(corpus.filter(F.col("doc_id") % _N_INDEX_BATCHES == b), b)
+    # full lifecycle on the gated path: the probe reads the COMPACTED
+    # store, not the raw batch shards
+    lsh_index.compact_lsh_shards(spark, root)
+    return lsh_index.incremental_join_against_index(
+        spark, root, corpus, batch, "doc_id", "text",
+        t_num=_Q144_T[0], t_den=_Q144_T[1],
+    )
+
+
+Q144_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, [array_to_string(t[i+1:i+5], ' ') FOR i IN range(len(t) - 4)] AS sh
+  FROM toks WHERE len(t) >= 5
+),
+shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh0),
+hv AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MP} FOR s IN sh] AS hs
+  FROM shd
+),
+sigs AS (
+  SELECT doc_id,
+         [list_aggregate([({_MA}[j+1] * h + {_MB}[j+1]) % {_MP} FOR h IN hs],
+                         'min') FOR j IN range(8)] AS sig
+  FROM hv
+),
+bnd AS (
+  SELECT doc_id, band_id,
+         md5(CAST(band_id AS VARCHAR) || '|' || CAST(sig[2*band_id + 1] AS VARCHAR)
+             || '|' || CAST(sig[2*band_id + 2] AS VARCHAR)) AS band_hash
+  FROM sigs, (SELECT unnest(range(4)) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+  FROM bnd b JOIN bnd c
+    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+  WHERE b.doc_id % {_BATCH_MOD} = 0 AND c.doc_id % {_BATCH_MOD} <> 0
+),
+ver AS (
+  SELECT cand.batch_doc, cand.corpus_doc,
+         len(list_intersect(sb.sh, sc.sh)) AS inter_size,
+         len(sb.sh) AS nb, len(sc.sh) AS nc
+  FROM cand
+  JOIN shd sb ON sb.doc_id = cand.batch_doc
+  JOIN shd sc ON sc.doc_id = cand.corpus_doc
+)
+SELECT batch_doc, corpus_doc,
+       CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(nb + nc - inter_size AS BIGINT) AS union_size,
+       round(CAST(inter_size AS DOUBLE) / (nb + nc - inter_size), 6) AS jaccard
+FROM ver
+WHERE ({_Q144_T[1]} + {_Q144_T[0]}) * inter_size >= {_Q144_T[0]} * (nb + nc)
+"""
+
+QUERIES["q144_lsh_index_served_join"] = q144_lsh_index_served_join
+ORACLES["q144_lsh_index_served_join"] = Q144_SQL
+
+
+# ---------------------------------------------------------------------------
+# q145 — incremental repeated-span extraction served from the
+# winnowing fingerprint posting index
+# ---------------------------------------------------------------------------
+
+_Q145_MIN_SPAN = _Q138_W + _Q138_K - 1  # the winnowing guarantee bound
+
+
+def q145_span_index_served_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, batch = _split(spark, sf_dir)
+    root = _fresh_store("q145", sf_dir)
+    writer = span_index.make_span_batch_writer(root, k=_Q138_K, w=_Q138_W)
+    for b in range(_N_INDEX_BATCHES):
+        writer(corpus.filter(F.col("doc_id") % _N_INDEX_BATCHES == b), b)
+    span_index.compact_span_shards(spark, root)
+    return span_index.incremental_spans_against_index(
+        spark, root, corpus, batch, "doc_id", "text",
+        k=_Q138_K, w=_Q138_W, min_span=_Q145_MIN_SPAN,
+    )
+
+
+Q145_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+hv AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(array_to_string(t[i:i+{_Q138_K - 1}], ' ')), 1, 15) AS BIGINT)
+          FOR i IN range(1, len(t) - {_Q138_K - 1} + 1)] AS hs
+  FROM toks WHERE len(t) >= {_Q138_K}
+),
+win AS (SELECT doc_id, hs, len(hs) AS nh FROM hv WHERE len(hs) >= {_Q138_W}),
+sel AS (
+  SELECT doc_id,
+         list_distinct([hs[j + {_Q138_W} - list_position(list_reverse(hs[j:j+{_Q138_W - 1}]),
+                                                         list_min(hs[j:j+{_Q138_W - 1}]))]
+                        FOR j IN range(1, nh - {_Q138_W} + 2)]) AS fps
+  FROM win
+),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+  FROM ex a JOIN ex b ON a.fp = b.fp
+  WHERE a.doc_id % {_BATCH_MOD} = 0 AND b.doc_id % {_BATCH_MOD} <> 0
+),
+p2 AS (
+  SELECT doc_id, unnest([{{'p': i, 'h': hs[i]}} FOR i IN range(1, len(hs) + 1)]) AS ph
+  FROM hv
+),
+pos AS (SELECT doc_id, ph.p AS pos, ph.h AS h FROM p2),
+m AS (
+  SELECT pr.batch_doc, pr.corpus_doc, a.pos AS pa, b.pos AS pb
+  FROM pairs pr
+  JOIN pos a ON a.doc_id = pr.batch_doc
+  JOIN pos b ON b.doc_id = pr.corpus_doc AND b.h = a.h
+),
+r AS (
+  SELECT batch_doc, corpus_doc, pa - pb AS delta, pa, pb,
+         pa - row_number() OVER (PARTITION BY batch_doc, corpus_doc, pa - pb
+                                 ORDER BY pa) AS isl
+  FROM m
+),
+runs AS (
+  SELECT batch_doc, corpus_doc, min(pa) AS sa, min(pb) AS sb, count(*) AS len
+  FROM r GROUP BY batch_doc, corpus_doc, delta, isl
+)
+SELECT batch_doc, corpus_doc,
+       CAST(sa AS BIGINT) AS start_batch,
+       CAST(sb AS BIGINT) AS start_corpus,
+       CAST(len + {_Q138_K - 1} AS BIGINT) AS span_tokens
+FROM runs
+WHERE len >= {_Q145_MIN_SPAN - _Q138_K + 1}
+"""
+
+QUERIES["q145_span_index_served_join"] = q145_span_index_served_join
+ORACLES["q145_span_index_served_join"] = Q145_SQL
+
+
+# ---------------------------------------------------------------------------
+# q146 — perceptual image dedup (dHash over decoded thumbnails)
+# ---------------------------------------------------------------------------
+
+_Q146_MAX_HAMMING = 3
+_Q146_NPX = multimodal.DHASH_GRID_W * multimodal.DHASH_GRID_H
+
+
+def q146_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the synthesis is a heavy md5 projection (72 keyed hashes per
+    # distinct token) and the table is a single parquet file at bench
+    # SFs — balance it across cores before the per-row work
+    media = multimodal.synthesize_minhash_pgm(fan_out(d), "doc_id", "text")
+    hashes = multimodal.dhash_bands_from_pgm(media)
+    return multimodal.dhash_near_dups(hashes, max_hamming=_Q146_MAX_HAMMING)
+
+
+Q146_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+dt AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+pxl AS (
+  SELECT doc_id,
+         [coalesce(CAST('0x' || substr(
+             list_min([md5(CAST(i AS VARCHAR) || '|' || tok) FOR tok IN dt]),
+             17, 2) AS BIGINT), 0)
+          FOR i IN range({_Q146_NPX})] AS px
+  FROM dt
+),
+bands AS (
+  SELECT doc_id, band_id,
+         coalesce(sum(CASE WHEN px[(2*band_id + b//8)*{multimodal.DHASH_GRID_W} + (b%8) + 1]
+                            > px[(2*band_id + b//8)*{multimodal.DHASH_GRID_W} + (b%8) + 2]
+                      THEN CAST(1 AS BIGINT) << b END), 0) AS bv
+  FROM pxl
+  CROSS JOIN (SELECT unnest(range({multimodal.DHASH_BANDS})) AS band_id)
+  CROSS JOIN (SELECT unnest(range(16)) AS b)
+  GROUP BY doc_id, band_id
+),
+bv4 AS (
+  SELECT doc_id,
+         max(CASE WHEN band_id = 0 THEN bv END) AS b0,
+         max(CASE WHEN band_id = 1 THEN bv END) AS b1,
+         max(CASE WHEN band_id = 2 THEN bv END) AS b2,
+         max(CASE WHEN band_id = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+         AS hamming
+FROM cand
+JOIN bv4 x ON x.doc_id = doc_a
+JOIN bv4 y ON y.doc_id = doc_b
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+   <= {_Q146_MAX_HAMMING}
+"""
+
+QUERIES["q146_image_dhash_pairs"] = q146_image_dhash_pairs
+ORACLES["q146_image_dhash_pairs"] = Q146_SQL

@@ -886,6 +886,90 @@ def main() -> None:
         out["q140_capped_base_sec"] = b140
         out["q140_capped_scaled_sec"] = s140
         out["q140_capped_growth_ratio"] = round(s140 / b140, 2)
+    if family == "lifecycle":
+        # the COMPOSED incremental path, per-batch wall-clock: novelty
+        # gate -> index-served incremental LSH join -> incremental
+        # label maintenance -> leakage-free split refresh, over 4
+        # arriving batches (tests/test_lifecycle_e2e.py pins the
+        # composition row-equal to the from-scratch derivation; this
+        # family measures what a nightly run of it costs).  Per-batch
+        # cost ∝ batch + label table + candidates — never the
+        # accumulated corpus text, which is exactly the claim being
+        # measured.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components, dataprep, dedupe
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest, lsh_index
+
+        def run_lifecycle(dirpath: str, tag: str) -> dict:
+            root = scratch_path("lifecycle", tag, "store")
+            shutil.rmtree(root, ignore_errors=True)
+            d = spark.read.parquet(
+                os.path.join(dirpath, "documents.parquet")
+            ).select("doc_id", "text")
+            store = SilverStore(spark, os.path.join(root, "corpus"))
+            ingest = corpus_ingest.make_novelty_batch_ingestor(store)
+            lsh_dir = os.path.join(root, "lsh_idx")
+            writer = lsh_index.make_lsh_batch_writer(lsh_dir)
+            labels = spark.createDataFrame([], "node long, label long")
+            accepted = []
+            per_batch = []
+            n_batches = 4
+            for b in range(n_batches):
+                t0 = time.monotonic()
+                batch = d.filter(F.col("doc_id") % n_batches == b)
+                ingest(batch, b)
+                adm = spark.read.parquet(
+                    corpus_ingest.accepted_batch_path(store.root, b)
+                ).select("doc_id", "text")
+                edges = (
+                    dedupe.lsh_incremental_join(adm, adm, "doc_id", "text")
+                    .filter(F.col("batch_doc") < F.col("corpus_doc"))
+                    .select(
+                        F.col("batch_doc").alias("id_a"),
+                        F.col("corpus_doc").alias("id_b"),
+                    )
+                )
+                if accepted:
+                    corpus_texts = accepted[0]
+                    for a in accepted[1:]:
+                        corpus_texts = corpus_texts.union(a)
+                    cross = lsh_index.incremental_join_against_index(
+                        spark, lsh_dir, corpus_texts, adm
+                    ).select(
+                        F.col("batch_doc").alias("id_a"),
+                        F.col("corpus_doc").alias("id_b"),
+                    )
+                    edges = edges.union(cross)
+                labels = components.incremental_labels(
+                    labels, edges, rounds=8
+                ).localCheckpoint()
+                writer(adm, b)
+                accepted.append(adm)
+                corpus = accepted[0]
+                for a in accepted[1:]:
+                    corpus = corpus.union(a)
+                dataprep.leakage_free_split(corpus, labels, "doc_id").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                per_batch.append(round(time.monotonic() - t0, 2))
+            n_acc = sum(a.count() for a in accepted)
+            return {
+                "per_batch_sec": per_batch,
+                "total_sec": round(sum(per_batch), 2),
+                "admitted_docs": int(n_acc),
+            }
+
+        base = run_lifecycle(SF_DIR, "base")
+        scaled = run_lifecycle(scaled_dir, "scaled")
+        out["lifecycle_base"] = base
+        out["lifecycle_scaled"] = scaled
+        out["lifecycle_growth_ratio"] = round(
+            scaled["total_sec"] / base["total_sec"], 2
+        )
     if family == "deeptpch":
         # fact-table axis two orders up: 100x lineitem (~60M rows) /
         # orders (~15M) over the fixed dim catalog — the axis that
