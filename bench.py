@@ -151,6 +151,7 @@ HEADLINE = [
     "q144_lsh_index_served_join",
     "q145_span_index_served_join",
     "q146_image_dhash_pairs",
+    "q147_audio_segment_pairs",
 ]
 
 

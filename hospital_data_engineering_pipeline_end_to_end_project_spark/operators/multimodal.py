@@ -898,3 +898,163 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio segment dedup — energy-gram fingerprints over DECODED PCM,
+# the audio leg of the cross-modality tier: shared audio SEGMENTS
+# surface exactly like q143's repeated text spans (positional gram
+# match + maximal diagonal runs), but the grams are frame energies
+# computed from real RIFF/PCM bytes
+# ---------------------------------------------------------------------------
+
+#: one synthesized frame per token: 16 samples at 16 kHz — so a frame
+#: index IS a token position and a shared token run IS a shared audio
+#: segment
+SPEECH_SAMPLES_PER_TOKEN = 16
+
+
+def synthesize_speech_wav(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL 16-bit mono PCM WAV payloads from document
+    TEXT — the speech-shaped sibling of :func:`synthesize_wav_media`
+    (which derives its waveform from the id alone): each token
+    contributes ``SPEECH_SAMPLES_PER_TOKEN`` samples whose u16 values
+    are ``(md5_u16(token) + 7*j) % 65536`` — a closed form of the
+    token STRING and the within-token sample index only, so the same
+    token always renders the same 16-sample chunk wherever it occurs
+    and in whichever document.  Near-duplicate texts therefore
+    produce waveforms that are byte-identical along every shared
+    token run — the property the audio segment matcher exploits —
+    while the RIFF/WAVE container stays spec-correct (fmt PCM, mono,
+    16 kHz, 16-bit; all sizes little-endian) and fully
+    Column-expression built.  Empty documents render a valid
+    zero-sample WAV."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+
+    idc = F.col(id_col).cast("long")
+    toks = TX.tokens(text_col)
+    u16 = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+
+    def tok_hex(t):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SPEECH_SAMPLES_PER_TOKEN - 1)),
+                lambda j: _le_hex((u16(t) + 7 * j) % 65536, 4),
+            ),
+            "",
+        )
+
+    samples_hex = F.array_join(F.transform(toks, tok_hex), "")
+    n = (F.size(toks) * SPEECH_SAMPLES_PER_TOKEN).cast("long")
+    data_size = (n * 2).cast("long")
+    riff_size = (data_size + 36).cast("long")
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),            # "RIFF"
+            _le_hex(riff_size, 8),
+            F.lit("57415645"),            # "WAVE"
+            F.lit("666d7420" "10000000"),  # "fmt ", size 16
+            F.lit("0100" "0100" "803e0000" "007d0000" "0200" "1000"),
+            F.lit("64617461"),            # "data"
+            _le_hex(data_size, 8),
+            samples_hex,
+        )
+    )
+    return docs.select(
+        idc.alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit("synthetic-speech").alias("source"),
+            F.length(payload).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+def audio_segment_pairs(
+    media: DataFrame,
+    *,
+    k: int = 4,
+    min_frames: int = 8,
+    frame_samples: int = SPEECH_SAMPLES_PER_TOKEN,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared audio SEGMENTS across documents — the Shazam-shaped
+    dedup primitive: fingerprint every ``k`` consecutive frame
+    energies (an exact positional gram over the decoded PCM), match
+    grams across documents, and extract maximal runs of consecutive
+    matches via the diagonal identity
+    (:func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.dedupe.diagonal_spans`
+    — the same second stage as the repeated-text-span operator, with
+    audio frames in place of token k-grams).
+
+    The frame energies come from :func:`audio_frame_energy`'s REAL
+    decode (RIFF walk + int16 PCM reinterpretation, Arrow-batched),
+    so the pipeline is bytes -> pixels^W samples -> features -> join,
+    never a shortcut around the binary payload.  Completeness is
+    trivial (ALL grams are posted — any shared segment >= ``k``
+    frames shares a gram); ``max_df`` is the boilerplate escape for
+    corpora with globally-ubiquitous segments (jingles, silence),
+    dropping above-cap grams from candidate generation exactly like
+    the span operator's knob; at index scale the winnowing selection
+    of ``streaming/span_index.py`` applies to these fingerprints
+    verbatim.
+
+    Returns ``(doc_a < doc_b, start_a, start_b, seg_frames)`` —
+    1-based frame offsets, maximal-run lengths >= ``min_frames``.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    if min_frames < k:
+        raise ValueError(f"min_frames={min_frames} below the gram size k={k}")
+    frames = audio_frame_energy(media, frame_samples=frame_samples)
+    seq = (
+        frames.groupBy("media_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_id", "energy"))),
+                lambda x: x["energy"],
+            ).alias("__e")
+        )
+        .filter(F.size("__e") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__e") - (k - 1)),
+        lambda i: F.md5(
+            F.array_join(
+                F.transform(F.slice("__e", i, k), lambda v: v.cast("string")),
+                "|",
+            )
+        ),
+    )
+    pos = seq.select(
+        "media_id", F.posexplode(grams).alias("__p0", "__h")
+    ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    if max_df is not None:
+        keep = (
+            pos.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__h")
+        )
+        pos = pos.join(keep, "__h", "left_semi")
+    a = pos.select(
+        F.col("media_id").alias("doc_a"), F.col("__pos").alias("__pa"), "__h"
+    )
+    b = pos.select(
+        F.col("media_id").alias("doc_b"), F.col("__pos").alias("__pb"), "__h"
+    )
+    m = a.join(b, "__h").filter(F.col("doc_a") < F.col("doc_b"))
+    return dedupe.diagonal_spans(
+        m,
+        "doc_a",
+        "doc_b",
+        "__pa",
+        "__pb",
+        k=k,
+        min_run=min_frames - k + 1,
+        out_left="start_a",
+        out_right="start_b",
+    ).withColumnRenamed("span_tokens", "seg_frames")

@@ -145,9 +145,13 @@ def _modules():
 #:      (judge-verified r10 + r11 diffs), officially re-attested
 #:      here.  The 50-slot cut leaves ONE r09 row out:
 #:      q46_top_words_per_lang (code unchanged; the accepted
-#:      one-round trade) — PINNED FIRST in the r13 plan below.
+#:      one-round trade), and the late q147 arrival (audio segment
+#:      dedup — in-window on arrival, outranking filler) displaces a
+#:      second one: q49_sketch_stats — BOTH PINNED FIRST in the r13
+#:      plan below.
 #: After this round the freshest-row ledger reads: 50 r12 + 47 r10 +
-#: 48 r11 + 1 r09 (q46).  R13 ROTATION PLAN: pin q46 first, then
+#: 48 r11 + 2 r09 (q46, q49).  R13 ROTATION PLAN: pin q46/q49 first,
+#: then
 #: r13-changed code + new arrivals, then the 47 r10-vintage rows
 #: (the r10 window minus rows since re-attested), then the aging r11
 #: window.  The full catalog stays attested end-to-end by
@@ -159,6 +163,7 @@ _GATE_FRONT = (
     "q144_lsh_index_served_join",
     "q145_span_index_served_join",
     "q146_image_dhash_pairs",
+    "q147_audio_segment_pairs",
     "q139_lsh_incremental_join",
     "q140_tf_cosine_join",
     "q141_incremental_labels",
@@ -185,7 +190,6 @@ _GATE_FRONT = (
     "q26_jaccard_pairs",
     "q28_cosine_topk",
     "q31_embedding_near_dups",
-    "q49_sketch_stats",
     "q51_group_cap",
     "q52_pack_sequences",
     "q61_dup_clusters",
@@ -214,6 +218,7 @@ _GATE_FRONT = (
 #: list is belt-and-suspenders against a renamed front entry letting
 #: a fresh-rowed query drift into the window.
 _GATE_BACK = (
+    "q49_sketch_stats",
     "q138_winnowing_pairs",
     "q142_leakage_free_split",
     "q143_repeated_spans",

@@ -1,4 +1,4 @@
-"""Round-12 query wave (q144-q146).
+"""Round-12 query wave (q144-q147).
 
 - q144 index-served incremental LSH join — q139's daily near-dup
   join answered FROM materialized band shards: the query builds the
@@ -25,6 +25,14 @@
   that is pigeonhole-exact at the gated threshold.  The oracle
   replays synthesis + hash + banding + verification as pure integer
   SQL.
+- q147 shared audio segments — the audio leg of the same tier:
+  documents rendered as deterministic speech-shaped WAVs (one
+  16-sample PCM chunk per token, a closed form of the token string),
+  REAL RIFF walk + int16 decode to per-frame energies (Arrow
+  ``mapInPandas``), energy-gram fingerprints matched across documents
+  and extended to maximal shared segments via the diagonal identity —
+  the Shazam-shaped dedup primitive.  Oracle replays the waveform ->
+  int16 -> energy arithmetic in closed form.
 
 Both index-served queries use a doc_id % 13 batch split (distinct
 from q139/q141's % 17) so their gated row sets are not copies of the
@@ -293,3 +301,75 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 
 QUERIES["q146_image_dhash_pairs"] = q146_image_dhash_pairs
 ORACLES["q146_image_dhash_pairs"] = Q146_SQL
+
+
+# ---------------------------------------------------------------------------
+# q147 — shared audio segments (energy-gram fingerprints over PCM)
+#
+# The audio leg of the cross-modality dedup tier: documents rendered
+# as deterministic speech-shaped WAVs (one 16-sample chunk per token,
+# chunk a closed form of the token string), REAL RIFF+PCM decode to
+# per-frame energies (Arrow mapInPandas), then the repeated-span
+# machinery over the energy-gram sequence.  The oracle replays the
+# waveform -> int16 -> energy arithmetic in closed form.
+# ---------------------------------------------------------------------------
+
+_Q147_K = 4       # energy-gram size (frames)
+_Q147_MIN = 8     # minimal reported shared segment (frames = tokens)
+
+
+def q147_audio_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = multimodal.synthesize_speech_wav(fan_out(d), "doc_id", "text")
+    return multimodal.audio_segment_pairs(
+        media, k=_Q147_K, min_frames=_Q147_MIN
+    )
+
+
+Q147_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+en AS (
+  SELECT doc_id,
+         [list_sum([v*v FOR v IN
+            [((CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) + 7*j) % 65536
+              + 32768) % 65536 - 32768
+             FOR j IN range({multimodal.SPEECH_SAMPLES_PER_TOKEN})]])
+          FOR tok IN t] AS e
+  FROM toks
+),
+sq AS (SELECT doc_id, e FROM en WHERE len(e) >= {_Q147_K}),
+g AS (
+  SELECT doc_id,
+         unnest([{{'p': i,
+                   'h': md5(CAST(e[i] AS VARCHAR) || '|' || CAST(e[i+1] AS VARCHAR)
+                            || '|' || CAST(e[i+2] AS VARCHAR) || '|' || CAST(e[i+3] AS VARCHAR))}}
+                 FOR i IN range(1, len(e) - {_Q147_K - 1} + 1)]) AS ph
+  FROM sq
+),
+pos AS (SELECT doc_id, ph.p AS pos, ph.h AS h FROM g),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM pos a JOIN pos b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pa - pb AS delta, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS isl
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, min(pa) AS sa, min(pb) AS sb, count(*) AS len
+  FROM r GROUP BY doc_a, doc_b, delta, isl
+)
+SELECT doc_a, doc_b,
+       CAST(sa AS BIGINT) AS start_a,
+       CAST(sb AS BIGINT) AS start_b,
+       CAST(len + {_Q147_K - 1} AS BIGINT) AS seg_frames
+FROM runs
+WHERE len >= {_Q147_MIN - _Q147_K + 1}
+"""
+
+QUERIES["q147_audio_segment_pairs"] = q147_audio_segment_pairs
+ORACLES["q147_audio_segment_pairs"] = Q147_SQL

@@ -886,6 +886,62 @@ def main() -> None:
         out["q140_capped_base_sec"] = b140
         out["q140_capped_scaled_sec"] = s140
         out["q140_capped_growth_ratio"] = round(s140 / b140, 2)
+
+        # q133 with the cap ENGAGED (the r11 verdict's missing 100x
+        # regime): above-cap shingles leave candidate generation only,
+        # verification stays exact — same recall statement as q140's
+        def _run133(dirpath: str) -> float:
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+            t0 = time.monotonic()
+            dedupe.prefix_jaccard_join(
+                load_table(spark, dirpath, "documents"),
+                "doc_id",
+                "text",
+                shingle_n=5,
+                t_num=4,
+                t_den=5,
+                max_df=64,
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.monotonic() - t0, 3)
+
+        b133 = min(_run133(SF_DIR) for _ in range(2))
+        s133 = _run133(scaled_dir)
+        out["q133_capped_base_sec"] = b133
+        out["q133_capped_scaled_sec"] = s133
+        out["q133_capped_growth_ratio"] = round(s133 / b133, 2)
+    if family == "spanknobs":
+        # the min_span knob users will reach for: the gated operating
+        # point (k=8, w=9 -> spans >= 16 tokens) vs a tighter window
+        # (k=8, w=4 -> spans >= 11).  Smaller w doubles fingerprint
+        # density (2/(w+1): 0.2 -> 0.4), growing candidates and the
+        # stage-2 positional volume — this family prices that curve.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+        def _spans(dirpath: str, w: int) -> tuple[float, int]:
+            t0 = time.monotonic()
+            df = dedupe.repeated_span_pairs(
+                load_table(spark, dirpath, "documents"),
+                "doc_id",
+                "text",
+                k=8,
+                w=w,
+                min_span=8 + w - 1,
+            )
+            n = df.count()
+            return round(time.monotonic() - t0, 3), int(n)
+
+        for w in (9, 4):
+            b = min(_spans(SF_DIR, w)[0] for _ in range(2))
+            s, n_s = _spans(scaled_dir, w)
+            out[f"spans_w{w}_base_sec"] = b
+            out[f"spans_w{w}_scaled_sec"] = s
+            out[f"spans_w{w}_scaled_rows"] = n_s
+            out[f"spans_w{w}_growth_ratio"] = round(s / b, 2)
     if family == "lifecycle":
         # the COMPOSED incremental path, per-batch wall-clock: novelty
         # gate -> index-served incremental LSH join -> incremental
