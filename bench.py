@@ -152,6 +152,8 @@ HEADLINE = [
     "q145_span_index_served_join",
     "q146_image_dhash_pairs",
     "q147_audio_segment_pairs",
+    "q148_video_scene_pairs",
+    "q149_dhash_index_served_join",
 ]
 
 

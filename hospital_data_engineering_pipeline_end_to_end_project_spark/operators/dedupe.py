@@ -1336,14 +1336,10 @@ def tf_cosine_join(
         # capped path: candidates from the CAPPED postings only, then
         # S recomputed over ALL shared terms of each candidate pair —
         # the q133 two-stage shape that keeps surviving scores exact
-        keep = (
-            cnt.groupBy("__t")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("__t")
-        )
+        dfreq = cnt.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        keep = dfreq.filter(F.col("__df") <= max_df).select("__t")
         gen = cnt.join(keep, "__t", "left_semi")
-        cand = materialize(
+        cand = (
             gen.alias("a")
             .join(gen.alias("b"), "__t")
             .filter(F.col("a.__doc") < F.col("b.__doc"))
@@ -1358,16 +1354,28 @@ def tf_cosine_join(
         # probe SHUFFLES the full (doc, term, count) frame — in the
         # saturated-vocabulary regime (the 100x bench row) that frame
         # is the cost center, while candidates' terms stay bounded by
-        # the cap's pruning
+        # the cap's pruning.  The pruning DOC SET comes from the df
+        # frame alone: a doc sits in some candidate pair iff it holds
+        # >= 1 term with 2 <= df <= cap (df = 1 generates no pair), so
+        # no pair enumeration is needed to know the docs.  That keeps
+        # the materialized/broadcast unit |docs|-bounded — the first
+        # cut of this prune localCheckpointed the candidate PAIR frame
+        # and broadcast its distinct doc sides, which in the
+        # saturated-vocabulary 100x regime held the (quadratically
+        # many) pairs in executor storage and OOMed the JVM; the pair
+        # frame must stay lazy with exactly ONE consumer (the dot
+        # join), as in the pre-prune shape.
+        pairable = dfreq.filter(
+            (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+        ).select("__t")
+        cand_docs = materialize(
+            cnt.join(pairable, "__t", "left_semi").select("__doc").distinct()
+        )
         probe_a = cnt.join(
-            F.broadcast(cand.select(F.col("doc_a").alias("__doc")).distinct()),
-            "__doc",
-            "left_semi",
+            F.broadcast(cand_docs), "__doc", "left_semi"
         ).select(F.col("__doc").alias("doc_a"), "__t", F.col("__c").alias("__ca"))
         probe_b = cnt.join(
-            F.broadcast(cand.select(F.col("doc_b").alias("__doc")).distinct()),
-            "__doc",
-            "left_semi",
+            F.broadcast(cand_docs), "__doc", "left_semi"
         ).select(F.col("__doc").alias("doc_b"), "__t", F.col("__c").alias("__cb"))
         dot = (
             cand.join(probe_a, "doc_a")

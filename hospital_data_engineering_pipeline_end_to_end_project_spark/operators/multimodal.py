@@ -851,7 +851,12 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     lossy and raises instead).
 
     Verification is exact integer work: ``sum over bands of
-    bit_count(xor)``.  Returns ``(doc_a < doc_b, hamming)``.
+    bit_count(xor)`` — computed from hash columns CARRIED THROUGH the
+    band join (they are four ints per side, functionally dependent on
+    the id), so the whole operator is ONE equi-join plus one distinct:
+    no re-join of candidates against the full hash table, which at
+    corpus scale would shuffle every fingerprint a second and third
+    time.  Returns ``(doc_a < doc_b, hamming)``.
     """
     if max_hamming >= DHASH_BANDS:
         raise ValueError(
@@ -861,11 +866,16 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     h = hashes.filter(F.col("decode_ok"))
     bands = h.select(
         "media_id",
+        *[f"b{j}" for j in range(DHASH_BANDS)],
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
             "band_id", "band_val"
         ),
     )
-    cand = (
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}")))
+        for j in range(DHASH_BANDS)
+    ).cast("long")
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -876,27 +886,10 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.media_id").alias("doc_a"),
             F.col("b.media_id").alias("doc_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    x = h.select(
-        F.col("media_id").alias("doc_a"),
-        *[F.col(f"b{j}").alias(f"__x{j}") for j in range(DHASH_BANDS)],
-    )
-    y = h.select(
-        F.col("media_id").alias("doc_b"),
-        *[F.col(f"b{j}").alias(f"__y{j}") for j in range(DHASH_BANDS)],
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"__x{j}").bitwiseXOR(F.col(f"__y{j}")))
-        for j in range(DHASH_BANDS)
-    ).cast("long")
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -1032,6 +1025,29 @@ def audio_segment_pairs(
     pos = seq.select(
         "media_id", F.posexplode(grams).alias("__p0", "__h")
     ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    return _posting_run_pairs(
+        pos, k=k, min_frames=min_frames, max_df=max_df, out_len="seg_frames"
+    )
+
+
+def _posting_run_pairs(
+    pos: DataFrame,
+    *,
+    k: int,
+    min_frames: int,
+    max_df: int | None,
+    out_len: str,
+) -> DataFrame:
+    """Shared tail of the media-segment matchers: positional gram
+    postings ``(media_id, __pos 1-based, __h)`` -> optional ``max_df``
+    candidate cap (generation-only, the span operator's knob) ->
+    cross-document gram match -> maximal consecutive runs via
+    :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.dedupe.diagonal_spans`.
+    Used by the audio (energy grams) and video (frame-fingerprint
+    grams) legs — the k-gram construction differs per modality, the
+    run extraction is identical."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
     if max_df is not None:
         keep = (
             pos.groupBy("__h")
@@ -1057,4 +1073,260 @@ def audio_segment_pairs(
         min_run=min_frames - k + 1,
         out_left="start_a",
         out_right="start_b",
-    ).withColumnRenamed("span_tokens", "seg_frames")
+    ).withColumnRenamed("span_tokens", out_len)
+
+
+# ---------------------------------------------------------------------------
+# video scene dedup — frame-fingerprint grams over a REAL MJPEG
+# marker walk, the video leg of the cross-modality tier: shared
+# SCENES (consecutive-frame runs) surface exactly like shared audio
+# segments, but the per-frame fingerprint is carried inside each
+# JPEG frame's COM marker segment and recovered by parsing the
+# marker chain, never by peeking at the source text
+# ---------------------------------------------------------------------------
+
+#: per-frame fingerprint width: 15 lowercase hex chars (60 bits) —
+#: the engine's established md5-prefix integer encoding, ASCII-safe
+#: inside a JPEG COM segment (no 0xFF byte can occur, so the MJPEG
+#: EOI boundary walk stays exact)
+VIDEO_FP_HEX = 15
+
+#: fixed synthetic frame geometry (the fingerprint carries the
+#: content; dims exercise the SOF parse)
+_VIDEO_FRAME_W = 8
+_VIDEO_FRAME_H = 8
+
+
+def synthesize_token_video(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL MJPEG payloads from document TEXT — the
+    video sibling of :func:`synthesize_speech_wav`: each token
+    renders ONE complete marker-segment JPEG frame (SOI | APP0/JFIF |
+    COM | SOF0 | EOI) whose COM segment carries the 15-hex-char md5
+    prefix of the token string as ASCII text.  The same token always
+    renders the byte-identical frame wherever it occurs, so a shared
+    token run IS a shared scene — the property the scene matcher
+    exploits — while every frame stays parseable by the stdlib SOF
+    walker (:func:`jpeg_sof_decoder`) and the whole payload by the
+    MJPEG EOI-boundary walk (COM text is ASCII hex: no 0xFF byte, so
+    EOI pairs cannot occur mid-frame).  Entirely Column-expression
+    built; empty documents render a valid zero-frame (empty) stream."""
+    idc = F.col(id_col).cast("long")
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+
+    toks = TX.tokens(text_col)
+    com_len = VIDEO_FP_HEX + 2
+
+    def frame_hex(t):
+        return F.concat(
+            F.lit("ffd8"),                                    # SOI
+            F.lit("ffe0" "0010" "4a46494600" "0101" "00"
+                  "0001" "0001" "0000"),                      # APP0/JFIF
+            F.lit("fffe"),                                    # COM
+            F.lit(f"{com_len:04x}"),
+            F.lower(F.hex(F.substring(F.md5(t), 1, VIDEO_FP_HEX))),
+            F.lit("ffc0" "0011" "08"),                        # SOF0
+            F.lit(f"{_VIDEO_FRAME_H:04x}"),
+            F.lit(f"{_VIDEO_FRAME_W:04x}"),
+            F.lit("03" "012200" "021101" "031101"),
+            F.lit("ffd9"),                                    # EOI
+        )
+
+    payload = F.unhex(F.array_join(F.transform(toks, frame_hex), ""))
+    return docs.select(
+        idc.alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("video/x-motion-jpeg").alias("mime"),
+            F.lit("synthetic-token-video").alias("source"),
+            F.length(payload).cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+VIDEO_SIG_SCHEMA = "media_id long, frame_index long, fp long"
+
+
+def _frame_com_fp(frame: bytes) -> int:
+    """Fingerprint of one JPEG frame: validate the frame with the
+    registered SOF parser (raises on a malformed chain), then walk
+    the marker segments for exactly one COM carrying the ASCII-hex
+    fingerprint.  Raises ``ValueError`` on any deviation — the
+    all-or-nothing per-payload contract maps it to exclusion."""
+    import struct
+
+    jpeg_sof_decoder(frame)
+    off = 2
+    com = None
+    while off + 4 <= len(frame):
+        if frame[off] != 0xFF:
+            raise ValueError("broken JPEG marker chain")
+        marker = frame[off + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", frame, off + 2)[0]
+        if seg_len < 2 or off + 2 + seg_len > len(frame):
+            raise ValueError("JPEG segment exceeds frame (truncated)")
+        if marker == 0xFE:
+            if com is not None:
+                raise ValueError("multiple COM segments")
+            com = frame[off + 4 : off + 2 + seg_len]
+        off += 2 + seg_len
+    if com is None:
+        raise ValueError("no COM fingerprint segment")
+    txt = com.decode("ascii", errors="strict")
+    if len(txt) != VIDEO_FP_HEX or any(
+        c not in "0123456789abcdef" for c in txt
+    ):
+        raise ValueError("malformed COM fingerprint")
+    return int(txt, 16)
+
+
+def video_frame_signatures(media: DataFrame) -> DataFrame:
+    """Per-frame fingerprints from a REAL MJPEG walk: split each
+    payload on EOI boundaries (exact for these streams — see
+    :func:`synthesize_token_video`), SOF-parse every frame and
+    recover its COM fingerprint.  Arrow-batched ``mapInPandas``, one
+    row per frame; the failure contract is all-or-nothing per payload
+    exactly like :func:`video_frame_dims` — a payload with ANY
+    unparseable frame (or trailing bytes after the last EOI)
+    contributes nothing, so a truncated stream never skews downstream
+    scene statistics."""
+
+    def _sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, fps = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                p_fidx, p_fps = [], []
+                ok = True
+                start, f = 0, 0
+                while start < len(b):
+                    end = b.find(b"\xff\xd9", start)
+                    if end < 0:
+                        ok = False
+                        break
+                    try:
+                        p_fps.append(_frame_com_fp(b[start : end + 2]))
+                    except ValueError:
+                        ok = False
+                        break
+                    p_fidx.append(f)
+                    start = end + 2
+                    f += 1
+                if ok:
+                    ids.extend([media_id] * len(p_fidx))
+                    fidx.extend(p_fidx)
+                    fps.extend(p_fps)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(fidx, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_sigs, schema=VIDEO_SIG_SCHEMA)
+
+
+def video_scene_pairs(
+    media: DataFrame,
+    *,
+    k: int = 4,
+    min_frames: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared video SCENES across documents — the video leg of the
+    segment-dedup family: fingerprint every ``k`` consecutive frame
+    fingerprints (a positional gram over the decoded frame sequence),
+    match grams across documents, extract maximal runs via the
+    diagonal identity.  Same second stage as the audio matcher
+    (:func:`_posting_run_pairs`); the first stage is the MJPEG
+    marker walk of :func:`video_frame_signatures` instead of the PCM
+    energy decode.  ``max_df`` is the ubiquitous-scene escape
+    (intros, color bars), candidate-generation-only.
+
+    Returns ``(doc_a < doc_b, start_a, start_b, scene_frames)`` —
+    1-based frame offsets, maximal-run lengths >= ``min_frames``."""
+    if min_frames < k:
+        raise ValueError(f"min_frames={min_frames} below the gram size k={k}")
+    sigs = video_frame_signatures(media)
+    seq = (
+        sigs.groupBy("media_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_index", "fp"))),
+                lambda x: x["fp"],
+            ).alias("__f")
+        )
+        .filter(F.size("__f") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__f") - (k - 1)),
+        lambda i: F.md5(
+            F.array_join(
+                F.transform(F.slice("__f", i, k), lambda v: v.cast("string")),
+                "|",
+            )
+        ),
+    )
+    pos = seq.select(
+        "media_id", F.posexplode(grams).alias("__p0", "__h")
+    ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    return _posting_run_pairs(
+        pos, k=k, min_frames=min_frames, max_df=max_df, out_len="scene_frames"
+    )
+
+
+def dhash_cross_pairs(
+    corpus_hashes: DataFrame,
+    batch_hashes: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming join BETWEEN two dHash sets — the batch-vs-
+    corpus form of :func:`dhash_near_dups` (same pigeonhole-exact
+    banding, same exact integer verification), the recomputing
+    reference for the index-served image join
+    (``streaming/dhash_index.incremental_image_join_against_index``).
+    The batch side is broadcast (the daily-arrivals asymmetry).
+
+    Returns ``(batch_doc, corpus_doc, hamming)``.
+    """
+    if max_hamming >= DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"with {DHASH_BANDS} bands (needs max_hamming < bands)"
+        )
+    hb = batch_hashes.filter(F.col("decode_ok"))
+    hc = corpus_hashes.filter(F.col("decode_ok"))
+    # hash columns ride THROUGH the band join on both sides (four
+    # ints each, functionally dependent on the id): one broadcast
+    # equi-join + one distinct, the corpus fingerprints are scanned
+    # exactly once and never re-joined
+    cb = hc.select(
+        F.col("media_id").alias("corpus_doc"),
+        *[F.col(f"b{j}").alias(f"__y{j}") for j in range(DHASH_BANDS)],
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_id", "band_val"
+        ),
+    )
+    bb = hb.select(
+        F.col("media_id").alias("batch_doc"),
+        *[F.col(f"b{j}").alias(f"__x{j}") for j in range(DHASH_BANDS)],
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_id", "band_val"
+        ),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"__x{j}").bitwiseXOR(F.col(f"__y{j}")))
+        for j in range(DHASH_BANDS)
+    ).cast("long")
+    return (
+        cb.join(F.broadcast(bb), ["band_id", "band_val"])
+        .select("batch_doc", "corpus_doc", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,4 +1,4 @@
-"""Round-12 query wave (q144-q147).
+"""Round-12 query wave (q144-q149).
 
 - q144 index-served incremental LSH join — q139's daily near-dup
   join answered FROM materialized band shards: the query builds the
@@ -34,7 +34,21 @@
   the Shazam-shaped dedup primitive.  Oracle replays the waveform ->
   int16 -> energy arithmetic in closed form.
 
-Both index-served queries use a doc_id % 13 batch split (distinct
+- q148 shared video scenes — the video leg completing the trio:
+  documents rendered as deterministic MJPEG streams (one complete
+  JPEG frame per token, the COM segment carrying the token's
+  md5-prefix fingerprint as ASCII hex), a REAL marker-chain walk
+  recovering per-frame fingerprints (Arrow ``mapInPandas``), then
+  the repeated-span machinery over the fingerprint sequence.  Oracle
+  replays token -> fingerprint -> gram -> island in closed form.
+- q149 index-served perceptual image join — the dHash fingerprint
+  index lifecycle (``streaming/dhash_index.py``, the FIFTH leg):
+  corpus images decoded+hashed once into per-batch shards, compacted,
+  the arriving batch answered from the STORED 64-bit fingerprints
+  with zero corpus re-reads.  Oracle replays synthesis + hash +
+  banding + verification restricted to batch-vs-corpus pairs.
+
+The index-served queries use a doc_id % 13 batch split (distinct
 from q139/q141's % 17) so their gated row sets are not copies of the
 recomputing queries' rows.
 """
@@ -373,3 +387,167 @@ WHERE len >= {_Q147_MIN - _Q147_K + 1}
 
 QUERIES["q147_audio_segment_pairs"] = q147_audio_segment_pairs
 ORACLES["q147_audio_segment_pairs"] = Q147_SQL
+
+
+# ---------------------------------------------------------------------------
+# q148 — shared video scenes (frame-fingerprint grams over MJPEG)
+#
+# The video leg of the cross-modality dedup tier, completing the
+# image (q146) / audio (q147) / video trio: documents rendered as
+# deterministic MJPEG streams (one complete JPEG frame per token,
+# the frame's COM segment carrying the token's md5-prefix fingerprint
+# as ASCII hex), a REAL marker-chain walk (SOI/APP0/COM/SOF0/EOI)
+# recovering per-frame fingerprints (Arrow mapInPandas), then the
+# repeated-span machinery over the fingerprint sequence.  The oracle
+# replays token -> md5-prefix fingerprint -> gram -> island in closed
+# form — the same island SQL as q147 with the frame fingerprint in
+# place of the frame energy.
+# ---------------------------------------------------------------------------
+
+_Q148_K = 4       # fingerprint-gram size (frames)
+_Q148_MIN = 8     # minimal reported shared scene (frames = tokens)
+
+
+def q148_video_scene_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = multimodal.synthesize_token_video(fan_out(d), "doc_id", "text")
+    return multimodal.video_scene_pairs(
+        media, k=_Q148_K, min_frames=_Q148_MIN
+    )
+
+
+Q148_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+fp AS (
+  SELECT doc_id,
+         [CAST('0x' || substr(md5(tok), 1, {multimodal.VIDEO_FP_HEX}) AS BIGINT)
+          FOR tok IN t] AS e
+  FROM toks
+),
+sq AS (SELECT doc_id, e FROM fp WHERE len(e) >= {_Q148_K}),
+g AS (
+  SELECT doc_id,
+         unnest([{{'p': i,
+                   'h': md5(CAST(e[i] AS VARCHAR) || '|' || CAST(e[i+1] AS VARCHAR)
+                            || '|' || CAST(e[i+2] AS VARCHAR) || '|' || CAST(e[i+3] AS VARCHAR))}}
+                 FOR i IN range(1, len(e) - {_Q148_K - 1} + 1)]) AS ph
+  FROM sq
+),
+pos AS (SELECT doc_id, ph.p AS pos, ph.h AS h FROM g),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM pos a JOIN pos b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pa - pb AS delta, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS isl
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, min(pa) AS sa, min(pb) AS sb, count(*) AS len
+  FROM r GROUP BY doc_a, doc_b, delta, isl
+)
+SELECT doc_a, doc_b,
+       CAST(sa AS BIGINT) AS start_a,
+       CAST(sb AS BIGINT) AS start_b,
+       CAST(len + {_Q148_K - 1} AS BIGINT) AS scene_frames
+FROM runs
+WHERE len >= {_Q148_MIN - _Q148_K + 1}
+"""
+
+QUERIES["q148_video_scene_pairs"] = q148_video_scene_pairs
+ORACLES["q148_video_scene_pairs"] = Q148_SQL
+
+
+# ---------------------------------------------------------------------------
+# q149 — index-served perceptual image join (dHash postings)
+#
+# The FIFTH index-served lifecycle, extending the build-once-probe-
+# many path to the multimodal columns: the corpus's images are
+# decoded+hashed ONCE into per-batch fingerprint shards
+# (streaming/dhash_index.py), compacted, and the arriving batch's
+# near-dup images are answered FROM the stored 64-bit fingerprints —
+# unlike the text legs, verification needs zero corpus re-reads (the
+# postings ARE the full hashes).  The oracle replays synthesis +
+# hash + banding + verification as pure integer SQL, restricted to
+# batch-vs-corpus pairs.
+# ---------------------------------------------------------------------------
+
+
+def q149_dhash_index_served_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import dhash_index
+
+    corpus, batch = _split(spark, sf_dir)
+    root = _fresh_store("q149", sf_dir)
+    writer = dhash_index.make_dhash_batch_writer(root)
+    for b in range(_N_INDEX_BATCHES):
+        writer(
+            multimodal.synthesize_minhash_pgm(
+                fan_out(corpus.filter(F.col("doc_id") % _N_INDEX_BATCHES == b)),
+                "doc_id",
+                "text",
+            ),
+            b,
+        )
+    dhash_index.compact_dhash_shards(spark, root)
+    batch_media = multimodal.synthesize_minhash_pgm(
+        fan_out(batch), "doc_id", "text"
+    )
+    return dhash_index.incremental_image_join_against_index(
+        spark, root, batch_media, max_hamming=_Q146_MAX_HAMMING
+    )
+
+
+Q149_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+dt AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+pxl AS (
+  SELECT doc_id,
+         [coalesce(CAST('0x' || substr(
+             list_min([md5(CAST(i AS VARCHAR) || '|' || tok) FOR tok IN dt]),
+             17, 2) AS BIGINT), 0)
+          FOR i IN range({_Q146_NPX})] AS px
+  FROM dt
+),
+bands AS (
+  SELECT doc_id, band_id,
+         coalesce(sum(CASE WHEN px[(2*band_id + b//8)*{multimodal.DHASH_GRID_W} + (b%8) + 1]
+                            > px[(2*band_id + b//8)*{multimodal.DHASH_GRID_W} + (b%8) + 2]
+                      THEN CAST(1 AS BIGINT) << b END), 0) AS bv
+  FROM pxl
+  CROSS JOIN (SELECT unnest(range({multimodal.DHASH_BANDS})) AS band_id)
+  CROSS JOIN (SELECT unnest(range(16)) AS b)
+  GROUP BY doc_id, band_id
+),
+bv4 AS (
+  SELECT doc_id,
+         max(CASE WHEN band_id = 0 THEN bv END) AS b0,
+         max(CASE WHEN band_id = 1 THEN bv END) AS b1,
+         max(CASE WHEN band_id = 2 THEN bv END) AS b2,
+         max(CASE WHEN band_id = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bv = b.bv
+  WHERE a.doc_id % {_BATCH_MOD} = 0 AND b.doc_id % {_BATCH_MOD} <> 0
+)
+SELECT batch_doc, corpus_doc,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+         AS hamming
+FROM cand
+JOIN bv4 x ON x.doc_id = batch_doc
+JOIN bv4 y ON y.doc_id = corpus_doc
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+   <= {_Q146_MAX_HAMMING}
+"""
+
+QUERIES["q149_dhash_index_served_join"] = q149_dhash_index_served_join
+ORACLES["q149_dhash_index_served_join"] = Q149_SQL

@@ -911,6 +911,30 @@ def main() -> None:
         out["q133_capped_base_sec"] = b133
         out["q133_capped_scaled_sec"] = s133
         out["q133_capped_growth_ratio"] = round(s133 / b133, 2)
+    if family == "deepdocs3":
+        # r12 arrivals on the docs axis: the two index-served gated
+        # lifecycles (q144 LSH bands, q145 winnowing span postings —
+        # the timed query INCLUDES the index build + compaction, so
+        # the ratio prices the whole build-once-probe-once path) and
+        # the two cross-modality dedup legs (q146 image dHash, q147
+        # shared audio segments — synthesis + Arrow decode + banded /
+        # postings join).  Base min-of-2, scaled single-run.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        names = (
+            "q144_lsh_index_served_join",
+            "q145_span_index_served_join",
+            "q146_image_dhash_pairs",
+            "q147_audio_segment_pairs",
+            "q148_video_scene_pairs",
+            "q149_dhash_index_served_join",
+        )
+        d_base = time_queries(spark, SF_DIR, names=names)
+        d_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["deepdocs3_base_sec"] = d_base
+        out["deepdocs3_scaled_sec"] = d_scaled
+        out["deepdocs3_growth_ratio"] = {
+            q: round(d_scaled[q] / d_base[q], 2) for q in names
+        }
     if family == "spanknobs":
         # the min_span knob users will reach for: the gated operating
         # point (k=8, w=9 -> spans >= 16 tokens) vs a tighter window

@@ -283,3 +283,25 @@ def test_tf_cosine_join_uncapped_single_pass(plans):
 def test_winnowing_pairs_no_sort_merge(plans):
     p = plans["q138_winnowing_pairs"]
     assert "SortMergeJoin" not in p
+
+
+def test_dhash_index_served_join_one_index_pass(plans):
+    # q149's 100 TB claim: the stored fingerprints ARE the whole
+    # verification input and they ride THROUGH the banded join — one
+    # scan of the index, the batch side broadcast, then a distinct.
+    # A sort-merge join would mean the index got shuffled; more than
+    # one BroadcastHashJoin would mean candidates were re-joined
+    # against the posting table.
+    p = plans["q149_dhash_index_served_join"]
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
+
+
+def test_image_dhash_pairs_single_band_join(plans):
+    # q146: the self-join carries both sides' hash columns, so the
+    # only join in the plan is the band equi-join itself (shuffled,
+    # correctly: both sides are corpus-sized) — no candidate re-join
+    # against the hash table.
+    p = plans["q146_image_dhash_pairs"]
+    n_joins = sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1
