@@ -154,6 +154,7 @@ HEADLINE = [
     "q147_audio_segment_pairs",
     "q148_video_scene_pairs",
     "q149_dhash_index_served_join",
+    "q150_boundary_stitch",
 ]
 
 

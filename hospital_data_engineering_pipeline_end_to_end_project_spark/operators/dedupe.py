@@ -1565,3 +1565,111 @@ def diagonal_spans(
             (F.col("__len") + (k - 1)).cast("long").alias("span_tokens"),
         )
     )
+
+
+def boundary_stitch_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    min_overlap: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Crawl-shard boundary stitches: ordered pairs where the LEFT
+    document's token suffix equals the RIGHT document's token prefix —
+    the artifact a sharded crawler leaves when one logical page is cut
+    across two fetch records (the suffix of record N reappears as the
+    prefix of record N+1).  Doc-level near-dup passes miss these (the
+    overlap is a small fraction of either doc) and span dedup reports
+    them only as one span among many; a curation pipeline wants them
+    NAMED, because the fix is a merge, not a drop.
+
+    Exact and complete for overlaps ``>= min_overlap`` (which must be
+    ``>= k``), by an anchor identity: if ``suffix_m(A) = prefix_m(B)``
+    with ``m >= k``, then B's FIRST ``k``-gram occurs in A at position
+    ``n_A - m + 1`` — so joining B's single first-gram row against A's
+    positional gram postings surfaces every stitch as an anchor
+    ``(A, B, p)`` with implied overlap ``m = n_A - p + 1``, and one
+    exact token-slice comparison per anchor verifies it.  The reported
+    ``overlap_tokens`` is the MAXIMUM verified ``m`` per pair (periodic
+    text can verify several anchors).
+
+    Scale shape: the anchor side is ONE row per document — broadcast —
+    so the corpus gram postings are scanned once and map-side probed,
+    never shuffled; verification joins token arrays only for anchor
+    docs (left-semi before the array is shipped).  ``max_df`` is the
+    boilerplate escape (a corpus-ubiquitous OPENING gram — licence
+    headers, templated preambles — anchors against every posting of
+    itself): anchor grams with more than ``max_df`` postings leave
+    candidate generation only, the established recall-only knob.
+
+    Returns ``(left_doc, right_doc, overlap_tokens)`` with
+    ``left_doc != right_doc``; ``overlap_tokens = n_B`` means B is
+    entirely a suffix of A (containment — reported, since the merge
+    decision is the same).
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    if min_overlap < k:
+        raise ValueError(
+            f"min_overlap={min_overlap} below the anchor gram size k={k}"
+        )
+    base = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(F.col(id_col).alias("__id"), TX.tokens(text_col).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") >= k)
+    )
+    gram = lambda t, i: F.md5(F.array_join(F.slice(t, i, k), " "))  # noqa: E731
+    post = base.select(
+        F.col("__id").alias("left_doc"),
+        F.col("__n").alias("__na"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+                lambda i: gram(F.col("__t"), i),
+            )
+        ).alias("__p0", "__g"),
+    ).select(
+        "left_doc", "__na", (F.col("__p0") + 1).alias("__p"), "__g"
+    )
+    anchors = base.select(
+        F.col("__id").alias("right_doc"),
+        gram(F.col("__t"), F.lit(1)).alias("__g"),
+    )
+    if max_df is not None:
+        keep = (
+            post.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__g")
+        )
+        anchors = anchors.join(keep, "__g", "left_semi")
+    cand = (
+        post.join(F.broadcast(anchors), "__g")
+        .filter(F.col("left_doc") != F.col("right_doc"))
+        .withColumn("__m", F.col("__na") - F.col("__p") + 1)
+        .filter(F.col("__m") >= min_overlap)
+        .select("left_doc", "right_doc", "__p", "__m")
+    )
+    # exact verification: token arrays shipped only for anchor docs
+    ta = base.select(F.col("__id").alias("left_doc"), F.col("__t").alias("__ta"))
+    ta = ta.join(cand.select("left_doc").distinct(), "left_doc", "left_semi")
+    tb = base.select(
+        F.col("__id").alias("right_doc"),
+        F.col("__t").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    tb = tb.join(cand.select("right_doc").distinct(), "right_doc", "left_semi")
+    return (
+        cand.join(ta, "left_doc")
+        .join(tb, "right_doc")
+        .filter(F.col("__m") <= F.col("__nb"))
+        .filter(
+            F.slice("__ta", F.col("__p"), F.col("__m"))
+            == F.slice("__tb", F.lit(1), F.col("__m"))
+        )
+        .groupBy("left_doc", "right_doc")
+        .agg(F.max("__m").cast("long").alias("overlap_tokens"))
+    )

@@ -1,4 +1,4 @@
-"""Round-12 query wave (q144-q149).
+"""Round-12 query wave (q144-q150).
 
 - q144 index-served incremental LSH join — q139's daily near-dup
   join answered FROM materialized band shards: the query builds the
@@ -47,6 +47,14 @@
   the arriving batch answered from the STORED 64-bit fingerprints
   with zero corpus re-reads.  Oracle replays synthesis + hash +
   banding + verification restricted to batch-vs-corpus pairs.
+
+- q150 crawl-shard boundary stitches — documents rendered as sharded
+  fetch records (midpoint cut, deterministic carried overlap), the
+  operator naming every suffix/prefix stitch with its exact maximal
+  overlap via the anchor identity (right record's single first-gram
+  row broadcast against the corpus postings, exact token-slice
+  verification).  Oracle replays the record synthesis + anchor +
+  slice compare.
 
 The index-served queries use a doc_id % 13 batch split (distinct
 from q139/q141's % 17) so their gated row sets are not copies of the
@@ -551,3 +559,99 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 
 QUERIES["q149_dhash_index_served_join"] = q149_dhash_index_served_join
 ORACLES["q149_dhash_index_served_join"] = Q149_SQL
+
+
+# ---------------------------------------------------------------------------
+# q150 — crawl-shard boundary stitches (suffix/prefix overlap)
+#
+# The documents table is rendered as sharded FETCH RECORDS the way a
+# paginating crawler cuts one logical page across two records: each
+# eligible doc splits at its midpoint with a deterministic
+# (8 + doc_id % 5)-token overlap carried into both records; short
+# docs pass through uncut as noise.  The operator then names every
+# (left record, right record) stitch with its exact maximal overlap —
+# the anchor-join shape (B's single first-gram row BROADCAST against
+# the corpus postings) with exact token-slice verification.  Oracle
+# replays the record synthesis + anchor identity + slice compare.
+# ---------------------------------------------------------------------------
+
+_Q150_K = 4
+_Q150_MIN = 8
+_Q150_ELIG = 24   # docs shorter than this pass through uncut
+
+
+def q150_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id", TX.tokens("text").alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    cut = F.floor(F.col("__n") / 2).cast("int")
+    ov = (F.lit(_Q150_MIN) + F.col("doc_id") % 5).cast("int")
+    elig = base.filter(F.col("__n") >= _Q150_ELIG)
+    left = elig.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.array_join(F.slice("__t", F.lit(1), cut + ov), " ").alias("text"),
+    )
+    right = elig.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(
+            F.slice("__t", cut + 1, F.col("__n") - cut), " "
+        ).alias("text"),
+    )
+    noise = base.filter(F.col("__n") < _Q150_ELIG).select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.array_join("__t", " ").alias("text"),
+    )
+    records = left.unionByName(right).unionByName(noise)
+    return dedupe.boundary_stitch_pairs(
+        records, "doc_id", "text", k=_Q150_K, min_overlap=_Q150_MIN
+    )
+
+
+Q150_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+recs AS (
+  SELECT doc_id*2 AS doc_id, t[1 : (n//2) + {_Q150_MIN} + doc_id % 5] AS t
+  FROM base WHERE n >= {_Q150_ELIG}
+  UNION ALL
+  SELECT doc_id*2 + 1, t[(n//2) + 1 : n] FROM base WHERE n >= {_Q150_ELIG}
+  UNION ALL
+  SELECT doc_id*2, t FROM base WHERE n < {_Q150_ELIG}
+),
+rb AS (SELECT doc_id, t, len(t) AS n FROM recs WHERE len(t) >= {_Q150_K}),
+post0 AS (
+  SELECT doc_id AS left_doc, n AS na,
+         unnest([{{'p': i,
+                   'g': md5(array_to_string(t[i : i + {_Q150_K - 1}], ' '))}}
+                 FOR i IN range(1, n - {_Q150_K} + 2)]) AS e
+  FROM rb
+),
+post AS (SELECT left_doc, na, e.p AS p, e.g AS g FROM post0),
+anch AS (
+  SELECT doc_id AS right_doc,
+         md5(array_to_string(t[1 : {_Q150_K}], ' ')) AS g
+  FROM rb
+),
+cand AS (
+  SELECT left_doc, right_doc, p, na - p + 1 AS m
+  FROM post JOIN anch USING (g)
+  WHERE left_doc <> right_doc AND na - p + 1 >= {_Q150_MIN}
+),
+ver AS (
+  SELECT cand.left_doc, cand.right_doc, cand.m
+  FROM cand
+  JOIN rb a ON a.doc_id = cand.left_doc
+  JOIN rb b ON b.doc_id = cand.right_doc
+  WHERE cand.m <= b.n
+    AND a.t[cand.p : cand.p + cand.m - 1] = b.t[1 : cand.m]
+)
+SELECT left_doc, right_doc, CAST(max(m) AS BIGINT) AS overlap_tokens
+FROM ver GROUP BY left_doc, right_doc
+"""
+
+QUERIES["q150_boundary_stitch"] = q150_boundary_stitch
+ORACLES["q150_boundary_stitch"] = Q150_SQL

@@ -56,10 +56,17 @@ def make_dhash_batch_writer(out_dir: str):
     fingerprint shard (``batch_id`` stamped as a column, the
     established sink contract)."""
 
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # fan_out first: a micro-batch has as many partitions as files
+        # in the trigger, and the decode+hash is the compute-bound
+        # Arrow pass — without the balancing shuffle the whole batch
+        # runs on that many cores (the single-file-scan trap, here in
+        # streaming form; payloads are ~100 bytes, the shuffle is cheap)
         hashes = (
             multimodal.dhash_bands_from_pgm(
-                batch_df.select("media_id", "payload")
+                fan_out(batch_df.select("media_id", "payload"))
             )
             .filter(F.col("decode_ok"))
             .select("media_id", *_HASH_COLS)
@@ -70,6 +77,45 @@ def make_dhash_batch_writer(out_dir: str):
         )
 
     return handle
+
+
+def make_dhash_doc_batch_writer(
+    out_dir: str, id_col: str = "doc_id", text_col: str = "text"
+):
+    """``foreachBatch`` body over DOCUMENT batches: render the batch's
+    synthetic thumbnails (the q146/q149 synthesis — a deployment with
+    real images uses :func:`make_dhash_batch_writer` over its media
+    stream instead) and hash them into the shard.  ``fan_out`` runs
+    BELOW the synthesis so both the 72-hash-per-doc rendering and the
+    decode spread across every core."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+
+    base = make_dhash_batch_writer(out_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        media = multimodal.synthesize_minhash_pgm(
+            fan_out(batch_df.select(id_col, text_col)), id_col, text_col
+        )
+        base(media, batch_id)
+
+    return handle
+
+
+def dhash_doc_index_sink(
+    stream: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+):
+    """Attach the synthesize+hash writer to a DOCUMENT stream (the
+    fixture-shaped convenience of :func:`dhash_index_sink`)."""
+    writer = stream.writeStream.foreachBatch(
+        make_dhash_doc_batch_writer(out_dir, id_col, text_col)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
 
 def dhash_index_sink(

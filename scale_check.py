@@ -646,6 +646,26 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
     q.awaitTermination()
     span_sec = time.monotonic() - t0
 
+    # dHash fingerprint index maintenance (the perceptual image leg):
+    # docs stream in, each micro-batch is synthesized to thumbnails
+    # and decoded+hashed inside the writer (fan_out below the
+    # synthesis — the span sink's single-file-scan lesson)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import dhash_index
+
+    dh_dir = os.path.join(scratch_dir, "dhash_index")
+    dh_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .json(doc_src)
+    )
+    t0 = time.monotonic()
+    q = dhash_index.dhash_doc_index_sink(
+        dh_stream, dh_dir,
+        checkpoint_dir=os.path.join(scratch_dir, "dh_ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    dh_sec = time.monotonic() - t0
+
     # IVF posting index maintenance over a vector stream (embeddings
     # replayed as 10 NDJSON files, 2 per trigger; quantizer trained
     # once on the base table — the frozen-quantizer contract)
@@ -697,6 +717,8 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "lsh_index_docs_per_sec": int(n_docs / lsh_sec),
         "span_index_sec": round(span_sec, 2),
         "span_index_docs_per_sec": int(n_docs / span_sec),
+        "dhash_index_sec": round(dh_sec, 2),
+        "dhash_index_docs_per_sec": int(n_docs / dh_sec),
         "ivf_index_vecs": n_vecs,
         "ivf_index_sec": round(ivf_sec, 2),
         "ivf_index_vecs_per_sec": int(n_vecs / ivf_sec),
@@ -842,14 +864,10 @@ def main() -> None:
     if family == "deepdocs2":
         # r11 late newcomers two orders up on the docs axis:
         # incremental LSH join + incremental labels, the
-        # leakage-free cluster split and the repeated-span extractor;
-        # q140 TF-cosine runs CAPPED (max_df) at this scale — the
-        # synthetic trigram vocabulary SATURATES under copies (the
-        # 2/5 of trigrams untouched by the per-copy salt recur in
-        # every copy, df ~ copies), so the uncapped exact join is
-        # quadratic by design here, and the cap is the documented
-        # scale path (candidate-generation-only, recall semantics
-        # stated on the operator).  Base min-of-2, scaled single-run.
+        # leakage-free cluster split and the repeated-span extractor.
+        # (The CAPPED q140/q133 regimes live in the separate
+        # "deepcapped" family below — fresh-process isolation, see
+        # its comment.)  Base min-of-2, scaled single-run.
         make_scaled_documents(SF_DIR, scaled_dir, copies)
         names = (
             "q139_lsh_incremental_join",
@@ -864,6 +882,16 @@ def main() -> None:
         out["deepdocs2_growth_ratio"] = {
             q: round(d_scaled[q] / d_base[q], 2) for q in names
         }
+    if family == "deepcapped":
+        # the two CAPPED exact-join regimes (q140 max_df / q133
+        # max_df) at two orders — run as their OWN family/process:
+        # in one long session the earlier 100x queries' shuffle files
+        # and checkpoint blocks accumulate for the app lifetime, and
+        # the saturated-vocabulary pair sort here then hits the disk
+        # ceiling (measured: the combined family died SPILL_OUT_OF_
+        # MEMORY/no-space at 100x while each half fits comfortably
+        # alone)
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
 
         def _run140(dirpath: str) -> float:
             from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
@@ -927,6 +955,7 @@ def main() -> None:
             "q147_audio_segment_pairs",
             "q148_video_scene_pairs",
             "q149_dhash_index_served_join",
+            "q150_boundary_stitch",
         )
         d_base = time_queries(spark, SF_DIR, names=names)
         d_scaled = time_queries(spark, scaled_dir, runs=1, names=names)

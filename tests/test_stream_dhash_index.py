@@ -149,3 +149,16 @@ def test_dhash_index_live_stream(spark, tmp_path):
         )
     )
     assert served == recomputed
+
+
+def test_dhash_doc_sink_matches_media_sink(spark, tmp_path):
+    """The docs-level convenience writer (synthesize inside the batch,
+    fan_out below the synthesis) must produce the identical index."""
+    docs = _docs(spark).filter(F.col("doc_id") < 200)
+    out_doc = str(tmp_path / "dh_doc")
+    out_med = str(tmp_path / "dh_med")
+    dhash_index.make_dhash_doc_batch_writer(out_doc)(docs, 0)
+    dhash_index.make_dhash_batch_writer(out_med)(_media(docs), 0)
+    assert _hash_rows(
+        dhash_index.read_dhash_index(spark, out_doc)
+    ) == _hash_rows(dhash_index.read_dhash_index(spark, out_med))
