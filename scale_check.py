@@ -995,6 +995,49 @@ def main() -> None:
             out[f"spans_w{w}_scaled_sec"] = s
             out[f"spans_w{w}_scaled_rows"] = n_s
             out[f"spans_w{w}_growth_ratio"] = round(s / b, 2)
+    if family == "stitchadv":
+        # adversarial boilerplate fixture for the boundary-stitch
+        # operator: every doc OPENS and CLOSES with the same 20-token
+        # header, so every ordered pair is a true 20-token stitch —
+        # the TRUE answer is n*(n-1), quadratic by construction (the
+        # q143-style regime where reporting it is the honest cost),
+        # and the max_df anchor cap is the documented escape.
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+        n = 200 * copies
+        head = " ".join(f"h{j}" for j in range(20))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": [
+                    head
+                    + " "
+                    + " ".join(f"u{i}_{j}" for j in range(30))
+                    + " "
+                    + head
+                    for i in range(n)
+                ],
+            }
+        )
+        adv_path = scratch_path("stitchadv", "documents.parquet")
+        pdf.to_parquet(adv_path)
+        adv = spark.read.parquet(adv_path)
+
+        t0 = time.monotonic()
+        n_full = dedupe.boundary_stitch_pairs(
+            adv, "doc_id", "text", k=4, min_overlap=8
+        ).count()
+        t_full = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        n_capped = dedupe.boundary_stitch_pairs(
+            adv, "doc_id", "text", k=4, min_overlap=8, max_df=64
+        ).count()
+        t_capped = round(time.monotonic() - t0, 3)
+        out["stitchadv_docs"] = int(n)
+        out["stitchadv_true_pairs"] = int(n_full)
+        out["stitchadv_full_sec"] = t_full
+        out["stitchadv_capped_pairs"] = int(n_capped)
+        out["stitchadv_capped_sec"] = t_capped
     if family == "lifecycle":
         # the COMPOSED incremental path, per-batch wall-clock: novelty
         # gate -> index-served incremental LSH join -> incremental

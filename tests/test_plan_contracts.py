@@ -305,3 +305,11 @@ def test_image_dhash_pairs_single_band_join(plans):
     p = plans["q146_image_dhash_pairs"]
     n_joins = sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert n_joins == 1
+
+
+def test_boundary_stitch_anchor_is_broadcast(plans):
+    # q150's 100 TB claim: the anchor side is ONE row per document and
+    # rides a broadcast — the corpus gram postings are scanned and
+    # map-side probed, never shuffled for the candidate join.
+    p = plans["q150_boundary_stitch"]
+    assert "BroadcastHashJoin" in p
