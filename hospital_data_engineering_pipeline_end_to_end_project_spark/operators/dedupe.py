@@ -1575,6 +1575,7 @@ def boundary_stitch_pairs(
     k: int = 4,
     min_overlap: int = 8,
     max_df: int | None = None,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Crawl-shard boundary stitches: ordered pairs where the LEFT
     document's token suffix equals the RIGHT document's token prefix —
@@ -1598,11 +1599,17 @@ def boundary_stitch_pairs(
     Scale shape: the anchor side is ONE row per document — broadcast —
     so the corpus gram postings are scanned once and map-side probed,
     never shuffled; verification joins token arrays only for anchor
-    docs (left-semi before the array is shipped).  ``max_df`` is the
-    boilerplate escape (a corpus-ubiquitous OPENING gram — licence
-    headers, templated preambles — anchors against every posting of
-    itself): anchor grams with more than ``max_df`` postings leave
-    candidate generation only, the established recall-only knob.
+    docs (left-semi before the array is shipped).  The tokenized base
+    frame is materialized ONCE (policy per ``materialize_mode``): it
+    feeds the postings, the anchors and both verification sides, and
+    every consumer above it is shuffle-free map work (explode + md5 +
+    broadcast probe), so the one checkpoint caps the whole plan at
+    one tokenization pass.  ``max_df`` is the boilerplate escape (a
+    corpus-ubiquitous OPENING gram — licence headers, templated
+    preambles — anchors against every posting of itself): anchor
+    grams held by more than ``max_df`` DISTINCT documents leave
+    candidate generation only, the span operator's established
+    recall-only knob.
 
     Returns ``(left_doc, right_doc, overlap_tokens)`` with
     ``left_doc != right_doc``; ``overlap_tokens = n_B`` means B is
@@ -1615,11 +1622,12 @@ def boundary_stitch_pairs(
         raise ValueError(
             f"min_overlap={min_overlap} below the anchor gram size k={k}"
         )
-    base = (
+    base = materialize(
         fan_out(docs.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(F.col(id_col).alias("__id"), TX.tokens(text_col).alias("__t"))
         .withColumn("__n", F.size("__t"))
-        .filter(F.col("__n") >= k)
+        .filter(F.col("__n") >= k),
+        materialize_mode,
     )
     gram = lambda t, i: F.md5(F.array_join(F.slice(t, i, k), " "))  # noqa: E731
     post = base.select(
@@ -1641,7 +1649,7 @@ def boundary_stitch_pairs(
     if max_df is not None:
         keep = (
             post.groupBy("__g")
-            .agg(F.count(F.lit(1)).alias("__df"))
+            .agg(F.countDistinct("left_doc").alias("__df"))
             .filter(F.col("__df") <= max_df)
             .select("__g")
         )

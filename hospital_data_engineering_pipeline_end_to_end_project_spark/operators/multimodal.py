@@ -841,7 +841,9 @@ def dhash_bands_from_pgm(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_dh, schema=DHASH_SCHEMA)
 
 
-def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dhash_near_dups(
+    hashes: DataFrame, max_hamming: int = 3, materialize_mode: str = "eager"
+) -> DataFrame:
     """Banded Hamming self-join over dHash values — the perceptual
     counterpart of ``dedupe.simhash_near_dups``, pigeonhole-EXACT for
     the default threshold: two hashes within Hamming distance 3
@@ -863,7 +865,13 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
             f"with {DHASH_BANDS} bands (needs max_hamming < bands)"
         )
-    h = hashes.filter(F.col("decode_ok"))
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
+
+    # materialize the DECODED hash frame (five ints per image) before
+    # the self-join: its upstream is the synthesis + Arrow decode
+    # pipeline, which a self-join would otherwise run once per branch
+    # (the round-7 ReusedExchange finding)
+    h = materialize(hashes.filter(F.col("decode_ok")), materialize_mode)
     bands = h.select(
         "media_id",
         *[f"b{j}" for j in range(DHASH_BANDS)],
@@ -973,6 +981,7 @@ def audio_segment_pairs(
     min_frames: int = 8,
     frame_samples: int = SPEECH_SAMPLES_PER_TOKEN,
     max_df: int | None = None,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Shared audio SEGMENTS across documents — the Shazam-shaped
     dedup primitive: fingerprint every ``k`` consecutive frame
@@ -998,8 +1007,6 @@ def audio_segment_pairs(
     Returns ``(doc_a < doc_b, start_a, start_b, seg_frames)`` —
     1-based frame offsets, maximal-run lengths >= ``min_frames``.
     """
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
-
     if min_frames < k:
         raise ValueError(f"min_frames={min_frames} below the gram size k={k}")
     frames = audio_frame_energy(media, frame_samples=frame_samples)
@@ -1026,7 +1033,12 @@ def audio_segment_pairs(
         "media_id", F.posexplode(grams).alias("__p0", "__h")
     ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
     return _posting_run_pairs(
-        pos, k=k, min_frames=min_frames, max_df=max_df, out_len="seg_frames"
+        pos,
+        k=k,
+        min_frames=min_frames,
+        max_df=max_df,
+        out_len="seg_frames",
+        materialize_mode=materialize_mode,
     )
 
 
@@ -1037,6 +1049,7 @@ def _posting_run_pairs(
     min_frames: int,
     max_df: int | None,
     out_len: str,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Shared tail of the media-segment matchers: positional gram
     postings ``(media_id, __pos 1-based, __h)`` -> optional ``max_df``
@@ -1045,13 +1058,25 @@ def _posting_run_pairs(
     :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.dedupe.diagonal_spans`.
     Used by the audio (energy grams) and video (frame-fingerprint
     grams) legs — the k-gram construction differs per modality, the
-    run extraction is identical."""
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+    run extraction is identical.
 
+    ``pos`` is materialized ONCE before the self-join: its upstream is
+    the full payload decode + collect_list + gram hashing, and a
+    self-join's branches do not reuse a common subtree under AQE's
+    broadcast rewrite (the round-7 ReusedExchange finding the sibling
+    banded operators all materialize against) — without it the decode
+    pipeline runs once per branch.  ``max_df`` counts DISTINCT
+    DOCUMENTS per gram (the span operator's semantics): a segment
+    repeated WITHIN one document — looped silence — must not inflate
+    a gram toward the cap."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
+
+    pos = materialize(pos, materialize_mode)
     if max_df is not None:
         keep = (
             pos.groupBy("__h")
-            .agg(F.count(F.lit(1)).alias("__df"))
+            .agg(F.countDistinct("media_id").alias("__df"))
             .filter(F.col("__df") <= max_df)
             .select("__h")
         )
@@ -1238,6 +1263,7 @@ def video_scene_pairs(
     k: int = 4,
     min_frames: int = 8,
     max_df: int | None = None,
+    materialize_mode: str = "eager",
 ) -> DataFrame:
     """Shared video SCENES across documents — the video leg of the
     segment-dedup family: fingerprint every ``k`` consecutive frame
@@ -1277,7 +1303,12 @@ def video_scene_pairs(
         "media_id", F.posexplode(grams).alias("__p0", "__h")
     ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
     return _posting_run_pairs(
-        pos, k=k, min_frames=min_frames, max_df=max_df, out_len="scene_frames"
+        pos,
+        k=k,
+        min_frames=min_frames,
+        max_df=max_df,
+        out_len="scene_frames",
+        materialize_mode=materialize_mode,
     )
 
 

@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -202,6 +203,7 @@ def retrain_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 2,
+    grace_seconds: float = 2.0,
 ) -> dict[str, int]:
     """The quantizer-drift fix: re-train on the accumulated vectors,
     re-assign every stored posting, atomically swap the epoch.
@@ -268,21 +270,25 @@ def retrain_ivf_index(
     # late committed shard (batch id > the compacted watermark n) into
     # the new epoch under its own ``batch=M`` dir — ids <= n are
     # subsumed by ``compact_upto={n}`` and stay ignored.  The loop
-    # closes every batch that was mid-commit at publish time; a writer
-    # that resolved epoch E and then stalls for longer than this whole
-    # retrain remains a documented residual — quiesce the writer
-    # around retrain for an absolute guarantee.
+    # never trusts a single instantaneous listing: it keeps re-listing
+    # until a FULL ``grace_seconds`` window passes with no new commit
+    # (the first listing alone can run in the gap just before a
+    # mid-commit batch's _SUCCESS lands — breaking there would delete
+    # it).  A writer that resolved epoch E and then stalls for longer
+    # than the grace window remains the documented residual — quiesce
+    # the writer around retrain (or raise ``grace_seconds`` past its
+    # worst commit latency) for an absolute guarantee.
     migrated = 0
-    prev_late: set[int] = set()
+    prev_late: set[int] | None = None  # None = no listing taken yet
     while True:
         late = {
             m: path
             for kind, m, path in shardstore.active_shard_dirs(old_root)
             if kind == "batch" and m > n
         }
-        if set(late) == prev_late:
+        if prev_late is not None and set(late) == prev_late:
             break
-        for m in sorted(set(late) - prev_late):
+        for m in sorted(set(late) - (prev_late or set())):
             moved = assign_ivf_cluster(
                 spark.read.parquet(late[m]).drop("cluster"),
                 new_cents,
@@ -293,6 +299,7 @@ def retrain_ivf_index(
             )
             migrated += 1
         prev_late = set(late)
+        time.sleep(grace_seconds)
     shutil.rmtree(old_root, ignore_errors=True)
     return {
         "epoch": epoch + 1,
