@@ -155,6 +155,7 @@ HEADLINE = [
     "q148_video_scene_pairs",
     "q149_dhash_index_served_join",
     "q150_boundary_stitch",
+    "q151_stitch_repair",
 ]
 
 

@@ -1681,3 +1681,77 @@ def boundary_stitch_pairs(
         .groupBy("left_doc", "right_doc")
         .agg(F.max("__m").cast("long").alias("overlap_tokens"))
     )
+
+
+def stitch_merge(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    min_overlap: int = 8,
+    max_df: int | None = None,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """Repair the stitches :func:`boundary_stitch_pairs` names: merge
+    each UNAMBIGUOUS stitched record pair back into its logical page —
+    the curation ACTION for the crawl-shard artifact (the fix is a
+    merge, not a drop).
+
+    Unambiguous means the left record stitches to exactly one right
+    record and vice versa; a record with several partners (shared
+    boilerplate openings, near-dup clusters) is left alone — merging
+    on a guess would fabricate text, and the ambiguous cases are
+    exactly what ``max_df`` exists to suppress upstream.  The merge
+    drops the overlap once: ``merged = left_tokens ++
+    right_tokens[overlap+1:]``, with the overlap the operator's
+    MAXIMAL verified one.
+
+    Returns ``(left_doc, right_doc, overlap_tokens, merged_text)``.
+    """
+    st = boundary_stitch_pairs(
+        docs,
+        id_col,
+        text_col,
+        k=k,
+        min_overlap=min_overlap,
+        max_df=max_df,
+        materialize_mode=materialize_mode,
+    )
+    st = materialize(st, materialize_mode)
+    lu = (
+        st.groupBy("left_doc")
+        .agg(F.count(F.lit(1)).alias("__nl"))
+        .filter(F.col("__nl") == 1)
+        .select("left_doc")
+    )
+    ru = (
+        st.groupBy("right_doc")
+        .agg(F.count(F.lit(1)).alias("__nr"))
+        .filter(F.col("__nr") == 1)
+        .select("right_doc")
+    )
+    uniq = st.join(lu, "left_doc", "left_semi").join(ru, "right_doc", "left_semi")
+    toks = docs.select(
+        F.col(id_col).alias("__id"), TX.tokens(text_col).alias("__t")
+    )
+    ta = toks.select(F.col("__id").alias("left_doc"), F.col("__t").alias("__ta"))
+    tb = toks.select(
+        F.col("__id").alias("right_doc"),
+        F.col("__t").alias("__tb"),
+        F.size("__t").alias("__nb"),
+    )
+    m = F.col("overlap_tokens").cast("int")
+    return (
+        uniq.join(ta, "left_doc")
+        .join(tb, "right_doc")
+        .select(
+            "left_doc",
+            "right_doc",
+            "overlap_tokens",
+            F.array_join(
+                F.concat("__ta", F.slice("__tb", m + 1, F.col("__nb") - m)),
+                " ",
+            ).alias("merged_text"),
+        )
+    )

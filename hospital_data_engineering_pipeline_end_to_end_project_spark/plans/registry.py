@@ -130,38 +130,39 @@ def _modules():
 #: rotation plan verbatim:
 #:   1. q87/q88 FIRST — the only three-round-old rows (displaced by
 #:      the late r11 arrivals; the one-round debt closes here);
-#:   2. q144-q150 — the r12 arrivals (index-served incremental LSH
+#:   2. q144-q151 — the r12 arrivals (index-served incremental LSH
 #:      join, index-served span extraction, perceptual image dHash
 #:      dedup, shared audio segments, shared video scenes, the
-#:      index-served perceptual image join, and crawl-shard boundary
-#:      stitches), in-window on arrival;
+#:      index-served perceptual image join, crawl-shard boundary
+#:      stitches, and the stitch repair merge), in-window on arrival;
 #:   3. every query whose backing code changed in r12: q139
 #:      (lsh_incremental_join verify-side candidate semi-prune), q140
 #:      (tf_cosine_join capped-path re-probe semi-prune), q141
 #:      (incremental_labels non-converged-input node retention +
 #:      mirrored oracle);
-#:   4. 38 of the 43 r09-vintage rows (q100-q108, q111-q113, q115,
+#:   4. 37 of the 43 r09-vintage rows (q100-q108, q111-q113, q115,
 #:      q117-q119, q121-q123, q125, q26, q28, q31, q51, q52,
-#:      q61, q70, q79, q83-q86, q89, q90, q93-q96) — the cohort the
+#:      q61, q70, q79, q83-q86, q89, q90, q93-q95) — the cohort the
 #:      r11 verdict names, code unchanged since r9 (judge-verified
 #:      r10 + r11 diffs), officially re-attested here.  The 50-slot
 #:      cut leaves ONE r09 row out (q46_top_words_per_lang — code
 #:      unchanged; the accepted one-round trade), and the late
 #:      arrivals q147 (audio segments), q148 (video scenes), q149
-#:      (index-served image join) and q150 (boundary stitches) —
-#:      in-window on arrival, outranking filler — displace four more:
-#:      q49_sketch_stats, q97_novelty_filter, q98_audio_frame_energy,
-#:      q99_triangle_counts.  ALL FIVE are PINNED FIRST in the r13
+#:      (index-served image join), q150 (boundary stitches) and q151
+#:      (stitch repair) — in-window on arrival, outranking filler —
+#:      displace five more: q49_sketch_stats, q96_source_divergence,
+#:      q97_novelty_filter, q98_audio_frame_energy,
+#:      q99_triangle_counts.  ALL SIX are PINNED FIRST in the r13
 #:      plan below.
 #: After this round the freshest-row ledger reads: 50 r12 + 48 r11 +
-#: 47 r10 + 5 r09 (q46, q49, q97, q98, q99).  R13 ROTATION PLAN: pin
-#: q46/q49/q97/q98/q99 first (the only rows that would be three
-#: rounds old), then r13-changed code + new arrivals, then the 47
-#: r10-vintage rows (the r10 window minus rows since re-attested),
-#: then the aging r11 window.  The full catalog stays attested
-#: end-to-end by tests/test_oracle_parity.py at sf0.001 and the
-#: 50-window at sf0.01 by tests/test_gate_scale_parity.py in every
-#: pytest run.
+#: 47 r10 + 6 r09 (q46, q49, q96, q97, q98, q99).  R13 ROTATION
+#: PLAN: pin q46/q49/q96/q97/q98/q99 first (the only rows that would
+#: be three rounds old), then r13-changed code + new arrivals, then
+#: the 47 r10-vintage rows (the r10 window minus rows since
+#: re-attested), then the aging r11 window.  The full catalog stays
+#: attested end-to-end by tests/test_oracle_parity.py at sf0.001 and
+#: the 50-window at sf0.01 by tests/test_gate_scale_parity.py in
+#: every pytest run.
 _GATE_FRONT = (
     "q87_bm25_topk",
     "q88_semantic_dedup",
@@ -172,6 +173,7 @@ _GATE_FRONT = (
     "q148_video_scene_pairs",
     "q149_dhash_index_served_join",
     "q150_boundary_stitch",
+    "q151_stitch_repair",
     "q139_lsh_incremental_join",
     "q140_tf_cosine_join",
     "q141_incremental_labels",
@@ -212,7 +214,6 @@ _GATE_FRONT = (
     "q93_multi_signal_clusters",
     "q94_temperature_resample",
     "q95_boilerplate_stats",
-    "q96_source_divergence",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -223,6 +224,7 @@ _GATE_FRONT = (
 #: list is belt-and-suspenders against a renamed front entry letting
 #: a fresh-rowed query drift into the window.
 _GATE_BACK = (
+    "q96_source_divergence",
     "q97_novelty_filter",
     "q98_audio_frame_energy",
     "q99_triangle_counts",

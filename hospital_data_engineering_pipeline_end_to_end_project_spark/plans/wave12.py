@@ -580,9 +580,11 @@ _Q150_MIN = 8
 _Q150_ELIG = 24   # docs shorter than this pass through uncut
 
 
-def q150_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q150_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded fetch-record rendering shared by q150 (detection)
+    and q151 (repair): each eligible doc splits at its midpoint with a
+    deterministic carried overlap; short docs pass through uncut."""
     from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = d.select(
@@ -605,13 +607,22 @@ def q150_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 2).alias("doc_id"),
         F.array_join("__t", " ").alias("text"),
     )
-    records = left.unionByName(right).unionByName(noise)
+    return left.unionByName(right).unionByName(noise)
+
+
+def q150_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
     return dedupe.boundary_stitch_pairs(
-        records, "doc_id", "text", k=_Q150_K, min_overlap=_Q150_MIN
+        _q150_records(spark, sf_dir), "doc_id", "text",
+        k=_Q150_K, min_overlap=_Q150_MIN,
     )
 
 
-Q150_SQL = f"""
+#: shared CTE chain for the boundary-stitch oracles (q150 detection,
+#: q151 repair): record synthesis -> postings -> anchor candidates ->
+#: exact slice verification
+_STITCH_CTES = f"""
 WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks),
 recs AS (
@@ -648,10 +659,63 @@ ver AS (
   JOIN rb b ON b.doc_id = cand.right_doc
   WHERE cand.m <= b.n
     AND a.t[cand.p : cand.p + cand.m - 1] = b.t[1 : cand.m]
-)
-SELECT left_doc, right_doc, CAST(max(m) AS BIGINT) AS overlap_tokens
-FROM ver GROUP BY left_doc, right_doc
+),
+st AS (
+  SELECT left_doc, right_doc, max(m) AS m
+  FROM ver GROUP BY left_doc, right_doc
+)"""
+
+Q150_SQL = (
+    _STITCH_CTES
+    + """
+SELECT left_doc, right_doc, CAST(m AS BIGINT) AS overlap_tokens FROM st
 """
+)
 
 QUERIES["q150_boundary_stitch"] = q150_boundary_stitch
 ORACLES["q150_boundary_stitch"] = Q150_SQL
+
+
+# ---------------------------------------------------------------------------
+# q151 — stitch REPAIR (merge unambiguous stitched record pairs)
+#
+# The curation action for q150's findings: each record pair where the
+# stitch is unambiguous in both directions is merged back into its
+# logical page, dropping the (maximal verified) overlap once.  Same
+# record synthesis; the oracle extends the shared CTE chain with the
+# one-partner-each filter and the list_concat merge.
+# ---------------------------------------------------------------------------
+
+
+def q151_stitch_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    records = _q150_records(spark, sf_dir)
+    return dedupe.stitch_merge(
+        records, "doc_id", "text", k=_Q150_K, min_overlap=_Q150_MIN
+    )
+
+
+Q151_SQL = (
+    _STITCH_CTES
+    + """,
+lu AS (SELECT left_doc FROM st GROUP BY left_doc HAVING count(*) = 1),
+ru AS (SELECT right_doc FROM st GROUP BY right_doc HAVING count(*) = 1),
+u AS (
+  SELECT st.left_doc, st.right_doc, st.m
+  FROM st
+  JOIN lu USING (left_doc)
+  JOIN ru USING (right_doc)
+)
+SELECT u.left_doc, u.right_doc,
+       CAST(u.m AS BIGINT) AS overlap_tokens,
+       array_to_string(list_concat(a.t, b.t[u.m + 1 : b.n]), ' ')
+         AS merged_text
+FROM u
+JOIN rb a ON a.doc_id = u.left_doc
+JOIN rb b ON b.doc_id = u.right_doc
+"""
+)
+
+QUERIES["q151_stitch_repair"] = q151_stitch_repair
+ORACLES["q151_stitch_repair"] = Q151_SQL

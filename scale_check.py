@@ -956,6 +956,7 @@ def main() -> None:
             "q148_video_scene_pairs",
             "q149_dhash_index_served_join",
             "q150_boundary_stitch",
+            "q151_stitch_repair",
         )
         d_base = time_queries(spark, SF_DIR, names=names)
         d_scaled = time_queries(spark, scaled_dir, runs=1, names=names)

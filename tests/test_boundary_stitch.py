@@ -99,3 +99,49 @@ def test_max_df_boilerplate_escape_and_guard(spark):
     assert capped.count() == 0
     with pytest.raises(ValueError, match="below the anchor gram"):
         dedupe.boundary_stitch_pairs(docs, "doc_id", "text", k=4, min_overlap=3)
+
+
+def test_stitch_merge_reconstructs_the_page(spark):
+    ov = [f"o{i}" for i in range(10)]
+    left_rest = [f"a{i}" for i in range(8)]
+    right_rest = [f"b{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(left_rest + ov)),
+            (2, " ".join(ov + right_rest)),
+            (4, " ".join(f"d{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedupe.stitch_merge(docs, "doc_id", "text", k=4, min_overlap=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["left_doc"], r["right_doc"], r["overlap_tokens"]) == (1, 2, 10)
+    # the merge drops the overlap exactly once: the logical page
+    assert r["merged_text"] == " ".join(left_rest + ov + right_rest)
+
+
+def test_stitch_merge_skips_ambiguous_and_handles_containment(spark):
+    ov = [f"o{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            # two different left records both stitch onto doc 3:
+            # ambiguous on the right side -> neither merges
+            (1, " ".join([f"a{i}" for i in range(6)] + ov)),
+            (2, " ".join([f"b{i}" for i in range(6)] + ov)),
+            (3, " ".join(ov + [f"c{i}" for i in range(6)])),
+            # containment: doc 5 is exactly doc 4's suffix -> merged
+            # text is doc 4 itself (overlap = all of doc 5)
+            (4, " ".join([f"x{i}" for i in range(4)] + [f"y{i}" for i in range(8)])),
+            (5, " ".join(f"y{i}" for i in range(8))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left_doc"], r["right_doc"]): (r["overlap_tokens"], r["merged_text"])
+        for r in dedupe.stitch_merge(docs, "doc_id", "text", k=4, min_overlap=8).collect()
+    }
+    assert set(got) == {(4, 5)}
+    m, text = got[(4, 5)]
+    assert m == 8
+    assert text == " ".join([f"x{i}" for i in range(4)] + [f"y{i}" for i in range(8)])
