@@ -1576,6 +1576,7 @@ def boundary_stitch_pairs(
     min_overlap: int = 8,
     max_df: int | None = None,
     materialize_mode: str = "eager",
+    broadcast_anchors: bool = True,
 ) -> DataFrame:
     """Crawl-shard boundary stitches: ordered pairs where the LEFT
     document's token suffix equals the RIGHT document's token prefix —
@@ -1596,10 +1597,18 @@ def boundary_stitch_pairs(
     ``overlap_tokens`` is the MAXIMUM verified ``m`` per pair (periodic
     text can verify several anchors).
 
-    Scale shape: the anchor side is ONE row per document — broadcast —
-    so the corpus gram postings are scanned once and map-side probed,
-    never shuffled; verification joins token arrays only for anchor
-    docs (left-semi before the array is shipped).  The tokenized base
+    Scale shape: the anchor side is ONE row per document — broadcast
+    by default — so the corpus gram postings are scanned once and
+    map-side probed, never shuffled; verification joins token arrays
+    only for anchor docs (left-semi before the array is shipped).
+    NOTE the broadcast is ``|docs|``-bounded (33 bytes/row: one md5 +
+    one id), NOT candidate-bounded like ``tf_cosine_join``'s
+    ``cand_docs`` — fine to ~10^8 docs per corpus shard, but a
+    billions-of-docs single frame would exceed Spark's 8 GB
+    broadcast-table limit; pass ``broadcast_anchors=False`` there to
+    fall back to a shuffled (sort-merge) probe join, which keeps the
+    same one-pass-over-postings property at the cost of one shuffle
+    of the postings keyed by gram.  The tokenized base
     frame is materialized ONCE (policy per ``materialize_mode``): it
     feeds the postings, the anchors and both verification sides, and
     every consumer above it is shuffle-free map work (explode + md5 +
@@ -1655,7 +1664,7 @@ def boundary_stitch_pairs(
         )
         anchors = anchors.join(keep, "__g", "left_semi")
     cand = (
-        post.join(F.broadcast(anchors), "__g")
+        post.join(F.broadcast(anchors) if broadcast_anchors else anchors, "__g")
         .filter(F.col("left_doc") != F.col("right_doc"))
         .withColumn("__m", F.col("__na") - F.col("__p") + 1)
         .filter(F.col("__m") >= min_overlap)
@@ -1702,8 +1711,15 @@ def stitch_merge(
     record and vice versa; a record with several partners (shared
     boilerplate openings, near-dup clusters) is left alone — merging
     on a guess would fabricate text, and the ambiguous cases are
-    exactly what ``max_df`` exists to suppress upstream.  The merge
-    drops the overlap once: ``merged = left_tokens ++
+    exactly what ``max_df`` exists to suppress upstream.  CHAINS are
+    likewise left alone: a record that survives the pairwise filter
+    on BOTH sides (``A -> B`` and ``B -> C``, a page cut into three or
+    more fetch records) would have its middle tokens duplicated across
+    two pairwise merges, so any stitch touching such a middle record
+    is excluded — a 3+-record page is a rarer artifact needing
+    iterative chain reconstruction (follow the functional graph to a
+    fixpoint), deliberately out of this operator's pairwise contract.
+    The merge drops the overlap once: ``merged = left_tokens ++
     right_tokens[overlap+1:]``, with the overlap the operator's
     MAXIMAL verified one.
 
@@ -1732,6 +1748,18 @@ def stitch_merge(
         .select("right_doc")
     )
     uniq = st.join(lu, "left_doc", "left_semi").join(ru, "right_doc", "left_semi")
+    # chain guard: a record on BOTH sides of surviving stitches is the
+    # middle of an A->B->C chain — merging pairwise would duplicate its
+    # tokens across two pages, so every stitch touching it is excluded.
+    mids = (
+        uniq.select(F.col("right_doc").alias("__mid"))
+        .intersect(uniq.select(F.col("left_doc").alias("__mid")))
+    )
+    uniq = uniq.join(
+        mids.select(F.col("__mid").alias("left_doc")), "left_doc", "left_anti"
+    ).join(
+        mids.select(F.col("__mid").alias("right_doc")), "right_doc", "left_anti"
+    )
     toks = docs.select(
         F.col(id_col).alias("__id"), TX.tokens(text_col).alias("__t")
     )

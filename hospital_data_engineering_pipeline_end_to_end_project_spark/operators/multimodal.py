@@ -1000,9 +1000,15 @@ def audio_segment_pairs(
     frames shares a gram); ``max_df`` is the boilerplate escape for
     corpora with globally-ubiquitous segments (jingles, silence),
     dropping above-cap grams from candidate generation exactly like
-    the span operator's knob; at index scale the winnowing selection
-    of ``streaming/span_index.py`` applies to these fingerprints
-    verbatim.
+    the span operator's knob.  Since round 12 the cap counts DISTINCT
+    DOCUMENTS holding a gram, not total postings — a segment looped
+    WITHIN one document (repeated silence) no longer inflates its
+    gram toward the cap, so a given ``max_df`` value keeps strictly
+    MORE grams than the pre-r12 posting-count semantics; callers
+    tuned against the old count-based cap should re-derive the knob
+    from a document-frequency histogram.  At index scale the
+    winnowing selection of ``streaming/span_index.py`` applies to
+    these fingerprints verbatim.
 
     Returns ``(doc_a < doc_b, start_a, start_b, seg_frames)`` —
     1-based frame offsets, maximal-run lengths >= ``min_frames``.

@@ -1,4 +1,4 @@
-"""Round-12 query wave (q144-q150).
+"""Round-12 query wave (q144-q151).
 
 - q144 index-served incremental LSH join — q139's daily near-dup
   join answered FROM materialized band shards: the query builds the
@@ -701,11 +701,23 @@ Q151_SQL = (
     + """,
 lu AS (SELECT left_doc FROM st GROUP BY left_doc HAVING count(*) = 1),
 ru AS (SELECT right_doc FROM st GROUP BY right_doc HAVING count(*) = 1),
-u AS (
+u0 AS (
   SELECT st.left_doc, st.right_doc, st.m
   FROM st
   JOIN lu USING (left_doc)
   JOIN ru USING (right_doc)
+),
+-- chain guard (mirrors stitch_merge): a record on BOTH sides of
+-- surviving stitches is an A->B->C chain middle; exclude its stitches
+mids AS (
+  SELECT right_doc AS mid FROM u0
+  INTERSECT
+  SELECT left_doc FROM u0
+),
+u AS (
+  SELECT * FROM u0
+  WHERE left_doc NOT IN (SELECT mid FROM mids)
+    AND right_doc NOT IN (SELECT mid FROM mids)
 )
 SELECT u.left_doc, u.right_doc,
        CAST(u.m AS BIGINT) AS overlap_tokens,

@@ -145,3 +145,31 @@ def test_stitch_merge_skips_ambiguous_and_handles_containment(spark):
     m, text = got[(4, 5)]
     assert m == 8
     assert text == " ".join([f"x{i}" for i in range(4)] + [f"y{i}" for i in range(8)])
+
+
+def test_stitch_merge_excludes_chain_middles(spark):
+    # A -> B -> C: each stitch is pairwise-unambiguous, but B is on
+    # BOTH sides — pairwise merges would duplicate B's tokens across
+    # two pages, so the chain guard excludes every stitch touching B.
+    ov1 = [f"p{i}" for i in range(8)]
+    ov2 = [f"q{i}" for i in range(8)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([f"a{i}" for i in range(6)] + ov1)),
+            (2, " ".join(ov1 + [f"b{i}" for i in range(6)] + ov2)),
+            (3, " ".join(ov2 + [f"c{i}" for i in range(6)])),
+            # an independent clean pair must still merge alongside
+            (8, " ".join([f"u{i}" for i in range(6)] + [f"w{i}" for i in range(8)])),
+            (9, " ".join([f"w{i}" for i in range(8)] + [f"v{i}" for i in range(6)])),
+        ],
+        "doc_id long, text string",
+    )
+    # the stitches themselves are all named...
+    st = _pairs(dedupe.boundary_stitch_pairs(docs, "doc_id", "text", k=4, min_overlap=8))
+    assert set(st) == {(1, 2), (2, 3), (8, 9)}
+    # ...but only the chain-free pair merges
+    got = {
+        (r["left_doc"], r["right_doc"])
+        for r in dedupe.stitch_merge(docs, "doc_id", "text", k=4, min_overlap=8).collect()
+    }
+    assert got == {(8, 9)}
