@@ -156,6 +156,7 @@ HEADLINE = [
     "q149_dhash_index_served_join",
     "q150_boundary_stitch",
     "q151_stitch_repair",
+    "q152_ivf_index_served_topk",
 ]
 
 

@@ -784,14 +784,17 @@ def _q48_ranked(cent_cte: str, src: str = "v") -> str:
     )
 
 
-def _q48_quantizer_prefix() -> str:
+def _q48_quantizer_prefix(where: str = "") -> str:
     """Shared WITH-body through the full-corpus rank ``rf`` and the
     ``assigned`` cluster map: raw/unit vectors, the bounded
     lowest-md5 training sample, seeds, ``Q48_ITERS`` Lloyd rounds
     with dyadic-snapped means, and the final K x n distance rank
     (``rn = 1`` is the assignment; ``dd`` the squared distance).
     Interpolated verbatim by BOTH the q48 IVF oracle and the q88
-    semantic-dedup oracle so the two replay the identical quantizer.
+    semantic-dedup oracle so the two replay the identical quantizer;
+    ``where`` (a leading-space ``" WHERE ..."`` clause, default none)
+    restricts the trained/assigned population — the q152 index-served
+    oracle trains on the CORPUS split only.
     """
     # one Lloyd iteration over the TRAINING SAMPLE sv: assign to cN-1,
     # mean per (cluster, dim) snapped to the dyadic grid, empty
@@ -816,7 +819,7 @@ c{it} AS (
 c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c{it} GROUP BY c)"""
         )
     iter_sql = ",\n".join(iters)
-    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings{where}),
 nv AS (SELECT vec_id, {_UNIT.format(v='dv')} AS nv FROM v),
 sv AS (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q48_TRAIN_CAP}),
 seeds AS (

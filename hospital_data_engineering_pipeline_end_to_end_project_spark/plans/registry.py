@@ -47,6 +47,7 @@ def _modules():
     # in every pytest run.
     mods = []
     for name in (
+        "wave13",
         "wave12",
         "wave11",
         "wave10",

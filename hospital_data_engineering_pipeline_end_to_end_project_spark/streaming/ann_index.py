@@ -196,6 +196,106 @@ def compact_ivf_shards(spark: SparkSession, out_dir: str) -> dict[str, int]:
     return shardstore.compact_shards(spark, _postings_root(out_dir))
 
 
+def ivf_topk_against_index(
+    spark: SparkSession,
+    out_dir: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k neighbors for an arriving ``batch`` of
+    vectors, served FROM the stored IVF postings — the probe half of
+    the build-once-probe-many lifecycle (the sixth index-served leg,
+    joining the LSH band / span posting / dHash probes).
+
+    The batch pays one K x dim distance pass against the store's
+    frozen centroids (broadcast literals, no shuffle) to derive its
+    ``nprobe`` probe cells — the identical struct-sort semantics as
+    :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.similarity.ivf_topk`'s
+    flat index build (ties to the lower cluster id) — then joins the
+    STORED postings on ``cluster`` and scores only those cells'
+    members.  The corpus is never re-assigned, re-read, or re-trained:
+    candidate volume is ∝ |batch| x corpus/K x nprobe, and the
+    postings scan prunes to the probed cells.  Served-vs-recomputed
+    identity holds because per-row assignment is stateless given the
+    frozen centroids (the store invariant pinned by
+    ``tests/test_stream_ann_index.py``), so this probe is row-identical
+    to ``ivf_topk``'s exact scorer restricted to batch-vs-corpus pairs
+    under the same quantizer.
+
+    ``centroids`` overrides the store metadata for legacy flat stores;
+    epoch-managed stores resolve the ACTIVE epoch's centroid list.
+    Returns ``(query_id, neighbor_id, cos_sim, rank)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import vectors as V
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.similarity import (
+        _centroid_dists,
+        _with_unit,
+    )
+
+    if centroids is None:
+        meta = read_centroids(out_dir)
+        if meta is None:
+            raise ValueError(
+                f"IVF store {out_dir!r} has no {CENTROIDS_FILE}; "
+                "pass centroids explicitly for a flat store"
+            )
+        centroids = meta[0]
+    idx = read_ivf_index(spark, out_dir)
+    corpus = _with_unit(
+        idx.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster"),
+            V.as_double(vec_col).alias("v"),
+        ),
+        F.col("v"),
+        "cn",
+    ).select("neighbor_id", "cluster", "cn")
+    base = _with_unit(
+        fan_out(batch.select(F.col(id_col), V.as_double(vec_col).alias("v"))),
+        F.col("v"),
+        "qn",
+    )
+    dists = _centroid_dists(F.col("v"), centroids)
+    structs = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(structs), 1, nprobe),
+        lambda s: s["c"].cast("int"),
+    )
+    queries = base.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes).alias("cluster"),
+        F.col("qn"),
+    )
+    scored = (
+        queries.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qn"), F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def retrain_ivf_index(
     spark: SparkSession,
     out_dir: str,

@@ -939,6 +939,39 @@ def main() -> None:
         out["q133_capped_base_sec"] = b133
         out["q133_capped_scaled_sec"] = s133
         out["q133_capped_growth_ratio"] = round(s133 / b133, 2)
+    if family == "mediaattr":
+        # r13 attribution for the capped media matchers: how much of
+        # q147's scaled time is the LINEAR synthesis+decode term
+        # (WAV render -> RIFF walk -> frame energies, Arrow
+        # mapInPandas) vs the capped gram-match stages?  Runs the
+        # decode-only prefix and the full query on the same fixture.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+
+        def _decode_only(dirpath: str) -> float:
+            from pyspark.sql import functions as F
+
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+            t0 = time.monotonic()
+            d = load_table(spark, dirpath, "documents").select("doc_id", "text")
+            media = multimodal.synthesize_speech_wav(fan_out(d), "doc_id", "text")
+            multimodal.audio_frame_energy(media).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return round(time.monotonic() - t0, 3)
+
+        out["q147_decode_base_sec"] = min(_decode_only(SF_DIR) for _ in range(2))
+        out["q147_decode_scaled_sec"] = _decode_only(scaled_dir)
+        full = time_queries(
+            spark, SF_DIR, names=("q147_audio_segment_pairs",)
+        )
+        full_s = time_queries(
+            spark, scaled_dir, runs=1, names=("q147_audio_segment_pairs",)
+        )
+        out["q147_full_base_sec"] = full["q147_audio_segment_pairs"]
+        out["q147_full_scaled_sec"] = full_s["q147_audio_segment_pairs"]
     if family == "deepdocs3":
         # r12 arrivals on the docs axis: the two index-served gated
         # lifecycles (q144 LSH bands, q145 winnowing span postings —

@@ -223,3 +223,142 @@ def test_ivf_retrain_migrates_racing_late_shard(spark, tmp_path, monkeypatch):
     assert _rows(ann_index.read_ivf_index(spark, out)) == want
     assert not os.path.isdir(os.path.join(out, "epoch=0"))
     assert os.path.isdir(os.path.join(out, "epoch=1", "batch=2"))
+
+
+# ---------------------------------------------------------------------------
+# index-served top-k probe (q152's engine): the batch's neighbors
+# answered FROM the stored postings must equal an exact recompute
+# under the same frozen quantizer
+# ---------------------------------------------------------------------------
+
+
+def _py_unit(v):
+    # replicate _with_unit's in-order IEEE fold: norm = sqrt(sum v*v)
+    s = 0.0
+    for x in v:
+        s += x * x
+    n = s ** 0.5
+    if n == 0:
+        return None
+    return [x / n for x in v]
+
+
+def _py_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _py_topk(batch_rows, corpus_rows, cents, nprobe, k):
+    """The oracle-shaped recompute: squared-L2 centroid ranks (ties to
+    the lower cluster id), corpus argmin assignment, batch nprobe
+    probes, cosine over unit vectors rounded to 6, rank by
+    (-cos_sim, neighbor_id)."""
+    def ranks(v):
+        ds = []
+        for c, cent in enumerate(cents):
+            ds.append((_py_dot([x - y for x, y in zip(v, cent)],
+                               [x - y for x, y in zip(v, cent)]), c))
+        ds.sort()
+        return [c for _, c in ds]
+
+    assigned = {}
+    for vid, v in corpus_rows:
+        assigned.setdefault(ranks(v)[0], []).append((vid, _py_unit(v)))
+    out = []
+    for qid, qv in batch_rows:
+        qn = _py_unit(qv)
+        cands = []
+        for cell in ranks(qv)[:nprobe]:
+            for nid, nn in assigned.get(cell, ()):
+                if nid == qid:
+                    continue
+                cos = (
+                    None
+                    if qn is None or nn is None
+                    else round(_py_dot(qn, nn), 6)
+                )
+                cands.append((nid, cos))
+        cands.sort(key=lambda t: (-(t[1] if t[1] is not None else float("-inf")), t[0]))
+        for rank, (nid, cos) in enumerate(cands[:k], 1):
+            out.append((qid, nid, cos, rank))
+    return sorted(out)
+
+
+def _collect_vecs(df):
+    return [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in df.collect()]
+
+
+def test_index_served_topk_equals_recompute(spark, tmp_path):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import shardstore
+
+    out = str(tmp_path / "ivf")
+    vecs = _vectors(spark)
+    corpus = vecs.filter(vecs.vec_id % 5 != 0)
+    batch = vecs.filter(vecs.vec_id % 5 == 0)
+    cents = build_ivf_centroids(corpus, "embedding", "vec_id", k=_K)
+    ann_index.init_ivf_store(out, cents)
+    handle = ann_index.make_ivf_batch_writer(out)
+    # the concurrent backfill helper: 3 independent shard jobs
+    shardstore.build_shards_concurrently(
+        handle,
+        [(b, corpus.filter(corpus.vec_id % 3 == b)) for b in range(3)],
+    )
+    ann_index.compact_ivf_shards(spark, out)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in ann_index.ivf_topk_against_index(
+            spark, out, batch, k=5, nprobe=2
+        ).collect()
+    )
+    want = _py_topk(
+        _collect_vecs(batch), _collect_vecs(corpus), cents, nprobe=2, k=5
+    )
+    assert got == want and len(got) > 0
+
+
+def test_index_served_topk_follows_epoch_swap(spark, tmp_path):
+    """After retrain_ivf_index the probe must resolve the NEW epoch's
+    centroids and postings automatically — no caller re-plumbing."""
+    out = str(tmp_path / "ivf")
+    vecs = _vectors(spark)
+    corpus = vecs.filter(vecs.vec_id % 5 != 0)
+    batch = vecs.filter(vecs.vec_id % 5 == 0)
+    cents0 = build_ivf_centroids(
+        corpus.filter(corpus.vec_id < 60), "embedding", "vec_id", k=2
+    )
+    ann_index.init_ivf_store(out, cents0)
+    handle = ann_index.make_ivf_batch_writer(out)
+    handle(corpus, 0)
+    ann_index.retrain_ivf_index(spark, out, k=_K)
+    new_cents, epoch = ann_index.read_centroids(out)
+    assert epoch == 1
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in ann_index.ivf_topk_against_index(
+            spark, out, batch, k=3, nprobe=2
+        ).collect()
+    )
+    want = _py_topk(
+        _collect_vecs(batch), _collect_vecs(corpus), new_cents, nprobe=2, k=3
+    )
+    assert got == want
+
+
+def test_index_served_topk_flat_store_needs_centroids(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "ivf")
+    vecs = _vectors(spark)
+    cents = build_ivf_centroids(vecs, "embedding", "vec_id", k=_K)
+    handle = ann_index.make_ivf_batch_writer(out, cents)  # legacy flat
+    handle(vecs, 0)
+    with pytest.raises(ValueError, match="no _centroids.json"):
+        ann_index.ivf_topk_against_index(spark, out, vecs.limit(5))
+    got = ann_index.ivf_topk_against_index(
+        spark, out, vecs.filter(vecs.vec_id < 3), centroids=cents, k=2
+    )
+    # self-pairs are excluded even when the batch overlaps the corpus
+    assert got.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert got.count() > 0
