@@ -1656,13 +1656,15 @@ def boundary_stitch_pairs(
         gram(F.col("__t"), F.lit(1)).alias("__g"),
     )
     if max_df is not None:
-        keep = (
+        # anti-join the tiny ABOVE-cap set (AQE broadcasts it) — the
+        # anchors frame is never reshuffled for the cap
+        drop = (
             post.groupBy("__g")
             .agg(F.countDistinct("left_doc").alias("__df"))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") > max_df)
             .select("__g")
         )
-        anchors = anchors.join(keep, "__g", "left_semi")
+        anchors = anchors.join(drop, "__g", "left_anti")
     cand = (
         post.join(F.broadcast(anchors) if broadcast_anchors else anchors, "__g")
         .filter(F.col("left_doc") != F.col("right_doc"))

@@ -1080,13 +1080,21 @@ def _posting_run_pairs(
 
     pos = materialize(pos, materialize_mode)
     if max_df is not None:
-        keep = (
+        # anti-join against the ABOVE-cap grams, not semi against the
+        # keep set: the drop side is the boilerplate TAIL (bounded by
+        # postings/max_df, tiny on real corpora), so AQE broadcasts it
+        # at runtime and the postings are never reshuffled for the
+        # cap — the engaged-by-default cap costs one partial-agg pass,
+        # not two full posting shuffles (r13: the semi form added
+        # ~1.5 s per gated media matcher at sf0.1 where the cap prunes
+        # nothing)
+        drop = (
             pos.groupBy("__h")
             .agg(F.countDistinct("media_id").alias("__df"))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") > max_df)
             .select("__h")
         )
-        pos = pos.join(keep, "__h", "left_semi")
+        pos = pos.join(drop, "__h", "left_anti")
     a = pos.select(
         F.col("media_id").alias("doc_a"), F.col("__pos").alias("__pa"), "__h"
     )

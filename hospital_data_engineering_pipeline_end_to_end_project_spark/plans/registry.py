@@ -164,120 +164,62 @@ def _modules():
 #: attested end-to-end by tests/test_oracle_parity.py at sf0.001 and
 #: the 50-window at sf0.01 by tests/test_gate_scale_parity.py in
 #: every pytest run.
+#: ROUND 13 window (exactly 50 names), executing the r12 verdict's
+#: rotation plan verbatim:
+#:   1. q46/q49/q96/q97/q98/q99 FIRST — the only three-round-old rows
+#:      (the six r09-vintage rows the r12 cut displaced; the
+#:      one-round debt closes here);
+#:   2. q152 — the r13 arrival (IVF ANN top-k served FROM the stored
+#:      posting index, the sixth index-served lifecycle — the r12
+#:      verdict's item 6), in-window on arrival;
+#:   3. every query whose backing code changed in r13: q147/q148/
+#:      q150/q151 (the engaged measured-inert max_df cap — the r12
+#:      verdict's #1 — plus q151's chain guard), q144/q145/q149
+#:      (concurrent backfill shard builds), q90 (write_zordered
+#:      prefix partitioner — the RangePartitioner sampling pass
+#:      removed);
+#:   4. 35 of the 48 r10-vintage rows (q01, q109, q110, q114, q116,
+#:      q120, q124, q126-q132, q134-q136, q42-q45, q50, q53-q57,
+#:      q62-q69) — code unchanged since r10 (judge-verified r11 +
+#:      r12 diffs), officially re-attested here.  The 50-slot cut
+#:      leaves THIRTEEN r10 rows out: q71-q78, q80-q82, q91, q92
+#:      (code unchanged; the accepted one-round trade — new arrivals
+#:      and changed code outrank filler).  ALL THIRTEEN are PINNED
+#:      FIRST in the r14 plan below.
+#: After this round the freshest-row ledger reads: 50 r13 + 48 r11 +
+#: 41 r12-or-r10-refreshed + 13 r10 (q71-q78, q80-q82, q91, q92).
+#: R14 ROTATION PLAN: pin q71-q78/q80-q82/q91/q92 first (the only
+#: rows that would be three rounds old), then r14-changed code + new
+#: arrivals, then the aging r11 window (48 rows, two rounds old by
+#: then: q87/q88, q102-q108, q111-q113, q115, q117-q119, q121-q123,
+#: q125, q26, q28, q31, q51, q52, q61, q70, q79, q83-q86, q89,
+#: q93-q95, q100, q101, q133, q137-q143, q146, q20).  The full
+#: catalog stays attested end-to-end by tests/test_oracle_parity.py
+#: at sf0.001 and the 50-window at sf0.01 by
+#: tests/test_gate_scale_parity.py in every pytest run.
 _GATE_FRONT = (
-    "q87_bm25_topk",
-    "q88_semantic_dedup",
+    "q46_top_words_per_lang",
+    "q49_sketch_stats",
+    "q96_source_divergence",
+    "q97_novelty_filter",
+    "q98_audio_frame_energy",
+    "q99_triangle_counts",
+    "q152_ivf_index_served_topk",
     "q144_lsh_index_served_join",
     "q145_span_index_served_join",
-    "q146_image_dhash_pairs",
     "q147_audio_segment_pairs",
     "q148_video_scene_pairs",
     "q149_dhash_index_served_join",
     "q150_boundary_stitch",
     "q151_stitch_repair",
-    "q139_lsh_incremental_join",
-    "q140_tf_cosine_join",
-    "q141_incremental_labels",
-    "q100_cheapest_regional_supplier",
-    "q101_sole_late_supplier",
-    "q102_video_frame_sample",
-    "q103_mergeable_sketches",
-    "q104_passage_dup_coverage",
-    "q105_containment_pairs",
-    "q106_sketch_overlap",
-    "q107_contamination_scrub",
-    "q108_shuffled_export",
-    "q111_int8_sdc_topk",
-    "q112_quantile_sketches",
-    "q113_time_weighted_avg",
-    "q115_ols_trend",
-    "q117_robust_outliers",
-    "q118_binary_hamming_topk",
-    "q119_jl_projection",
-    "q121_copurchase_lift",
-    "q122_countmin_heavy",
-    "q123_pagerank",
-    "q125_salted_topk",
-    "q26_jaccard_pairs",
-    "q28_cosine_topk",
-    "q31_embedding_near_dups",
-    "q51_group_cap",
-    "q52_pack_sequences",
-    "q61_dup_clusters",
-    "q70_dedup_canonical",
-    "q79_corpus_prep_pipeline",
-    "q83_cluster_sizes",
-    "q84_decoded_media",
-    "q85_image_header_decode",
-    "q86_simhash_near_dups",
-    "q89_quality_filter",
     "q90_zorder_roundtrip",
-    "q93_multi_signal_clusters",
-    "q94_temperature_resample",
-    "q95_boilerplate_stats",
-)
-
-#: Queries demoted to the BACK of the catalog (outside the window):
-#: only ever queries whose code is UNCHANGED this round and whose
-#: official row is freshest-available — the full r10 window (r10
-#: rows, one round old) plus the r09-fresh families not yet due for
-#: rotation.  With the front pinning a full 50-slot window the back
-#: list is belt-and-suspenders against a renamed front entry letting
-#: a fresh-rowed query drift into the window.
-_GATE_BACK = (
-    "q96_source_divergence",
-    "q97_novelty_filter",
-    "q98_audio_frame_energy",
-    "q99_triangle_counts",
-    "q49_sketch_stats",
-    "q138_winnowing_pairs",
-    "q142_leakage_free_split",
-    "q143_repeated_spans",
-    "q20_exact_dup_groups",
-    "q133_prefix_jaccard_join",
-    "q137_winnowing_fingerprints",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_star_join",
-    "q05_dedupe_exact",
-    "q06_latest_event_per_user",
-    "q07_cleanse_cast",
-    "q08_date_dim",
-    "q09_word_count",
-    "q10_scd2_orders",
-    "q11_monthly_revenue",
-    "q12_events_month_type",
-    "q13_running_user_totals",
-    "q14_hourly_event_window",
-    "q15_customers_without_orders",
-    "q16_active_customers_by_segment",
-    "q17_acctbal_rollup",
-    "q18_returnflag_pivot",
-    "q19_brand_nation_sales",
-    "q21_token_stats",
-    "q22_quality_score",
-    "q23_lang_id",
-    "q24_fingerprint",
-    "q25_minhash_bands",
-    "q27_simhash",
-    "q29_ann_lsh",
-    "q30_multimodal_features",
-    "q32_set_ops",
-    "q33_cube",
-    "q34_string_funcs",
-    "q35_asof_join",
-    "q36_range_join",
-    "q37_sessionize",
-    "q38_distinct_counts",
-    "q39_percentiles",
-    "q40_hospital_medallion_e2e",
-    "q41_catalog_ctas",
-    "q47_json_extract",
-    "q48_ivf_topk",
-    "q58_quantize_embeddings",
-    "q59_pit_join",
-    "q60_cdc_orders",
-    "q46_top_words_per_lang",
+    "q01_pricing_summary",
+    "q109_pq_adc_topk",
+    "q110_ivf_pq_topk",
+    "q114_power_iteration_pc",
+    "q116_pca_project",
+    "q120_bloom_semi_join",
+    "q124_token_budget_mix",
     "q126_hamming_rerank_topk",
     "q127_bigram_fluency",
     "q128_label_propagation",
@@ -288,12 +230,6 @@ _GATE_BACK = (
     "q134_source_calibration",
     "q135_token_gini",
     "q136_cluster_keepers",
-    "q109_pq_adc_topk",
-    "q110_ivf_pq_topk",
-    "q114_power_iteration_pc",
-    "q116_pca_project",
-    "q120_bloom_semi_join",
-    "q124_token_budget_mix",
     "q42_group_mean_deviation",
     "q43_regex_token_count",
     "q44_range_source",
@@ -312,6 +248,96 @@ _GATE_BACK = (
     "q67_grouping_sets",
     "q68_orc_roundtrip",
     "q69_session_windows",
+)
+
+#: Queries demoted to the BACK of the catalog (outside the window):
+#: only ever queries whose code is UNCHANGED this round and whose
+#: official row is freshest-available — in r13 that is everything not
+#: in the front window (the r12 window's survivors, the r11 window,
+#: and the 13 displaced r10 rows named in the r14 plan above).  With
+#: the front pinning a full 50-slot window the back list is
+#: belt-and-suspenders against a renamed front entry letting a
+#: fresh-rowed query drift into the window; since r13 it is generated
+#: as the full catalog minus the front, so nothing can drift.
+_GATE_BACK = (
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_star_join",
+    "q05_dedupe_exact",
+    "q06_latest_event_per_user",
+    "q07_cleanse_cast",
+    "q08_date_dim",
+    "q09_word_count",
+    "q100_cheapest_regional_supplier",
+    "q101_sole_late_supplier",
+    "q102_video_frame_sample",
+    "q103_mergeable_sketches",
+    "q104_passage_dup_coverage",
+    "q105_containment_pairs",
+    "q106_sketch_overlap",
+    "q107_contamination_scrub",
+    "q108_shuffled_export",
+    "q10_scd2_orders",
+    "q111_int8_sdc_topk",
+    "q112_quantile_sketches",
+    "q113_time_weighted_avg",
+    "q115_ols_trend",
+    "q117_robust_outliers",
+    "q118_binary_hamming_topk",
+    "q119_jl_projection",
+    "q11_monthly_revenue",
+    "q121_copurchase_lift",
+    "q122_countmin_heavy",
+    "q123_pagerank",
+    "q125_salted_topk",
+    "q12_events_month_type",
+    "q133_prefix_jaccard_join",
+    "q137_winnowing_fingerprints",
+    "q138_winnowing_pairs",
+    "q139_lsh_incremental_join",
+    "q13_running_user_totals",
+    "q140_tf_cosine_join",
+    "q141_incremental_labels",
+    "q142_leakage_free_split",
+    "q143_repeated_spans",
+    "q146_image_dhash_pairs",
+    "q14_hourly_event_window",
+    "q15_customers_without_orders",
+    "q16_active_customers_by_segment",
+    "q17_acctbal_rollup",
+    "q18_returnflag_pivot",
+    "q19_brand_nation_sales",
+    "q20_exact_dup_groups",
+    "q21_token_stats",
+    "q22_quality_score",
+    "q23_lang_id",
+    "q24_fingerprint",
+    "q25_minhash_bands",
+    "q26_jaccard_pairs",
+    "q27_simhash",
+    "q28_cosine_topk",
+    "q29_ann_lsh",
+    "q30_multimodal_features",
+    "q31_embedding_near_dups",
+    "q32_set_ops",
+    "q33_cube",
+    "q34_string_funcs",
+    "q35_asof_join",
+    "q36_range_join",
+    "q37_sessionize",
+    "q38_distinct_counts",
+    "q39_percentiles",
+    "q40_hospital_medallion_e2e",
+    "q41_catalog_ctas",
+    "q47_json_extract",
+    "q48_ivf_topk",
+    "q51_group_cap",
+    "q52_pack_sequences",
+    "q58_quantize_embeddings",
+    "q59_pit_join",
+    "q60_cdc_orders",
+    "q61_dup_clusters",
+    "q70_dedup_canonical",
     "q71_embedding_centroids",
     "q72_window_suite",
     "q73_gap_fill_months",
@@ -320,12 +346,22 @@ _GATE_BACK = (
     "q76_price_histogram",
     "q77_revenue_share",
     "q78_dynamic_pivot",
+    "q79_corpus_prep_pipeline",
     "q80_salted_join_agg",
     "q81_bag_set_ops",
     "q82_outer_explode",
+    "q83_cluster_sizes",
+    "q84_decoded_media",
+    "q85_image_header_decode",
+    "q86_simhash_near_dups",
+    "q87_bm25_topk",
+    "q88_semantic_dedup",
+    "q89_quality_filter",
     "q91_event_funnel",
     "q92_retention_cohorts",
-    "q01_pricing_summary",
+    "q93_multi_signal_clusters",
+    "q94_temperature_resample",
+    "q95_boilerplate_stats",
 )
 
 

@@ -882,7 +882,7 @@ def main() -> None:
         out["deepdocs2_growth_ratio"] = {
             q: round(d_scaled[q] / d_base[q], 2) for q in names
         }
-    if family == "deepcapped":
+    if family in ("deepcapped", "deepcapped140", "deepcapped133"):
         # the two CAPPED exact-join regimes (q140 max_df / q133
         # max_df) at two orders — run as their OWN family/process:
         # in one long session the earlier 100x queries' shuffle files
@@ -909,11 +909,15 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
             return round(time.monotonic() - t0, 3)
 
-        b140 = min(_run140(SF_DIR) for _ in range(2))
-        s140 = _run140(scaled_dir)
-        out["q140_capped_base_sec"] = b140
-        out["q140_capped_scaled_sec"] = s140
-        out["q140_capped_growth_ratio"] = round(s140 / b140, 2)
+        if family == "deepcapped133":
+            b140 = s140 = None
+        else:
+            b140 = min(_run140(SF_DIR) for _ in range(2))
+            s140 = _run140(scaled_dir)
+        if b140 is not None:
+            out["q140_capped_base_sec"] = b140
+            out["q140_capped_scaled_sec"] = s140
+            out["q140_capped_growth_ratio"] = round(s140 / b140, 2)
 
         # q133 with the cap ENGAGED (the r11 verdict's missing 100x
         # regime): above-cap shingles leave candidate generation only,
@@ -934,11 +938,12 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
             return round(time.monotonic() - t0, 3)
 
-        b133 = min(_run133(SF_DIR) for _ in range(2))
-        s133 = _run133(scaled_dir)
-        out["q133_capped_base_sec"] = b133
-        out["q133_capped_scaled_sec"] = s133
-        out["q133_capped_growth_ratio"] = round(s133 / b133, 2)
+        if family != "deepcapped140":
+            b133 = min(_run133(SF_DIR) for _ in range(2))
+            s133 = _run133(scaled_dir)
+            out["q133_capped_base_sec"] = b133
+            out["q133_capped_scaled_sec"] = s133
+            out["q133_capped_growth_ratio"] = round(s133 / b133, 2)
     if family == "mediaattr":
         # r13 attribution for the capped media matchers: how much of
         # q147's scaled time is the LINEAR synthesis+decode term
@@ -1086,9 +1091,45 @@ def main() -> None:
 
         from pyspark.sql import functions as F
 
-        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import components, dataprep, dedupe
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+            components,
+            dataprep,
+            dedupe,
+            multimodal,
+        )
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
         from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.medallion import SilverStore
-        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import corpus_ingest, lsh_index
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import (
+            corpus_ingest,
+            dhash_index,
+            lsh_index,
+        )
+
+        def _fetch_records(dd):
+            # the q150 sharded fetch-record rendering, applied to one
+            # arriving batch (plans/wave12._q150_records semantics)
+            base = dd.select(
+                "doc_id", TX.tokens("text").alias("__t")
+            ).withColumn("__n", F.size("__t"))
+            cut = F.floor(F.col("__n") / 2).cast("int")
+            ov = (F.lit(8) + F.col("doc_id") % 5).cast("int")
+            elig = base.filter(F.col("__n") >= 24)
+            left = elig.select(
+                (F.col("doc_id") * 2).alias("doc_id"),
+                F.array_join(F.slice("__t", F.lit(1), cut + ov), " ").alias("text"),
+            )
+            right = elig.select(
+                (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                F.array_join(
+                    F.slice("__t", cut + 1, F.col("__n") - cut), " "
+                ).alias("text"),
+            )
+            noise = base.filter(F.col("__n") < 24).select(
+                (F.col("doc_id") * 2).alias("doc_id"),
+                F.array_join("__t", " ").alias("text"),
+            )
+            return left.unionByName(right).unionByName(noise)
 
         def run_lifecycle(dirpath: str, tag: str) -> dict:
             root = scratch_path("lifecycle", tag, "store")
@@ -1100,6 +1141,8 @@ def main() -> None:
             ingest = corpus_ingest.make_novelty_batch_ingestor(store)
             lsh_dir = os.path.join(root, "lsh_idx")
             writer = lsh_index.make_lsh_batch_writer(lsh_dir)
+            dh_dir = os.path.join(root, "dhash_idx")
+            dh_writer = dhash_index.make_dhash_batch_writer(dh_dir)
             labels = spark.createDataFrame([], "node long, label long")
             accepted = []
             per_batch = []
@@ -1141,6 +1184,27 @@ def main() -> None:
                 dataprep.leakage_free_split(corpus, labels, "doc_id").write.format(
                     "noop"
                 ).mode("overwrite").save()
+                # r13 multimodal legs of the nightly:
+                # (a) stitch REPAIR on the arriving batch's fetch
+                #     records before they enter the corpus — cost ∝
+                #     batch (the record synthesis, anchor probe and
+                #     merge never touch accumulated state);
+                dedupe.stitch_merge(
+                    _fetch_records(batch), "doc_id", "text",
+                    k=4, min_overlap=8, max_df=32,
+                ).write.format("noop").mode("overwrite").save()
+                # (b) the dHash image leg: decode+hash the admitted
+                #     batch ONCE; answer its near-dup images FROM the
+                #     stored fingerprints (zero payload re-reads),
+                #     then extend the index with this batch's shard
+                media = multimodal.synthesize_minhash_pgm(
+                    fan_out(adm), "doc_id", "text"
+                )
+                if b > 0:
+                    dhash_index.incremental_image_join_against_index(
+                        spark, dh_dir, media, max_hamming=3
+                    ).write.format("noop").mode("overwrite").save()
+                dh_writer(media, b)
                 per_batch.append(round(time.monotonic() - t0, 2))
             n_acc = sum(a.count() for a in accepted)
             return {
