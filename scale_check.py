@@ -891,6 +891,19 @@ def main() -> None:
         # ceiling (measured: the combined family died SPILL_OUT_OF_
         # MEMORY/no-space at 100x while each half fits comfortably
         # alone)
+        #
+        # r13: scale the shuffle DOP with the data — the capped
+        # verification shuffles candidate docs' FULL postings (~56 GB
+        # observed at 100x), and 32 partitions make ~1.75 GB per task
+        # x 32 concurrent tasks = measured JVM heap OOM in the
+        # shuffle-read stage.  A cluster operator sizes
+        # spark.sql.shuffle.partitions with the data (the session
+        # docstring's own advice); AQE coalesces the BASE runs back
+        # down, so base numbers stay comparable.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(int(cpus), 8 * copies)),
+        )
         make_scaled_documents(SF_DIR, scaled_dir, copies)
 
         def _run140(dirpath: str) -> float:
