@@ -157,6 +157,12 @@ HEADLINE = [
     "q150_boundary_stitch",
     "q151_stitch_repair",
     "q152_ivf_index_served_topk",
+    # round-13 wave 2: pipeline-gate + tokenizer-training ops
+    "q153_dq_report",
+    "q154_bpe_merge_steps",
+    "q155_snapshot_diff",
+    "q156_weighted_sample",
+    "q157_hits_supplier_part",
 ]
 
 

@@ -460,3 +460,89 @@ def incremental_labels(
             F.coalesce("label", "_prev_label").alias("label"),
         )
     )
+
+
+def hits_bipartite_fixed(
+    edges: DataFrame,
+    hub_col: str,
+    auth_col: str,
+    iterations: int = 3,
+    scale: int = 10**9,
+    materialize_mode: str = "eager",
+) -> DataFrame:
+    """Fixed-point HITS (hubs & authorities) over a bipartite edge
+    list — the "which suppliers anchor the popular parts" /
+    "which crawl hosts feed the high-value documents" primitive that
+    complements PageRank's single-role centrality.
+
+    Bipartite HITS update (Kleinberg): ``a'(p) = sum over edges
+    (s, p) of h(s)``; ``h'(s) = sum over edges (s, p) of a(p)``,
+    L1-normalizing after every half-step.  Like ``pagerank_fixed``,
+    all arithmetic is INTEGER fixed point so the iterative algorithm
+    stays oracle-replayable: scores are int64 at ``scale`` = 1e9 and
+    normalization is ``x * scale div sum(x)`` — after it every score
+    is <= scale and the L1 mass is ~scale, so the next half-step's
+    products obey ``x * scale <= scale^2 = 1e18 < 2^63`` REGARDLESS
+    of graph size, and the un-normalized sums obey
+    ``sum <= max_degree * scale`` (safe to max_degree ~9e9).  The
+    floor divisions are deterministic in both engines (Spark ``div``
+    == DuckDB ``//`` on non-negative int64); integer sums are
+    order-independent.  The iteration count is part of the operator
+    definition (the q114/q123 rule).
+
+    Scale shape: the distinct edge frame — read by all ``2 *
+    iterations`` half-steps — materializes once under the caller's
+    policy; each half-step is ONE equi-join + one map-side-combinable
+    integer groupBy-sum, and each L1 normalizer is a one-row aggregate
+    cross-joined back in-plan (AQE broadcasts it) — no driver collect
+    in the loop.  Per-iteration shuffle volume is O(|E|).
+
+    Returns ``(side, id, score)`` with side in {hub, auth} and score
+    the scaled int64 after ``iterations`` full iterations.
+    """
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
+
+    ed = materialize(
+        edges.select(
+            F.col(hub_col).alias("s"), F.col(auth_col).alias("p")
+        ).distinct(),
+        materialize_mode,
+    )
+
+    def _l1_normalize(df: DataFrame, key: str, val: str) -> DataFrame:
+        tot = df.agg(F.sum(val).alias("_tot"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            key, F.expr(f"({val} * {scale}L) div _tot").alias(val)
+        )
+
+    hubs = ed.select("s").distinct().select(
+        "s", F.lit(scale).cast("long").alias("h")
+    )
+    hubs = _l1_normalize(hubs, "s", "h")
+    auths: DataFrame | None = None
+    for _ in range(iterations):
+        auths = _l1_normalize(
+            ed.join(hubs, "s")
+            .groupBy("p")
+            .agg(F.sum("h").alias("a")),
+            "p",
+            "a",
+        )
+        hubs = _l1_normalize(
+            ed.join(auths, "p")
+            .groupBy("s")
+            .agg(F.sum("a").alias("h")),
+            "s",
+            "h",
+        )
+    return hubs.select(
+        F.lit("hub").alias("side"),
+        F.col("s").cast("long").alias("id"),
+        F.col("h").cast("long").alias("score"),
+    ).unionByName(
+        auths.select(
+            F.lit("auth").alias("side"),
+            F.col("p").cast("long").alias("id"),
+            F.col("a").cast("long").alias("score"),
+        )
+    )

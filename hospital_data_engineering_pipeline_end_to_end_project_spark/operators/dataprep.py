@@ -1406,3 +1406,61 @@ def leakage_free_split(
         .drop("__lbl")
     )
     return hash_split(unit, "unit", weights, salt)
+
+
+def weighted_minhash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    unit: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement — deterministic
+    bottom-k minwise hashing over unit copies.
+
+    The curation move behind "sample 10M docs for annotation,
+    preferring longer / higher-quality ones": each row gets
+    ``copies = 1 + weight div unit`` virtual tickets, every ticket
+    draws the md5-hex key ``md5(salt || id || ':' || ticket)``, the
+    row keeps its MINIMUM key, and the sample is the k smallest keys
+    (ties broken by id).  Duplicating a row c times and taking the
+    min of c uniform draws is the classic exact reduction of
+    weight-proportional-without-replacement to bottom-k sampling —
+    and unlike ``rand()`` weighting it is a pure function of
+    (salt, id, weight), so the sample is reproducible across runs,
+    engines, and re-shards, and any node can answer "is row X in the
+    sample?" without coordination.
+
+    Everything is md5-hex STRING comparison (the repo's split/bucket
+    parity pattern — no hex->int, no float pow/log whose libm
+    rounding differs across engines).
+
+    Scale shape: the ticket explode is ``sum(copies)`` rows — the
+    same cost class as one tokenize pass (weights are quantized by
+    ``unit`` precisely to keep it there); the per-row min is a
+    map-side-combinable groupBy; the final cut is ``ORDER BY key
+    LIMIT k``, which Spark executes as TakeOrderedAndProject (per-
+    partition top-k + a k-row driver merge), never a full sort.
+
+    Returns ``(id_col, wkey)`` for the k sampled rows.
+    """
+    copies = (
+        F.lit(1) + F.floor(F.col(weight_col).cast("long") / F.lit(unit))
+    ).cast("long")
+    tickets = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), copies - 1)).alias("_j"),
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("_j").cast("string"),
+        )
+    )
+    per_row = tickets.select(id_col, key.alias("_k")).groupBy(id_col).agg(
+        F.min("_k").alias("wkey")
+    )
+    return per_row.orderBy(F.asc("wkey"), F.asc(id_col)).limit(k)

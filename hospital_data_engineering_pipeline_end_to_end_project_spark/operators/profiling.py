@@ -1,0 +1,128 @@
+"""Single-pass data-quality constraint reports (Deequ-shaped).
+
+The pipeline-gate primitive a medallion promotion runs before
+publishing a Silver/Gold table: completeness, uniqueness, domain /
+range compliance and referential-integrity checks, evaluated together
+and emitted as one small ``(tbl, col, chk, value, ok)`` frame a
+scheduler can assert on.
+
+Scale shape — the whole point of the design:
+
+- ALL intra-table checks (row count, completeness, uniqueness,
+  every compliance predicate) ride ONE wide aggregate over the table:
+  a single scan + a single partial-agg reduce.  A naive
+  per-constraint loop re-scans the table k times; at 100 TB that is
+  k full-table reads.  The wide-agg form is how Deequ batches its
+  analyzers into shared scans.
+- ``uniqueness`` uses exact ``count_distinct`` — Spark plans mixed
+  distinct/non-distinct aggregates with one EXPAND + two-stage agg,
+  still a single scan.  (At extreme cardinality a caller swaps in
+  ``approx_count_distinct``; exactness is kept here because the
+  report feeds a hash-checked oracle.)
+- referential integrity (FK containment) is a LEFT ANTI join count —
+  the only check needing a second input; the build side is the
+  referenced DISTINCT key set, which AQE broadcasts when small.
+- the final explode of the metric struct array happens on a ONE-ROW
+  frame, so rendering the report adds no work beyond the aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: report schema, fixed: (tbl, col, chk, value, ok)
+_REPORT_COLS = ("tbl", "col", "chk", "value", "ok")
+
+
+def _row(tbl: str, col: str, chk: str, value: Column, ok: Column) -> Column:
+    return F.struct(
+        F.lit(tbl).alias("tbl"),
+        F.lit(col).alias("col"),
+        F.lit(chk).alias("chk"),
+        F.round(value.cast("double"), 6).alias("value"),
+        ok.alias("ok"),
+    )
+
+
+def _explode_report(agg_row: DataFrame, rows: list[Column]) -> DataFrame:
+    return agg_row.select(F.explode(F.array(*rows)).alias("r")).select(
+        *(F.col(f"r.{c}").alias(c) for c in _REPORT_COLS)
+    )
+
+
+def profile_report(
+    df: DataFrame,
+    tbl: str,
+    complete_cols: list[str] | None = None,
+    unique_cols: list[str] | None = None,
+    compliance: list[tuple[str, str, Column]] | None = None,
+) -> DataFrame:
+    """All intra-table checks in ONE wide aggregate pass.
+
+    - row count (always emitted; passed iff > 0)
+    - ``completeness``: non-null fraction per named column (1.0 to
+      pass)
+    - ``uniqueness``: exact distinct/count fraction per named column
+      (1.0 to pass)
+    - ``compliance``: ``(col_label, check_name, predicate)`` entries;
+      value = fraction of rows satisfying the predicate (NULL counts
+      as non-compliant — a row that can't prove compliance isn't
+      compliant), 1.0 to pass.
+    """
+    complete_cols = complete_cols or []
+    unique_cols = unique_cols or []
+    compliance = compliance or []
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in complete_cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+    for c in unique_cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    for i, (_, _, pred) in enumerate(compliance):
+        aggs.append(
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(f"_c_{i}")
+        )
+    one = df.agg(*aggs)
+    n = F.col("_n")
+    rows: list[Column] = [_row(tbl, "*", "row_count", n, n > 0)]
+    for c in complete_cols:
+        frac = F.col(f"_nn_{c}") / n
+        rows.append(_row(tbl, c, "completeness", frac, frac == 1.0))
+    for c in unique_cols:
+        frac = F.col(f"_nd_{c}") / n
+        rows.append(_row(tbl, c, "uniqueness", frac, frac == 1.0))
+    for i, (col_label, chk, _) in enumerate(compliance):
+        frac = F.col(f"_c_{i}") / n
+        rows.append(_row(tbl, col_label, chk, frac, frac == 1.0))
+    return _explode_report(one, rows)
+
+
+def fk_containment_report(
+    child: DataFrame,
+    child_tbl: str,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Referential integrity: count of child rows whose key has no
+    match in the parent key set (LEFT ANTI join; the parent's
+    distinct-key build side broadcasts under AQE when small).  Value =
+    orphan count, passed iff 0."""
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+    one = orphans.agg(F.count(F.lit(1)).alias("_orphans"))
+    return _explode_report(
+        one,
+        [
+            _row(
+                child_tbl,
+                child_key,
+                "fk_containment",
+                F.col("_orphans"),
+                F.col("_orphans") == 0,
+            )
+        ],
+    )

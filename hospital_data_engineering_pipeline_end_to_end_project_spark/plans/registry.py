@@ -169,31 +169,35 @@ def _modules():
 #:   1. q46/q49/q96/q97/q98/q99 FIRST — the only three-round-old rows
 #:      (the six r09-vintage rows the r12 cut displaced; the
 #:      one-round debt closes here);
-#:   2. q152 — the r13 arrival (IVF ANN top-k served FROM the stored
-#:      posting index, the sixth index-served lifecycle — the r12
-#:      verdict's item 6), in-window on arrival;
+#:   2. the r13 arrivals, in-window on arrival: q152 (IVF ANN top-k
+#:      served FROM the stored posting index, the sixth index-served
+#:      lifecycle — the r12 verdict's item 6), then the wave-2 ops
+#:      q153 (single-pass DQ constraint report), q154 (distributed
+#:      BPE merge training), q155 (snapshot diff/reconciliation),
+#:      q156 (weighted bottom-k sampling), q157 (bipartite HITS);
 #:   3. every query whose backing code changed in r13: q147/q148/
 #:      q150/q151 (the engaged measured-inert max_df cap — the r12
 #:      verdict's #1 — plus q151's chain guard), q144/q145/q149
 #:      (concurrent backfill shard builds), q90 (write_zordered
 #:      prefix partitioner — the RangePartitioner sampling pass
 #:      removed);
-#:   4. 35 of the 48 r10-vintage rows (q01, q109, q110, q114, q116,
+#:   4. 30 of the 48 r10-vintage rows (q01, q109, q110, q114, q116,
 #:      q120, q124, q126-q132, q134-q136, q42-q45, q50, q53-q57,
-#:      q62-q69) — code unchanged since r10 (judge-verified r11 +
+#:      q62-q64) — code unchanged since r10 (judge-verified r11 +
 #:      r12 diffs), officially re-attested here.  The 50-slot cut
-#:      leaves THIRTEEN r10 rows out: q71-q78, q80-q82, q91, q92
-#:      (code unchanged; the accepted one-round trade — new arrivals
-#:      and changed code outrank filler).  ALL THIRTEEN are PINNED
-#:      FIRST in the r14 plan below.
+#:      leaves EIGHTEEN r10 rows out: q65-q69, q71-q78, q80-q82,
+#:      q91, q92 (code unchanged; the accepted one-round trade — new
+#:      arrivals and changed code outrank filler).  ALL EIGHTEEN are
+#:      PINNED FIRST in the r14 plan below.
 #: After this round the freshest-row ledger reads: 50 r13 + 48 r11 +
-#: 41 r12-or-r10-refreshed + 13 r10 (q71-q78, q80-q82, q91, q92).
-#: R14 ROTATION PLAN: pin q71-q78/q80-q82/q91/q92 first (the only
-#: rows that would be three rounds old), then r14-changed code + new
-#: arrivals, then the aging r11 window (48 rows, two rounds old by
-#: then: q87/q88, q102-q108, q111-q113, q115, q117-q119, q121-q123,
-#: q125, q26, q28, q31, q51, q52, q61, q70, q79, q83-q86, q89,
-#: q93-q95, q100, q101, q133, q137-q143, q146, q20).  The full
+#: 36 r12-or-r10-refreshed + 18 r10 (q65-q69, q71-q78, q80-q82,
+#: q91, q92).
+#: R14 ROTATION PLAN: pin q65-q69/q71-q78/q80-q82/q91/q92 first (the
+#: only rows that would be three rounds old), then r14-changed code +
+#: new arrivals, then the aging r11 window (48 rows, two rounds old
+#: by then: q87/q88, q102-q108, q111-q113, q115, q117-q119,
+#: q121-q123, q125, q26, q28, q31, q51, q52, q61, q70, q79, q83-q86,
+#: q89, q93-q95, q100, q101, q133, q137-q143, q146, q20).  The full
 #: catalog stays attested end-to-end by tests/test_oracle_parity.py
 #: at sf0.001 and the 50-window at sf0.01 by
 #: tests/test_gate_scale_parity.py in every pytest run.
@@ -205,6 +209,11 @@ _GATE_FRONT = (
     "q98_audio_frame_energy",
     "q99_triangle_counts",
     "q152_ivf_index_served_topk",
+    "q153_dq_report",
+    "q154_bpe_merge_steps",
+    "q155_snapshot_diff",
+    "q156_weighted_sample",
+    "q157_hits_supplier_part",
     "q144_lsh_index_served_join",
     "q145_span_index_served_join",
     "q147_audio_segment_pairs",
@@ -243,11 +252,6 @@ _GATE_FRONT = (
     "q62_skew_salted_counts",
     "q63_stratified_sample",
     "q64_group_percentiles",
-    "q65_corr_stats",
-    "q66_unpivot_part",
-    "q67_grouping_sets",
-    "q68_orc_roundtrip",
-    "q69_session_windows",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -337,6 +341,11 @@ _GATE_BACK = (
     "q59_pit_join",
     "q60_cdc_orders",
     "q61_dup_clusters",
+    "q65_corr_stats",
+    "q66_unpivot_part",
+    "q67_grouping_sets",
+    "q68_orc_roundtrip",
+    "q69_session_windows",
     "q70_dedup_canonical",
     "q71_embedding_centroids",
     "q72_window_suite",

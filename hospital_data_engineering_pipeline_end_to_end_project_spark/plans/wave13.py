@@ -116,3 +116,288 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
 
 QUERIES["q152_ivf_index_served_topk"] = q152_ivf_index_served_topk
 ORACLES["q152_ivf_index_served_topk"] = Q152_SQL
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave 2 (q153-q157): pipeline-gate + tokenizer-training ops
+# ---------------------------------------------------------------------------
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (  # noqa: E402
+    components,
+    dataprep,
+    profiling,
+    reconcile,
+    tokenizer,
+)
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave11 import TOKS_SQL  # noqa: E402
+
+
+def q153_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-shaped data-quality gate over orders + lineitem: all
+    intra-table checks in one wide aggregate pass per table, FK
+    containment as anti-join counts (see operators/profiling.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    rep_o = profiling.profile_report(
+        o,
+        "orders",
+        complete_cols=["o_custkey", "o_orderdate"],
+        unique_cols=["o_orderkey"],
+        compliance=[
+            ("o_orderstatus", "domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("o_totalprice", "positive", F.col("o_totalprice") > 0),
+        ],
+    )
+    rep_l = profiling.profile_report(
+        li,
+        "lineitem",
+        complete_cols=["l_quantity"],
+        compliance=[
+            ("l_discount", "range", F.col("l_discount").between(0.0, 0.1)),
+            ("l_quantity", "range", F.col("l_quantity").between(1.0, 50.0)),
+            ("l_extendedprice", "positive", F.col("l_extendedprice") > 0),
+        ],
+    )
+    fk_l = profiling.fk_containment_report(li, "lineitem", "l_orderkey", o, "o_orderkey")
+    fk_o = profiling.fk_containment_report(o, "orders", "o_custkey", cust, "c_custkey")
+    return rep_o.unionByName(rep_l).unionByName(fk_l).unionByName(fk_o)
+
+
+Q153_SQL = """
+WITH o AS (
+  SELECT count(*) AS n, count(o_custkey) AS nn_ck, count(o_orderdate) AS nn_od,
+         count(DISTINCT o_orderkey) AS nd_ok,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS c1
+  FROM orders
+),
+l AS (
+  SELECT count(*) AS n, count(l_quantity) AS nn_q,
+         sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS c2
+  FROM lineitem
+),
+fk_l AS (SELECT count(*) AS orphans FROM lineitem li
+         WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)),
+fk_o AS (SELECT count(*) AS orphans FROM orders oo
+         WHERE NOT EXISTS (SELECT 1 FROM customer cc WHERE cc.c_custkey = oo.o_custkey))
+SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk, round(n::DOUBLE, 6) AS value, n > 0 AS ok FROM o
+UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn_ck / n, 6), nn_ck / n = 1.0 FROM o
+UNION ALL SELECT 'orders', 'o_orderdate', 'completeness', round(nn_od / n, 6), nn_od / n = 1.0 FROM o
+UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd_ok / n, 6), nd_ok / n = 1.0 FROM o
+UNION ALL SELECT 'orders', 'o_orderstatus', 'domain', round(c0 / n, 6), c0 / n = 1.0 FROM o
+UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c1 / n, 6), c1 / n = 1.0 FROM o
+UNION ALL SELECT 'lineitem', '*', 'row_count', round(n::DOUBLE, 6), n > 0 FROM l
+UNION ALL SELECT 'lineitem', 'l_quantity', 'completeness', round(nn_q / n, 6), nn_q / n = 1.0 FROM l
+UNION ALL SELECT 'lineitem', 'l_discount', 'range', round(c0 / n, 6), c0 / n = 1.0 FROM l
+UNION ALL SELECT 'lineitem', 'l_quantity', 'range', round(c1 / n, 6), c1 / n = 1.0 FROM l
+UNION ALL SELECT 'lineitem', 'l_extendedprice', 'positive', round(c2 / n, 6), c2 / n = 1.0 FROM l
+UNION ALL SELECT 'lineitem', 'l_orderkey', 'fk_containment', round(orphans::DOUBLE, 6), orphans = 0 FROM fk_l
+UNION ALL SELECT 'orders', 'o_custkey', 'fk_containment', round(orphans::DOUBLE, 6), orphans = 0 FROM fk_o
+"""
+
+
+def q154_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges trained distributed over the documents
+    corpus: one corpus pass collapses to the (word, freq) vocab, each
+    step is a vocab-sized pair-count aggregate + an in-plan one-row
+    winner join + a pure-Column greedy merge fold (see
+    operators/tokenizer.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tokenizer.bpe_train_steps(d, "text", steps=3, top=5)
+
+
+def _q154_pair_cte(words: str, tag: str) -> str:
+    return f"""
+sy_{tag} AS (SELECT freq, list_filter(string_split(sym, ' '), x -> x <> '') AS s FROM {words}),
+pr_{tag} AS (SELECT freq, unnest([{{'a': s[i], 'b': s[i + 1]}} FOR i IN range(1, len(s))], recursive := true)
+             FROM sy_{tag} WHERE len(s) >= 2),
+ct_{tag} AS (SELECT a, b, sum(freq)::BIGINT AS cnt FROM pr_{tag} GROUP BY a, b),
+rk_{tag} AS (SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rn FROM ct_{tag})"""
+
+
+def _q154_merge_cte(words: str, tag: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT w.freq,
+         list_reduce(
+           list_prepend('', list_filter(string_split(w.sym, ' '), x -> x <> '')),
+           (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, ' ' || t.a)
+                       THEN substr(acc, 1, len(acc) - len(t.a) - 1) || ' ' || t.a || t.b
+                       ELSE acc || ' ' || x END) AS sym
+  FROM {words} w CROSS JOIN (SELECT a, b FROM rk_{tag} WHERE rn = 1) t
+)"""
+
+
+Q154_SQL = f"""
+WITH tok AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
+wf AS (SELECT word AS w, count(*)::BIGINT AS freq FROM tok GROUP BY word),
+w_1 AS (SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') AS sym FROM wf),
+{_q154_pair_cte('w_1', '1')},
+{_q154_merge_cte('w_1', '1', 'w_2')},
+{_q154_pair_cte('w_2', '2')},
+{_q154_merge_cte('w_2', '2', 'w_3')},
+{_q154_pair_cte('w_3', '3')}
+SELECT step, a, b, cnt, merged FROM (
+  SELECT 1 AS step, a, b, cnt, (rn = 1) AS merged FROM rk_1 WHERE rn <= 5
+  UNION ALL SELECT 2, a, b, cnt, (rn = 1) FROM rk_2 WHERE rn <= 5
+  UNION ALL SELECT 3, a, b, cnt, (rn = 1) FROM rk_3 WHERE rn <= 5
+)
+"""
+
+
+#: q155 snapshot synthesis: old = orders minus the %11 keys; new =
+#: orders minus the %13 keys with two deterministic column mutations
+#: (+10.0 price on %7 keys, re-prefixed priority on %5 keys) — every
+#: diff status arises and the mutations are exact float/string ops
+#: (no cross-engine rounding surface)
+_Q155_COMPARE = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def q155_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(10.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.concat(F.lit("X-"), F.col("o_orderpriority")),
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    diff = reconcile.snapshot_diff(old, new, ["o_orderkey"], _Q155_COMPARE)
+    return reconcile.diff_summary(diff, _Q155_COMPARE)
+
+
+Q155_SQL = """
+WITH old AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+j AS (
+  SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+         (o.o_custkey IS DISTINCT FROM n.o_custkey) AS d_ck,
+         (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS d_os,
+         (o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS d_tp,
+         (o.o_orderdate IS DISTINCT FROM n.o_orderdate) AS d_od,
+         (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority) AS d_op
+  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+),
+s AS (
+  SELECT CASE WHEN ko IS NULL THEN 'added'
+              WHEN kn IS NULL THEN 'removed'
+              WHEN d_ck OR d_os OR d_tp OR d_od OR d_op THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         (ko IS NOT NULL AND kn IS NOT NULL) AS both_sides,
+         d_ck, d_os, d_tp, d_od, d_op
+  FROM j
+)
+SELECT 'added' AS metric, sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n FROM s
+UNION ALL SELECT 'removed', sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT FROM s
+UNION ALL SELECT 'changed', sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT FROM s
+UNION ALL SELECT 'unchanged', sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT FROM s
+UNION ALL SELECT 'changed:o_custkey', sum(CASE WHEN both_sides AND d_ck THEN 1 ELSE 0 END)::BIGINT FROM s
+UNION ALL SELECT 'changed:o_orderstatus', sum(CASE WHEN both_sides AND d_os THEN 1 ELSE 0 END)::BIGINT FROM s
+UNION ALL SELECT 'changed:o_totalprice', sum(CASE WHEN both_sides AND d_tp THEN 1 ELSE 0 END)::BIGINT FROM s
+UNION ALL SELECT 'changed:o_orderdate', sum(CASE WHEN both_sides AND d_od THEN 1 ELSE 0 END)::BIGINT FROM s
+UNION ALL SELECT 'changed:o_orderpriority', sum(CASE WHEN both_sides AND d_op THEN 1 ELSE 0 END)::BIGINT FROM s
+"""
+
+
+_Q156_K = 100
+_Q156_UNIT = 8
+_Q156_SALT = "ws1"
+
+
+def q156_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement over documents,
+    weight = n_chars (longer docs proportionally likelier) — exact
+    bottom-k minwise hashing over unit copies, md5-hex string order
+    (see operators/dataprep.py:weighted_minhash_sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dataprep.weighted_minhash_sample(
+        d, "doc_id", "n_chars", k=_Q156_K, unit=_Q156_UNIT, salt=_Q156_SALT
+    )
+
+
+Q156_SQL = f"""
+WITH c AS (SELECT doc_id, 1 + n_chars // {_Q156_UNIT} AS copies FROM documents),
+tk AS (SELECT doc_id, unnest(range(copies)) AS j FROM c),
+k AS (SELECT doc_id,
+             min(md5('{_Q156_SALT}' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))) AS wkey
+      FROM tk GROUP BY doc_id)
+SELECT doc_id, wkey FROM k ORDER BY wkey ASC, doc_id ASC LIMIT {_Q156_K}
+"""
+
+
+_Q157_SCALE = 10**9
+_Q157_ITER = 3
+
+
+def q157_hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the supplier->part supply graph
+    (distinct lineitem pairs): hubs = suppliers anchoring the popular
+    parts, authorities = parts backed by strong suppliers.  Integer
+    fixed-point like q123's PageRank (see
+    operators/components.py:hits_bipartite_fixed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_suppkey", "l_partkey")
+    return components.hits_bipartite_fixed(
+        edges,
+        "l_suppkey",
+        "l_partkey",
+        iterations=_Q157_ITER,
+        scale=_Q157_SCALE,
+    )
+
+
+def _q157_step(i: int) -> str:
+    prev_h = f"h{i - 1}n"
+    return f"""
+a{i} AS (SELECT p, sum(h)::BIGINT AS a FROM ed JOIN {prev_h} USING (s) GROUP BY p),
+a{i}n AS (SELECT p, ((a * {_Q157_SCALE}) // (SELECT sum(a) FROM a{i}))::BIGINT AS a FROM a{i}),
+h{i} AS (SELECT s, sum(a)::BIGINT AS h FROM ed JOIN a{i}n USING (p) GROUP BY s),
+h{i}n AS (SELECT s, ((h * {_Q157_SCALE}) // (SELECT sum(h) FROM h{i}))::BIGINT AS h FROM h{i})"""
+
+
+Q157_SQL = f"""
+WITH ed AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+h0 AS (SELECT s, {_Q157_SCALE}::BIGINT AS h FROM (SELECT DISTINCT s FROM ed)),
+h0n AS (SELECT s, ((h * {_Q157_SCALE}) // (SELECT sum(h) FROM h0))::BIGINT AS h FROM h0),
+{",".join(_q157_step(i) for i in range(1, _Q157_ITER + 1))}
+SELECT 'hub' AS side, s AS id, h AS score FROM h{_Q157_ITER}n
+UNION ALL
+SELECT 'auth' AS side, p AS id, a AS score FROM a{_Q157_ITER}n
+"""
+
+
+QUERIES["q153_dq_report"] = q153_dq_report
+ORACLES["q153_dq_report"] = Q153_SQL
+QUERIES["q154_bpe_merge_steps"] = q154_bpe_merge_steps
+ORACLES["q154_bpe_merge_steps"] = Q154_SQL
+QUERIES["q155_snapshot_diff"] = q155_snapshot_diff
+ORACLES["q155_snapshot_diff"] = Q155_SQL
+QUERIES["q156_weighted_sample"] = q156_weighted_sample
+ORACLES["q156_weighted_sample"] = Q156_SQL
+QUERIES["q157_hits_supplier_part"] = q157_hits_supplier_part
+ORACLES["q157_hits_supplier_part"] = Q157_SQL
