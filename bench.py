@@ -163,6 +163,11 @@ HEADLINE = [
     "q155_snapshot_diff",
     "q156_weighted_sample",
     "q157_hits_supplier_part",
+    "q158_bpe_compression",
+    "q159_bpe_from_vocab_index",
+    "q160_volume_shipping",
+    "q161_market_share",
+    "q162_product_profit",
 ]
 
 

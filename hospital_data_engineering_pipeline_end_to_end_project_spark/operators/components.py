@@ -510,8 +510,16 @@ def hits_bipartite_fixed(
     )
 
     def _l1_normalize(df: DataFrame, key: str, val: str) -> DataFrame:
-        tot = df.agg(F.sum(val).alias("_tot"))
-        return df.crossJoin(F.broadcast(tot)).select(
+        # the frame is consumed TWICE (the L1 total and the row-wise
+        # rescale) and the half-steps nest — left lazy, each extra
+        # consumer would re-run the whole upstream iteration chain
+        # (the same double-eval hazard operators/materialize.py
+        # documents for self-joins), compounding per half-step.
+        # Materialize the node-sized aggregate once; the normalized
+        # output is then a cheap projection over it.
+        dfm = materialize(df, materialize_mode)
+        tot = dfm.agg(F.sum(val).alias("_tot"))
+        return dfm.crossJoin(F.broadcast(tot)).select(
             key, F.expr(f"({val} * {scale}L) div _tot").alias(val)
         )
 

@@ -97,9 +97,55 @@ def bpe_train_steps(
     step); each step's winning pair joins back in-plan as a one-row
     AQE-broadcast cross join — no driver collect in the loop.
     """
-    words = word_freqs(df, text_col).withColumn(
-        "_sym", _spaced_symbols(F.col("word"))
-    ).select("freq", "_sym")
+    steps_df, _vocab = bpe_train_from_vocab(
+        word_freqs(df, text_col), steps=steps, top=top,
+        materialize_mode=materialize_mode,
+    )
+    return steps_df
+
+
+def _merge_fold(sym: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right merge of pair (a, b) over a spaced symbol
+    string — the string-accumulator fold the module docstring proves
+    exact (separator-bounded suffix test)."""
+    syms = F.filter(F.split(sym, " "), lambda x: x != "")
+    return F.aggregate(
+        syms,
+        F.lit(""),
+        lambda acc, x: F.when(
+            (x == b) & acc.endswith(F.concat(F.lit(" "), a)),
+            F.concat(
+                F.substring(
+                    acc, F.lit(1), F.length(acc) - F.length(a) - F.lit(1)
+                ),
+                F.lit(" "),
+                a,
+                b,
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def bpe_train_from_vocab(
+    vocab: DataFrame,
+    steps: int = 3,
+    top: int = 5,
+    materialize_mode: str = "eager",
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``steps`` BPE merges over a ``(word, freq)`` vocabulary
+    frame (however it was produced — one corpus pass, or a served
+    read of the incremental vocab index).  Returns
+    ``(step_rows, final_vocab)``:
+
+    - ``step_rows``: the top-``top`` pair counts of each step
+      (``step, a, b, cnt, merged``), counts taken BEFORE that step's
+      merge applies (the classic trainer's reporting order);
+    - ``final_vocab``: ``(word, freq, sym)`` with ALL ``steps``
+      merges applied — the encode table ``bpe_encode_join`` consumes.
+    """
+    words = vocab.withColumn("_sym", _spaced_symbols(F.col("word"))).select(
+        "word", "freq", "_sym"
+    )
     words = materialize(words, materialize_mode)
 
     out: DataFrame | None = None
@@ -121,33 +167,66 @@ def bpe_train_steps(
             (F.col("rk") == 1).alias("merged"),
         )
         out = step_rows if out is None else out.unionByName(step_rows)
-        if step < steps:
-            winner = ranked.filter(F.col("rk") == 1).select(
-                F.col("a").alias("_ma"), F.col("b").alias("_mb")
+        winner = ranked.filter(F.col("rk") == 1).select(
+            F.col("a").alias("_ma"), F.col("b").alias("_mb")
+        )
+        words = materialize(
+            words.crossJoin(F.broadcast(winner))
+            .withColumn(
+                "_sym", _merge_fold(F.col("_sym"), F.col("_ma"), F.col("_mb"))
             )
-            syms_col = F.filter(F.split(F.col("_sym"), " "), lambda x: x != "")
-            merged_sym = F.aggregate(
-                syms_col,
-                F.lit(""),
-                lambda acc, x: F.when(
-                    (x == F.col("_mb"))
-                    & acc.endswith(F.concat(F.lit(" "), F.col("_ma"))),
-                    F.concat(
-                        F.substring(
-                            acc,
-                            F.lit(1),
-                            F.length(acc) - F.length(F.col("_ma")) - F.lit(1),
-                        ),
-                        F.lit(" "),
-                        F.col("_ma"),
-                        F.col("_mb"),
-                    ),
-                ).otherwise(F.concat(acc, F.lit(" "), x)),
-            )
-            words = materialize(
-                words.crossJoin(F.broadcast(winner))
-                .withColumn("_sym", merged_sym)
-                .select("freq", "_sym"),
-                materialize_mode,
-            )
-    return out
+            .select("word", "freq", "_sym"),
+            materialize_mode,
+        )
+    return out, words.select("word", "freq", F.col("_sym").alias("sym"))
+
+
+def bpe_compression_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    final_vocab: DataFrame,
+) -> DataFrame:
+    """Encode-side payoff of the trained merges: per ``group_col``,
+    total characters vs total BPE symbols after the learned merges,
+    and the compression ratio — the "which sources does this tokenizer
+    serve well?" diagnostic a tokenizer-training pipeline reports.
+
+    Scale shape: one corpus pass collapses to the (group, word)
+    frequency table; the encode is a JOIN against the vocab-sized
+    ``final_vocab`` (never a re-fold of corpus text — every distinct
+    word's merge result is computed exactly once at train time), and
+    the output aggregate is map-side combinable."""
+    tok = df.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    gw = tok.groupBy(group_col, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("_f")
+    )
+    enc = final_vocab.select(
+        "word",
+        F.length("word").cast("long").alias("_nc"),
+        F.size(F.filter(F.split(F.col("sym"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("_ns"),
+    )
+    return (
+        gw.join(enc, "word")
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("_f") * F.col("_nc")).alias("chars"),
+            F.sum(F.col("_f") * F.col("_ns")).alias("tokens"),
+        )
+        .select(
+            group_col,
+            "chars",
+            "tokens",
+            F.round(
+                F.col("chars").cast("double") / F.col("tokens").cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+    )

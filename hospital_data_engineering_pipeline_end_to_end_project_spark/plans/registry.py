@@ -174,30 +174,36 @@ def _modules():
 #:      lifecycle — the r12 verdict's item 6), then the wave-2 ops
 #:      q153 (single-pass DQ constraint report), q154 (distributed
 #:      BPE merge training), q155 (snapshot diff/reconciliation),
-#:      q156 (weighted bottom-k sampling), q157 (bipartite HITS);
+#:      q156 (weighted bottom-k sampling), q157 (bipartite HITS),
+#:      q158 (BPE encode/compression by source), q159 (BPE served
+#:      FROM the incremental vocab index — the seventh index-served
+#:      lifecycle), and the TPC-H join-pipeline trio q160 (Q7 volume
+#:      shipping) / q161 (Q8 market share) / q162 (Q9 product
+#:      profit, integer-ten-thousandths money);
 #:   3. every query whose backing code changed in r13: q147/q148/
 #:      q150/q151 (the engaged measured-inert max_df cap — the r12
 #:      verdict's #1 — plus q151's chain guard), q144/q145/q149
 #:      (concurrent backfill shard builds), q90 (write_zordered
 #:      prefix partitioner — the RangePartitioner sampling pass
 #:      removed);
-#:   4. 30 of the 48 r10-vintage rows (q01, q109, q110, q114, q116,
-#:      q120, q124, q126-q132, q134-q136, q42-q45, q50, q53-q57,
-#:      q62-q64) — code unchanged since r10 (judge-verified r11 +
-#:      r12 diffs), officially re-attested here.  The 50-slot cut
-#:      leaves EIGHTEEN r10 rows out: q65-q69, q71-q78, q80-q82,
-#:      q91, q92 (code unchanged; the accepted one-round trade — new
-#:      arrivals and changed code outrank filler).  ALL EIGHTEEN are
-#:      PINNED FIRST in the r14 plan below.
+#:   4. 25 of the 48 r10-vintage rows (q01, q109, q110, q114, q116,
+#:      q120, q124, q126-q132, q134-q136, q42-q45, q50, q53-q55) —
+#:      code unchanged since r10 (judge-verified r11 + r12 diffs),
+#:      officially re-attested here.  The 50-slot cut leaves
+#:      TWENTY-THREE r10 rows out: q56, q57, q62-q69, q71-q78,
+#:      q80-q82, q91, q92 (code unchanged; the accepted one-round
+#:      trade — new arrivals and changed code outrank filler).  ALL
+#:      TWENTY-THREE are PINNED FIRST in the r14 plan below.
 #: After this round the freshest-row ledger reads: 50 r13 + 48 r11 +
-#: 36 r12-or-r10-refreshed + 18 r10 (q65-q69, q71-q78, q80-q82,
-#: q91, q92).
-#: R14 ROTATION PLAN: pin q65-q69/q71-q78/q80-q82/q91/q92 first (the
-#: only rows that would be three rounds old), then r14-changed code +
-#: new arrivals, then the aging r11 window (48 rows, two rounds old
-#: by then: q87/q88, q102-q108, q111-q113, q115, q117-q119,
-#: q121-q123, q125, q26, q28, q31, q51, q52, q61, q70, q79, q83-q86,
-#: q89, q93-q95, q100, q101, q133, q137-q143, q146, q20).  The full
+#: 31 r12-or-r10-refreshed + 23 r10 (q56, q57, q62-q69, q71-q78,
+#: q80-q82, q91, q92).
+#: R14 ROTATION PLAN: pin q56/q57/q62-q69/q71-q78/q80-q82/q91/q92
+#: first (the only rows that would be three rounds old), then
+#: r14-changed code + new arrivals, then the aging r11 window (48
+#: rows, two rounds old by then: q87/q88, q102-q108, q111-q113,
+#: q115, q117-q119, q121-q123, q125, q26, q28, q31, q51, q52, q61,
+#: q70, q79, q83-q86, q89, q93-q95, q100, q101, q133, q137-q143,
+#: q146, q20).  The full
 #: catalog stays attested end-to-end by tests/test_oracle_parity.py
 #: at sf0.001 and the 50-window at sf0.01 by
 #: tests/test_gate_scale_parity.py in every pytest run.
@@ -214,6 +220,11 @@ _GATE_FRONT = (
     "q155_snapshot_diff",
     "q156_weighted_sample",
     "q157_hits_supplier_part",
+    "q158_bpe_compression",
+    "q159_bpe_from_vocab_index",
+    "q160_volume_shipping",
+    "q161_market_share",
+    "q162_product_profit",
     "q144_lsh_index_served_join",
     "q145_span_index_served_join",
     "q147_audio_segment_pairs",
@@ -247,11 +258,6 @@ _GATE_FRONT = (
     "q53_chunk_documents",
     "q54_tfidf_top_terms",
     "q55_decontaminate",
-    "q56_repetition_stats",
-    "q57_pii_scrub",
-    "q62_skew_salted_counts",
-    "q63_stratified_sample",
-    "q64_group_percentiles",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -337,10 +343,15 @@ _GATE_BACK = (
     "q48_ivf_topk",
     "q51_group_cap",
     "q52_pack_sequences",
+    "q56_repetition_stats",
+    "q57_pii_scrub",
     "q58_quantize_embeddings",
     "q59_pit_join",
     "q60_cdc_orders",
     "q61_dup_clusters",
+    "q62_skew_salted_counts",
+    "q63_stratified_sample",
+    "q64_group_percentiles",
     "q65_corr_stats",
     "q66_unpivot_part",
     "q67_grouping_sets",

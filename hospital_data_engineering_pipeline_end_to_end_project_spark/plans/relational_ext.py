@@ -234,3 +234,282 @@ ORACLES = {
     "q100_cheapest_regional_supplier": Q100_SQL,
     "q101_sole_late_supplier": Q101_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# q160-q162 — the TPC-H join-pipeline trio (Q7 / Q8 / Q9 shapes,
+# round 13): multi-dimension star chains over the two fact tables.
+# Plan shape, which is the point: every dimension chain (nation /
+# region / part / supplier and the derived nation-pair frames) is
+# BROADCAST, so the only shuffles are the lineitem<->orders
+# sort-merge join on the order key and the final small groupBy — at
+# 100 TB the fact-fact join is the one unavoidable shuffle and
+# everything else rides it.  All money aggregates go through
+# DECIMAL(18,6) (order-independent, the q01 rule); Q9's cost proxy
+# uses p_retailprice since the shipped schema has no partsupp
+# (documented adaptation, same as q100's observed unit prices).
+# ---------------------------------------------------------------------------
+
+Q160_NATION_A = "NATION_1"
+Q160_NATION_B = "NATION_2"
+Q160_FROM = "1996-01-01"
+Q160_TO = "1998-01-01"
+
+
+def q160_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping revenue between two nations
+    by ship year — supplier nation x customer nation x year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = customer.join(
+        F.broadcast(n1), customer.c_nationkey == F.col("c_nk")
+    ).select("c_custkey", "cust_nation")
+    supp = supplier.join(
+        F.broadcast(n2), supplier.s_nationkey == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+
+    shipped = li.filter(
+        (F.col("l_shipdate") >= Q160_FROM) & (F.col("l_shipdate") < Q160_TO)
+    )
+    j = (
+        shipped.join(orders, shipped.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q160_NATION_A)
+                & (F.col("cust_nation") == Q160_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q160_NATION_B)
+                & (F.col("cust_nation") == Q160_NATION_A)
+            )
+        )
+    )
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.relational import dsum
+
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
+Q160_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       round(cast(sum(cast((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '{Q160_FROM}'
+    AND l_shipdate < TIMESTAMP '{Q160_TO}'
+    AND ((n2.n_name = '{Q160_NATION_A}' AND n1.n_name = '{Q160_NATION_B}')
+      OR (n2.n_name = '{Q160_NATION_B}' AND n1.n_name = '{Q160_NATION_A}'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+Q161_REGION = "EUROPE"
+Q161_TYPE = "ECONOMY"
+Q161_NATION = "NATION_1"
+
+
+def q161_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's ECONOMY-part
+    order volume, by order year.  The share is a conditional decimal
+    sum over the SAME joined frame (numerator rides the denominator's
+    aggregate — no second pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    rnat = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q161_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("rc_nk"))
+    )
+    cust = customer.join(
+        F.broadcast(rnat), customer.c_nationkey == F.col("rc_nk")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supplier.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    parts = part.filter(F.col("p_type") == Q161_TYPE).select("p_partkey")
+
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    DEC = "decimal(18,6)"
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == Q161_NATION, vol)
+                .otherwise(F.lit(0.0))
+                .cast(DEC)
+            ).alias("_num"),
+            F.sum(vol.cast(DEC)).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+Q161_SQL = f"""
+SELECT o_year,
+       round(cast(num AS DOUBLE) / cast(den AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         sum(cast((CASE WHEN supp_nation = '{Q161_NATION}'
+                        THEN l_extendedprice * (1.0 - l_discount)
+                        ELSE 0.0 END) AS DECIMAL(18,6))) AS num,
+         sum(cast((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS den
+  FROM (
+    SELECT o_orderdate, l_extendedprice, l_discount, n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE r_name = '{Q161_REGION}' AND p_type = '{Q161_TYPE}'
+  )
+  GROUP BY o_year
+)
+"""
+
+
+Q162_PART_LIKE = "%widget%"
+Q162_COST_RATE = 0.1
+
+
+def q162_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget parts by supplier nation and
+    order year.  The shipped schema has no partsupp, so supply cost
+    is proxied as ``0.1 * p_retailprice`` per unit (documented
+    adaptation, same spirit as q100's observed unit prices).
+
+    The profit SUBTRACTION is where the usual DECIMAL(18,6) trick
+    breaks down: a difference of products can land within 1 ulp of a
+    6th-decimal boundary, and the two engines round a double to
+    decimal differently there (Spark casts via the double's
+    shortest-string repr + HALF_UP; DuckDB rounds the binary value —
+    a +0.01 divergence was MEASURED on sf0.001 before this form).
+    So the amount is computed in exact INTEGER ten-thousandths
+    instead: prices/discounts are exactly 2-decimal and quantities
+    integral (verified on every SF), so
+    ``cents(ep) * (100 - cents_rate(d)) - cents(rp) * q * 10`` is an
+    exact int64 per row, the sum is order-independent integer
+    arithmetic, and the final ``/ 10000.0`` is one deterministic IEEE
+    division — the q114/q123 fixed-point rule applied to money."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    supp = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("nation"),
+            )
+        ),
+        supplier.s_nationkey == F.col("s_nk"),
+    ).select("s_suppkey", "nation")
+    parts = part.filter(F.col("p_name").like(Q162_PART_LIKE)).select(
+        "p_partkey", "p_retailprice"
+    )
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_c = F.round(F.col("l_discount") * 100).cast("long")
+    rp_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    q_i = F.round(F.col("l_quantity")).cast("long")
+    amount_e4 = ep_c * (F.lit(100) - d_c) - rp_c * q_i * F.lit(10)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount_e4).alias("_e4"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("_e4").cast("double") / F.lit(10000.0)).alias("sum_profit"),
+        )
+    )
+
+
+Q162_SQL = f"""
+SELECT nation, o_year, cast(e4 AS DOUBLE) / 10000.0 AS sum_profit
+FROM (
+  SELECT nation, o_year,
+         sum(cast(round(l_extendedprice * 100) AS BIGINT) * (100 - cast(round(l_discount * 100) AS BIGINT))
+             - cast(round(p_retailprice * 100) AS BIGINT) * cast(round(l_quantity) AS BIGINT) * 10)::BIGINT AS e4
+  FROM (
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           l_extendedprice, l_discount, l_quantity, p_retailprice
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '{Q162_PART_LIKE}'
+  )
+  GROUP BY nation, o_year
+)
+"""
+
+
+QUERIES["q160_volume_shipping"] = q160_volume_shipping
+ORACLES["q160_volume_shipping"] = Q160_SQL
+QUERIES["q161_market_share"] = q161_market_share
+ORACLES["q161_market_share"] = Q161_SQL
+QUERIES["q162_product_profit"] = q162_product_profit
+ORACLES["q162_product_profit"] = Q162_SQL

@@ -209,7 +209,7 @@ def q154_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer.bpe_train_steps(d, "text", steps=3, top=5)
 
 
-def _q154_pair_cte(words: str, tag: str) -> str:
+def _bpe_pair_cte(words: str, tag: str) -> str:
     return f"""
 sy_{tag} AS (SELECT freq, list_filter(string_split(sym, ' '), x -> x <> '') AS s FROM {words}),
 pr_{tag} AS (SELECT freq, unnest([{{'a': s[i], 'b': s[i + 1]}} FOR i IN range(1, len(s))], recursive := true)
@@ -218,10 +218,10 @@ ct_{tag} AS (SELECT a, b, sum(freq)::BIGINT AS cnt FROM pr_{tag} GROUP BY a, b),
 rk_{tag} AS (SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rn FROM ct_{tag})"""
 
 
-def _q154_merge_cte(words: str, tag: str, out: str) -> str:
+def _bpe_merge_cte(words: str, tag: str, out: str) -> str:
     return f"""
 {out} AS (
-  SELECT w.freq,
+  SELECT w.word, w.freq,
          list_reduce(
            list_prepend('', list_filter(string_split(w.sym, ' '), x -> x <> '')),
            (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, ' ' || t.a)
@@ -231,21 +231,36 @@ def _q154_merge_cte(words: str, tag: str, out: str) -> str:
 )"""
 
 
-Q154_SQL = f"""
-WITH tok AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
-wf AS (SELECT word AS w, count(*)::BIGINT AS freq FROM tok GROUP BY word),
-w_1 AS (SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') AS sym FROM wf),
-{_q154_pair_cte('w_1', '1')},
-{_q154_merge_cte('w_1', '1', 'w_2')},
-{_q154_pair_cte('w_2', '2')},
-{_q154_merge_cte('w_2', '2', 'w_3')},
-{_q154_pair_cte('w_3', '3')}
-SELECT step, a, b, cnt, merged FROM (
-  SELECT 1 AS step, a, b, cnt, (rn = 1) AS merged FROM rk_1 WHERE rn <= 5
-  UNION ALL SELECT 2, a, b, cnt, (rn = 1) FROM rk_2 WHERE rn <= 5
-  UNION ALL SELECT 3, a, b, cnt, (rn = 1) FROM rk_3 WHERE rn <= 5
-)
-"""
+def _bpe_chain_ctes(steps: int) -> str:
+    """The shared train chain: corpus -> (word, freq) -> spaced
+    symbols, then per step a pair-count/rank CTE and a merge CTE —
+    ``rk_1..rk_steps`` rank each step's pairs, ``w_{steps+1}`` is the
+    vocab with all merges applied (unreferenced CTEs cost nothing)."""
+    parts = [
+        f"tok AS (SELECT unnest({TOKS_SQL}) AS word FROM documents)",
+        "wf AS (SELECT word AS w, count(*)::BIGINT AS freq FROM tok GROUP BY word)",
+        "w_1 AS (SELECT w AS word, freq, regexp_replace(w, '(.)', ' \\1', 'g') AS sym FROM wf)",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(_bpe_pair_cte(f"w_{i}", str(i)))
+        parts.append(_bpe_merge_cte(f"w_{i}", str(i), f"w_{i + 1}"))
+    return ",\n".join(parts)
+
+
+def _bpe_steps_sql(steps: int, top: int = 5) -> str:
+    selects = [
+        f"SELECT {i} AS step, a, b, cnt, (rn = 1) AS merged FROM rk_{i} WHERE rn <= {top}"
+        for i in range(1, steps + 1)
+    ]
+    return (
+        f"WITH {_bpe_chain_ctes(steps)}\n"
+        "SELECT step, a, b, cnt, merged FROM (\n"
+        + "\nUNION ALL ".join(selects)
+        + "\n)"
+    )
+
+
+Q154_SQL = _bpe_steps_sql(3, top=5)
 
 
 #: q155 snapshot synthesis: old = orders minus the %11 keys; new =
@@ -401,3 +416,84 @@ QUERIES["q156_weighted_sample"] = q156_weighted_sample
 ORACLES["q156_weighted_sample"] = Q156_SQL
 QUERIES["q157_hits_supplier_part"] = q157_hits_supplier_part
 ORACLES["q157_hits_supplier_part"] = Q157_SQL
+
+
+def q158_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-side payoff of q154's merges: per SOURCE character ->
+    BPE-symbol compression after the 3 learned merges.  The encode is
+    a join against the vocab-sized final merge table — corpus text is
+    folded exactly once per DISTINCT word at train time, never
+    re-folded per occurrence (see
+    operators/tokenizer.py:bpe_compression_by_group)."""
+    d = load_table(spark, sf_dir, "documents")
+    _steps, vocab = tokenizer.bpe_train_from_vocab(
+        tokenizer.word_freqs(d, "text"), steps=3, top=5
+    )
+    return tokenizer.bpe_compression_by_group(d, "source", "text", vocab)
+
+
+Q158_SQL = f"""
+WITH {_bpe_chain_ctes(3)},
+swf AS (
+  SELECT source, word, count(*)::BIGINT AS f
+  FROM (SELECT source, unnest({TOKS_SQL}) AS word FROM documents)
+  GROUP BY source, word
+),
+enc AS (
+  SELECT word,
+         len(word)::BIGINT AS nc,
+         len(list_filter(string_split(sym, ' '), x -> x <> ''))::BIGINT AS ns
+  FROM w_4
+)
+SELECT source,
+       sum(swf.f * enc.nc)::BIGINT AS chars,
+       sum(swf.f * enc.ns)::BIGINT AS tokens,
+       round((sum(swf.f * enc.nc)::DOUBLE) / (sum(swf.f * enc.ns)::DOUBLE), 6) AS ratio
+FROM swf JOIN enc USING (word)
+GROUP BY source
+"""
+
+
+#: q159: the corpus split arrives as three per-batch vocab shards,
+#: the probe batch as a fourth; training runs FROM the compacted
+#: store.  steps=4 differentiates the gated row set from q154's
+#: (the wave12 rule: an index-served query must not emit a copy of
+#: its recomputing sibling's rows).
+_Q159_STEPS = 4
+
+
+def q159_bpe_from_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-4 BPE merges served entirely FROM the stored vocabulary
+    index — the SEVENTH index-served lifecycle (build 3 corpus shards
+    concurrently -> ingest the arriving batch as a 4th -> compact ->
+    train with zero corpus re-reads).  The oracle replays the
+    recomputing 4-step train over the full corpus, so the hash gate
+    pins index-served ≡ recomputed."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import vocab_index
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % _BATCH_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _BATCH_MOD == 0)
+    root = _fresh_store("q159", sf_dir)
+    writer = vocab_index.make_vocab_batch_writer(root)
+    shardstore.build_shards_concurrently(
+        writer,
+        [
+            (b, corpus.filter(F.col("doc_id") % 3 == b))
+            for b in range(3)
+        ],
+    )
+    writer(batch, 3)
+    vocab_index.compact_vocab_shards(spark, root)
+    return vocab_index.bpe_merges_from_index(
+        spark, root, steps=_Q159_STEPS, top=5
+    )
+
+
+Q159_SQL = _bpe_steps_sql(_Q159_STEPS, top=5)
+
+
+QUERIES["q158_bpe_compression"] = q158_bpe_compression
+ORACLES["q158_bpe_compression"] = Q158_SQL
+QUERIES["q159_bpe_from_vocab_index"] = q159_bpe_from_vocab_index
+ORACLES["q159_bpe_from_vocab_index"] = Q159_SQL

@@ -666,6 +666,25 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
     q.awaitTermination()
     dh_sec = time.monotonic() - t0
 
+    # word-frequency vocab index maintenance (the tokenizer-training
+    # leg): each micro-batch collapses to its partial (word, freq)
+    # shard — the cheapest sink in the family (one partial aggregate)
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import vocab_index
+
+    vx_dir = os.path.join(scratch_dir, "vocab_index")
+    vx_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .json(doc_src)
+    )
+    t0 = time.monotonic()
+    q = vocab_index.vocab_index_sink(
+        vx_stream, vx_dir,
+        checkpoint_dir=os.path.join(scratch_dir, "vx_ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    vx_sec = time.monotonic() - t0
+
     # IVF posting index maintenance over a vector stream (embeddings
     # replayed as 10 NDJSON files, 2 per trigger; quantizer trained
     # once on the base table — the frozen-quantizer contract)
@@ -719,6 +738,8 @@ def time_streaming(spark, sf_dir: str, scratch_dir: str) -> dict:
         "span_index_docs_per_sec": int(n_docs / span_sec),
         "dhash_index_sec": round(dh_sec, 2),
         "dhash_index_docs_per_sec": int(n_docs / dh_sec),
+        "vocab_index_sec": round(vx_sec, 2),
+        "vocab_index_docs_per_sec": int(n_docs / vx_sec),
         "ivf_index_vecs": n_vecs,
         "ivf_index_sec": round(ivf_sec, 2),
         "ivf_index_vecs_per_sec": int(n_vecs / ivf_sec),
@@ -1016,6 +1037,54 @@ def main() -> None:
         out["deepdocs3_growth_ratio"] = {
             q: round(d_scaled[q] / d_base[q], 2) for q in names
         }
+    if family == "wave13ops":
+        # r13 wave-2 arrivals on both axes.  Docs axis: q154 (BPE —
+        # the corpus pass grows, the per-step vocab iterations DON'T:
+        # the scaled corpus reuses the same token vocabulary, so
+        # growth prices exactly the one corpus->vocab collapse) and
+        # q156 (weighted sampling — the ticket explode is the linear
+        # term, the top-k cut is constant).  TPC-H axis: q153 (DQ
+        # report — two wide agg passes + two anti-joins, all linear),
+        # q155 (snapshot diff — one full-outer join on the key) and
+        # q157 (HITS — the row multiset grows but the DISTINCT
+        # supplier->part edge set is copy-invariant, so growth prices
+        # scan+distinct, the iterations run on the same graph).
+        # Base min-of-2, scaled single-run — the deep-family protocol.
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        make_scaled_tpch_dir(SF_DIR, scaled_dir, copies)
+        names = (
+            "q153_dq_report",
+            "q154_bpe_merge_steps",
+            "q155_snapshot_diff",
+            "q156_weighted_sample",
+            "q157_hits_supplier_part",
+        )
+        d_base = time_queries(spark, SF_DIR, names=names)
+        d_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["wave13ops_base_sec"] = d_base
+        out["wave13ops_scaled_sec"] = d_scaled
+        out["wave13ops_growth_ratio"] = {
+            q: round(d_scaled[q] / d_base[q], 2) for q in names
+        }
+    if family == "wave13tok":
+        # the tokenizer tail on the docs axis: q158 (encode join —
+        # the per-source compression aggregate; the corpus pass and
+        # the group-word collapse are the linear terms, the encode
+        # join is vocab-sized) and q159 (vocab-index-served train —
+        # build 3+1 shards, compact, train FROM the store; growth
+        # prices shard builds ∝ corpus, iterations ∝ vocab).
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        names = (
+            "q158_bpe_compression",
+            "q159_bpe_from_vocab_index",
+        )
+        d_base = time_queries(spark, SF_DIR, names=names)
+        d_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["wave13tok_base_sec"] = d_base
+        out["wave13tok_scaled_sec"] = d_scaled
+        out["wave13tok_growth_ratio"] = {
+            q: round(d_scaled[q] / d_base[q], 2) for q in names
+        }
     if family == "spanknobs":
         # the min_span knob users will reach for: the gated operating
         # point (k=8, w=9 -> spans >= 16 tokens) vs a tighter window
@@ -1117,6 +1186,7 @@ def main() -> None:
             corpus_ingest,
             dhash_index,
             lsh_index,
+            vocab_index,
         )
 
         def _fetch_records(dd):
@@ -1156,6 +1226,8 @@ def main() -> None:
             writer = lsh_index.make_lsh_batch_writer(lsh_dir)
             dh_dir = os.path.join(root, "dhash_idx")
             dh_writer = dhash_index.make_dhash_batch_writer(dh_dir)
+            vx_dir = os.path.join(root, "vocab_idx")
+            vx_writer = vocab_index.make_vocab_batch_writer(vx_dir)
             labels = spark.createDataFrame([], "node long, label long")
             accepted = []
             per_batch = []
@@ -1218,11 +1290,25 @@ def main() -> None:
                         spark, dh_dir, media, max_hamming=3
                     ).write.format("noop").mode("overwrite").save()
                 dh_writer(media, b)
+                # (c) the vocab leg: the admitted batch's partial word
+                #     counts extend the tokenizer-training index —
+                #     cost ∝ batch distinct words, never accumulated
+                #     corpus text
+                vx_writer(adm, b)
                 per_batch.append(round(time.monotonic() - t0, 2))
+            # the nightly tokenizer refresh: compact the vocab shards
+            # and train the first merges entirely FROM the store
+            t0 = time.monotonic()
+            vocab_index.compact_vocab_shards(spark, vx_dir)
+            vocab_index.bpe_merges_from_index(
+                spark, vx_dir, steps=3, top=5
+            ).write.format("noop").mode("overwrite").save()
+            vocab_train_sec = round(time.monotonic() - t0, 2)
             n_acc = sum(a.count() for a in accepted)
             return {
                 "per_batch_sec": per_batch,
-                "total_sec": round(sum(per_batch), 2),
+                "total_sec": round(sum(per_batch) + vocab_train_sec, 2),
+                "vocab_train_sec": vocab_train_sec,
                 "admitted_docs": int(n_acc),
             }
 
@@ -1233,6 +1319,25 @@ def main() -> None:
         out["lifecycle_growth_ratio"] = round(
             scaled["total_sec"] / base["total_sec"], 2
         )
+    if family == "tpchtrio":
+        # the r13 TPC-H join-pipeline trio on the fact axis: the only
+        # shuffle that grows is the lineitem<->orders sort-merge join
+        # (every dimension chain broadcasts), so growth should track
+        # the fact scan + one co-partitioned join.  Base min-of-2,
+        # scaled single-run.
+        make_scaled_tpch_dir(SF_DIR, scaled_dir, copies)
+        names = (
+            "q160_volume_shipping",
+            "q161_market_share",
+            "q162_product_profit",
+        )
+        t_base = time_queries(spark, SF_DIR, names=names)
+        t_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["tpchtrio_base_sec"] = t_base
+        out["tpchtrio_scaled_sec"] = t_scaled
+        out["tpchtrio_growth_ratio"] = {
+            q: round(t_scaled[q] / t_base[q], 2) for q in names
+        }
     if family == "deeptpch":
         # fact-table axis two orders up: 100x lineitem (~60M rows) /
         # orders (~15M) over the fixed dim catalog — the axis that

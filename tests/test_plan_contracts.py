@@ -65,6 +65,14 @@ BNLJ_ALLOWED = {
     # BNLJ; the evaluator itself adds only an equi left-semi probe +
     # a combinable count
     "q131_ann_recall_eval",
+    # BPE trainer: each step's WINNING PAIR (one row) broadcast-cross
+    # joins into the vocab for the merge fold — 1-row idiom like q54
+    "q154_bpe_merge_steps",
+    "q158_bpe_compression",
+    "q159_bpe_from_vocab_index",
+    # HITS: the per-half-step L1 normalizer (a one-row sum aggregate)
+    # broadcast-cross joins back into the node frame — same idiom
+    "q157_hits_supplier_part",
 }
 
 
