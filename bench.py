@@ -168,6 +168,7 @@ HEADLINE = [
     "q160_volume_shipping",
     "q161_market_share",
     "q162_product_profit",
+    "q163_dq_history",
 ]
 
 

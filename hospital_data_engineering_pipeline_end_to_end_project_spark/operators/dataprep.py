@@ -1445,9 +1445,14 @@ def weighted_minhash_sample(
 
     Returns ``(id_col, wkey)`` for the k sampled rows.
     """
-    copies = (
-        F.lit(1) + F.floor(F.col(weight_col).cast("long") / F.lit(unit))
-    ).cast("long")
+    # clamp at one ticket: a zero/negative weight still participates
+    # (uniformly) rather than producing a DESCENDING sequence() range
+    copies = F.greatest(
+        F.lit(1).cast("long"),
+        (
+            F.lit(1) + F.floor(F.col(weight_col).cast("long") / F.lit(unit))
+        ).cast("long"),
+    )
     tickets = df.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0).cast("long"), copies - 1)).alias("_j"),

@@ -1,5 +1,30 @@
-"""Round-13 query wave (q152).
+"""Round-13 query wave (q152-q159, q163).
 
+- q163 per-batch DQ constraint history — the q153 report per
+  arriving batch through the monitor store
+  (streaming/monitor.py:dq_monitor_sink); the oracle replays each
+  batch's aggregates, pinning stored reports ≡ recomputed.
+
+- q153 Deequ-shaped DQ constraint report (operators/profiling.py) —
+  every intra-table check in ONE wide aggregate pass per table, FK
+  containment as AQE-broadcast anti-join counts.
+- q154 distributed BPE merge training (operators/tokenizer.py) — one
+  corpus->vocab collapse, then vocab-sized integer pair aggregates +
+  an exact greedy left-to-right merge fold; the oracle replays every
+  step via list_reduce.
+- q155 snapshot diff / CDC reconciliation (operators/reconcile.py) —
+  one full-outer join, null-safe change flags, O(columns) summary.
+- q156 weight-proportional sampling without replacement
+  (operators/dataprep.py:weighted_minhash_sample) — bottom-k minwise
+  hashing over unit copies, md5-hex string order.
+- q157 bipartite HITS in integer fixed point
+  (operators/components.py:hits_bipartite_fixed) — per-half-step L1
+  normalization at scale 1e9 bounds every product under 2^63.
+- q158 BPE encode/compression by source — the learned merges applied
+  through a vocab-sized join, never a per-occurrence re-fold.
+- q159 BPE served FROM the incremental word-frequency index
+  (streaming/vocab_index.py) — the SEVENTH index-served lifecycle;
+  steps=4 so its gated rows are not a copy of q154's.
 - q152 index-served IVF ANN top-k — the SIXTH index-served lifecycle,
   closing the r12 verdict's gap: ``streaming/ann_index.py`` maintained
   IVF postings (per-batch shards, compaction, retrain/epoch-swap) but
@@ -497,3 +522,70 @@ QUERIES["q158_bpe_compression"] = q158_bpe_compression
 ORACLES["q158_bpe_compression"] = Q158_SQL
 QUERIES["q159_bpe_from_vocab_index"] = q159_bpe_from_vocab_index
 ORACLES["q159_bpe_from_vocab_index"] = Q159_SQL
+
+
+#: q163: per-batch DQ constraint history — orders arrives as 4
+#: batches (o_orderkey % 4), each through the q153-shaped report into
+#: the monitor store; the query reads the accumulated series.  The
+#: oracle replays each batch's aggregates, so the hash gate pins the
+#: stored per-batch reports ≡ recomputed batch-mode reports.
+_Q163_BATCHES = 4
+
+
+def q163_dq_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality over TIME: the q153 constraint report per arriving
+    batch, served from the monitor store
+    (streaming/monitor.py:dq_monitor_sink) — the completeness
+    regression tonight's load introduces is a hard step in this
+    series while staying invisible to a whole-table fraction."""
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import monitor
+
+    o = load_table(spark, sf_dir, "orders")
+    root = _fresh_store("q163", sf_dir)
+
+    def report(batch_df: DataFrame) -> DataFrame:
+        return profiling.profile_report(
+            batch_df,
+            "orders",
+            complete_cols=["o_custkey"],
+            unique_cols=["o_orderkey"],
+            compliance=[
+                ("o_totalprice", "positive", F.col("o_totalprice") > 0),
+            ],
+        )
+
+    writer = monitor.make_dq_batch_writer(root, report)
+    shardstore.build_shards_concurrently(
+        writer,
+        [
+            (b, o.filter(F.col("o_orderkey") % _Q163_BATCHES == b))
+            for b in range(_Q163_BATCHES)
+        ],
+    )
+    return monitor.read_dq_history(spark, root)
+
+
+def _q163_batch_sql(b: int) -> str:
+    return f"""
+SELECT * FROM (
+  WITH t AS (
+    SELECT count(*) AS n, count(o_custkey) AS nn,
+           count(DISTINCT o_orderkey) AS nd,
+           sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS c0
+    FROM orders WHERE o_orderkey % {_Q163_BATCHES} = {b}
+  )
+  SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk,
+         round(n::DOUBLE, 6) AS value, n > 0 AS ok, {b}::BIGINT AS batch_id FROM t
+  UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn / n, 6), nn / n = 1.0, {b} FROM t
+  UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd / n, 6), nd / n = 1.0, {b} FROM t
+  UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c0 / n, 6), c0 / n = 1.0, {b} FROM t
+)"""
+
+
+Q163_SQL = "\nUNION ALL\n".join(
+    _q163_batch_sql(b) for b in range(_Q163_BATCHES)
+)
+
+
+QUERIES["q163_dq_history"] = q163_dq_history
+ORACLES["q163_dq_history"] = Q163_SQL

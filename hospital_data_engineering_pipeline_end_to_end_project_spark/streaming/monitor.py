@@ -318,3 +318,59 @@ def compact_cusum_shards(
         return cusum_compose_summaries(df, group_col, "batch_id")
 
     return shardstore.compact_shards(spark, out_dir, fold=fold)
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint monitor (the q153 report, per micro-batch)
+# ---------------------------------------------------------------------------
+
+
+def make_dq_batch_writer(out_dir: str, report_fn):
+    """``foreachBatch`` body: run a caller-supplied constraint report
+    (``DataFrame -> (tbl, col, chk, value, ok)`` — typically a
+    partial application of
+    :func:`~hospital_data_engineering_pipeline_end_to_end_project_spark.operators.profiling.profile_report`)
+    over THIS batch and write the per-batch report shard with
+    ``batch_id`` stamped — data-quality over TIME, the axis the
+    one-shot q153 gate can't see (a completeness regression in
+    tonight's load is invisible to a whole-table fraction but a hard
+    step in the per-batch series).
+
+    The report frame is O(checks) rows, so the shard write is
+    metrics-sized regardless of batch volume; the expensive part is
+    the report's own single wide aggregate over the batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rep = report_fn(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        rep.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return handle
+
+
+def dq_monitor_sink(
+    stream: DataFrame,
+    out_dir: str,
+    report_fn,
+    checkpoint_dir: str | None = None,
+):
+    """Attach the per-batch constraint-report writer to a stream."""
+    writer = stream.writeStream.foreachBatch(
+        make_dq_batch_writer(out_dir, report_fn)
+    ).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def read_dq_history(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The per-batch constraint series: union of committed report
+    shards (reports are per-batch FACTS, not mergeable summaries —
+    compaction, if ever needed, is the plain-union default)."""
+    return shardstore.read_shards(spark, out_dir)

@@ -482,3 +482,75 @@ def test_merged_readers_raise_clearly_on_empty_store(spark, tmp_path):
         monitor.read_merged_countmin(spark, empty)
     with pytest.raises(FileNotFoundError, match="nothing-here"):
         monitor.read_merged_cusum(spark, empty, "g")
+
+
+# ---------------------------------------------------------------------------
+# DQ constraint monitor
+# ---------------------------------------------------------------------------
+
+
+def _dq_report_fn(batch_df):
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import profiling
+
+    return profiling.profile_report(
+        batch_df,
+        "events",
+        complete_cols=["value"],
+        unique_cols=["event_id"],
+        compliance=[("value", "non_negative", F.col("value") >= 0)],
+    )
+
+
+def test_dq_monitor_per_batch_reports(spark, tmp_path):
+    out = str(tmp_path / "dq")
+    src = str(tmp_path / "src")
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    events.repartition(8).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .json(src)
+    )
+    q = (
+        monitor.dq_monitor_sink(
+            stream, out, _dq_report_fn, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = monitor.read_dq_history(spark, out)
+    batches = sorted(r.batch_id for r in hist.select("batch_id").distinct().collect())
+    assert batches == [0, 1, 2, 3]  # 8 files, 2 per trigger
+    # every batch emits the full fixed check set
+    per_batch = hist.groupBy("batch_id").count().collect()
+    assert {r["count"] for r in per_batch} == {4}
+    # the whole-stream row_count across batch reports sums to the table
+    total = sum(
+        r.value for r in hist.filter(hist.chk == "row_count").collect()
+    )
+    assert int(total) == events.count()
+
+
+def test_dq_monitor_batch_report_equals_batch_mode(spark, tmp_path):
+    out = str(tmp_path / "dq")
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    half = events.filter(events.event_id % 2 == 0)
+    writer = monitor.make_dq_batch_writer(out, _dq_report_fn)
+    writer(half, 0)
+    writer(half, 0)  # replay: same shard, idempotent
+    hist = monitor.read_dq_history(spark, out)
+    got = sorted(
+        (r.tbl, r.col, r.chk, r.value, r.ok) for r in hist.collect()
+    )
+    want = sorted(
+        (r.tbl, r.col, r.chk, r.value, r.ok)
+        for r in _dq_report_fn(half).collect()
+    )
+    assert got == want
