@@ -168,16 +168,24 @@ def bpe_train_from_vocab(
         )
         out = step_rows if out is None else out.unionByName(step_rows)
         winner = ranked.filter(F.col("rk") == 1).select(
-            F.col("a").alias("_ma"), F.col("b").alias("_mb")
+            F.lit(1).alias("_wk"),
+            F.col("a").alias("_ma"),
+            F.col("b").alias("_mb"),
         )
-        words = materialize(
-            words.crossJoin(F.broadcast(winner))
+        # LEFT join on a constant key, not a cross join: a step with
+        # no pairs left (fully merged / single-symbol vocab) yields an
+        # EMPTY winner frame, and a cross join would silently empty
+        # the vocabulary — left-joined null merge columns make the
+        # fold's WHEN condition null, i.e. a no-op merge
+        merged = (
+            words.withColumn("_wk", F.lit(1))
+            .join(F.broadcast(winner), "_wk", "left")
             .withColumn(
                 "_sym", _merge_fold(F.col("_sym"), F.col("_ma"), F.col("_mb"))
             )
-            .select("word", "freq", "_sym"),
-            materialize_mode,
+            .select("word", "freq", "_sym")
         )
+        words = materialize(merged, materialize_mode)
     return out, words.select("word", "freq", F.col("_sym").alias("sym"))
 
 

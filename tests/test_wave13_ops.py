@@ -271,3 +271,18 @@ def test_hits_duplicate_edges_ignored(spark):
     r1 = sorted(map(tuple, components.hits_bipartite_fixed(e1, "s", "p").collect()))
     r2 = sorted(map(tuple, components.hits_bipartite_fixed(e2, "s", "p").collect()))
     assert r1 == r2
+
+
+def test_bpe_exhausted_vocab_survives_extra_steps(spark):
+    # single-char words: step 1 has NO pairs, so there is no winner —
+    # the vocab must survive the no-op merge (a cross join against the
+    # empty winner frame would silently empty it) and later steps must
+    # simply report nothing
+    out = _bpe_steps(spark, ["a b a c"], steps=3, top=5)
+    assert out.collect() == []
+    df = spark.createDataFrame([Row(text="a b a c")])
+    _steps, vocab = tokenizer.bpe_train_from_vocab(
+        tokenizer.word_freqs(df, "text"), steps=3
+    )
+    got = sorted((r.word, r.freq, r.sym) for r in vocab.collect())
+    assert got == [("a", 2, " a"), ("b", 1, " b"), ("c", 1, " c")]
