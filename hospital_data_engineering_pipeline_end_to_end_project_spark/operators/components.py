@@ -502,6 +502,10 @@ def hits_bipartite_fixed(
     """
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
 
+    if iterations < 1:
+        # the final select dereferences the last authority frame, so
+        # at least one full iteration is part of the contract
+        raise ValueError("hits_bipartite_fixed requires iterations >= 1")
     ed = materialize(
         edges.select(
             F.col(hub_col).alias("s"), F.col(auth_col).alias("p")

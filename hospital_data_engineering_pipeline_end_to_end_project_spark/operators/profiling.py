@@ -84,16 +84,30 @@ def profile_report(
         )
     one = df.agg(*aggs)
     n = F.col("_n")
+
+    def _frac(cnt: Column) -> Column:
+        # guard the division: the session runs ANSI mode (Spark 4
+        # default), where n = 0 would THROW divide-by-zero instead of
+        # nulling; CASE-protected it is NULL, matching DuckDB's x/0
+        return F.when(n > 0, cnt / n)
+
+    def _ok(frac: Column) -> Column:
+        # FAIL-CLOSED on an empty table: n = 0 makes every fraction
+        # NULL, and a NULL ok would slip through a scheduler's
+        # three-valued `filter(~ok).count() == 0` promotion gate —
+        # a check that can't prove itself has failed
+        return F.coalesce(frac == 1.0, F.lit(False))
+
     rows: list[Column] = [_row(tbl, "*", "row_count", n, n > 0)]
     for c in complete_cols:
-        frac = F.col(f"_nn_{c}") / n
-        rows.append(_row(tbl, c, "completeness", frac, frac == 1.0))
+        frac = _frac(F.col(f"_nn_{c}"))
+        rows.append(_row(tbl, c, "completeness", frac, _ok(frac)))
     for c in unique_cols:
-        frac = F.col(f"_nd_{c}") / n
-        rows.append(_row(tbl, c, "uniqueness", frac, frac == 1.0))
+        frac = _frac(F.col(f"_nd_{c}"))
+        rows.append(_row(tbl, c, "uniqueness", frac, _ok(frac)))
     for i, (col_label, chk, _) in enumerate(compliance):
-        frac = F.col(f"_c_{i}") / n
-        rows.append(_row(tbl, col_label, chk, frac, frac == 1.0))
+        frac = _frac(F.col(f"_c_{i}"))
+        rows.append(_row(tbl, col_label, chk, frac, _ok(frac)))
     return _explode_report(one, rows)
 
 

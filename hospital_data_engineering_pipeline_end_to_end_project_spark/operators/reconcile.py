@@ -49,10 +49,10 @@ def snapshot_diff(
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
     )
     j = o.join(n, on=key_cols, how="full_outer")
-    any_chg = None
+    # keys-only diff (no compare columns): nothing can be "changed"
+    any_chg = F.lit(False)
     for c in compare_cols:
-        f = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        any_chg = f if any_chg is None else (any_chg | f)
+        any_chg = any_chg | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))

@@ -268,8 +268,13 @@ _GATE_FRONT = (
 #: and the 13 displaced r10 rows named in the r14 plan above).  With
 #: the front pinning a full 50-slot window the back list is
 #: belt-and-suspenders against a renamed front entry letting a
-#: fresh-rowed query drift into the window; since r13 it is generated
-#: as the full catalog minus the front, so nothing can drift.
+#: fresh-rowed query drift into the window.  It is HAND-MAINTAINED
+#: (not generated); the actual drift protections are (a)
+#: ``_front_ordered`` placing any name in NEITHER list directly
+#: after the front — new arrivals land in-window by default — and
+#: (b) tests/test_plan_contracts.py asserting front + back exactly
+#: partition the catalog, so a forgotten entry fails the suite
+#: instead of silently reordering.
 _GATE_BACK = (
     "q02_filter_project",
     "q03_top_revenue_orders",

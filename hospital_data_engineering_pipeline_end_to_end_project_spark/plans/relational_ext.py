@@ -426,8 +426,10 @@ FROM (
 """
 
 
+#: the supply-cost proxy rate is 0.1 of retail price — it appears in
+#: the arithmetic as the INTEGER factor 10 (ten-thousandths form:
+#: rate * 100 cents), identically in the Spark plan and the oracle
 Q162_PART_LIKE = "%widget%"
-Q162_COST_RATE = 0.1
 
 
 def q162_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:

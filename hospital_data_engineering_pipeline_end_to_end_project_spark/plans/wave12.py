@@ -629,13 +629,14 @@ _Q150_MIN = 8
 _Q150_ELIG = 24   # docs shorter than this pass through uncut
 
 
-def _q150_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sharded fetch-record rendering shared by q150 (detection)
-    and q151 (repair): each eligible doc splits at its midpoint with a
-    deterministic carried overlap; short docs pass through uncut."""
+def fetch_records_from_docs(d: DataFrame) -> DataFrame:
+    """The sharded fetch-record rendering shared by q150 (detection),
+    q151 (repair) and the scale harness's composed lifecycle: each
+    eligible doc splits at its midpoint with a deterministic carried
+    overlap; short docs pass through uncut.  ``d`` is any
+    ``(doc_id, text)`` frame."""
     from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = d.select(
         "doc_id", TX.tokens("text").alias("__t")
     ).withColumn("__n", F.size("__t"))
@@ -657,6 +658,12 @@ def _q150_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("__t", " ").alias("text"),
     )
     return left.unionByName(right).unionByName(noise)
+
+
+def _q150_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fetch_records_from_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def q150_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:

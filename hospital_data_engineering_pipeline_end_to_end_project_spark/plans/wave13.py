@@ -209,16 +209,16 @@ fk_l AS (SELECT count(*) AS orphans FROM lineitem li
 fk_o AS (SELECT count(*) AS orphans FROM orders oo
          WHERE NOT EXISTS (SELECT 1 FROM customer cc WHERE cc.c_custkey = oo.o_custkey))
 SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk, round(n::DOUBLE, 6) AS value, n > 0 AS ok FROM o
-UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn_ck / n, 6), nn_ck / n = 1.0 FROM o
-UNION ALL SELECT 'orders', 'o_orderdate', 'completeness', round(nn_od / n, 6), nn_od / n = 1.0 FROM o
-UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd_ok / n, 6), nd_ok / n = 1.0 FROM o
-UNION ALL SELECT 'orders', 'o_orderstatus', 'domain', round(c0 / n, 6), c0 / n = 1.0 FROM o
-UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c1 / n, 6), c1 / n = 1.0 FROM o
+UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn_ck / n, 6), coalesce(nn_ck / n = 1.0, false) FROM o
+UNION ALL SELECT 'orders', 'o_orderdate', 'completeness', round(nn_od / n, 6), coalesce(nn_od / n = 1.0, false) FROM o
+UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd_ok / n, 6), coalesce(nd_ok / n = 1.0, false) FROM o
+UNION ALL SELECT 'orders', 'o_orderstatus', 'domain', round(c0 / n, 6), coalesce(c0 / n = 1.0, false) FROM o
+UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c1 / n, 6), coalesce(c1 / n = 1.0, false) FROM o
 UNION ALL SELECT 'lineitem', '*', 'row_count', round(n::DOUBLE, 6), n > 0 FROM l
-UNION ALL SELECT 'lineitem', 'l_quantity', 'completeness', round(nn_q / n, 6), nn_q / n = 1.0 FROM l
-UNION ALL SELECT 'lineitem', 'l_discount', 'range', round(c0 / n, 6), c0 / n = 1.0 FROM l
-UNION ALL SELECT 'lineitem', 'l_quantity', 'range', round(c1 / n, 6), c1 / n = 1.0 FROM l
-UNION ALL SELECT 'lineitem', 'l_extendedprice', 'positive', round(c2 / n, 6), c2 / n = 1.0 FROM l
+UNION ALL SELECT 'lineitem', 'l_quantity', 'completeness', round(nn_q / n, 6), coalesce(nn_q / n = 1.0, false) FROM l
+UNION ALL SELECT 'lineitem', 'l_discount', 'range', round(c0 / n, 6), coalesce(c0 / n = 1.0, false) FROM l
+UNION ALL SELECT 'lineitem', 'l_quantity', 'range', round(c1 / n, 6), coalesce(c1 / n = 1.0, false) FROM l
+UNION ALL SELECT 'lineitem', 'l_extendedprice', 'positive', round(c2 / n, 6), coalesce(c2 / n = 1.0, false) FROM l
 UNION ALL SELECT 'lineitem', 'l_orderkey', 'fk_containment', round(orphans::DOUBLE, 6), orphans = 0 FROM fk_l
 UNION ALL SELECT 'orders', 'o_custkey', 'fk_containment', round(orphans::DOUBLE, 6), orphans = 0 FROM fk_o
 """
@@ -244,6 +244,10 @@ rk_{tag} AS (SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a ASC, b AS
 
 
 def _bpe_merge_cte(words: str, tag: str, out: str) -> str:
+    # LEFT JOIN ON true, not a cross join — mirrors the Spark side's
+    # c9930fe fix: a step with no pairs has an EMPTY winner, and a
+    # cross join would silently empty the oracle's vocabulary; null
+    # t.a/t.b make the CASE condition null, i.e. a no-op merge
     return f"""
 {out} AS (
   SELECT w.word, w.freq,
@@ -252,7 +256,7 @@ def _bpe_merge_cte(words: str, tag: str, out: str) -> str:
            (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, ' ' || t.a)
                        THEN substr(acc, 1, len(acc) - len(t.a) - 1) || ' ' || t.a || t.b
                        ELSE acc || ' ' || x END) AS sym
-  FROM {words} w CROSS JOIN (SELECT a, b FROM rk_{tag} WHERE rn = 1) t
+  FROM {words} w LEFT JOIN (SELECT a, b FROM rk_{tag} WHERE rn = 1) t ON true
 )"""
 
 
@@ -576,9 +580,9 @@ SELECT * FROM (
   )
   SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk,
          round(n::DOUBLE, 6) AS value, n > 0 AS ok, {b}::BIGINT AS batch_id FROM t
-  UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn / n, 6), nn / n = 1.0, {b} FROM t
-  UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd / n, 6), nd / n = 1.0, {b} FROM t
-  UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c0 / n, 6), c0 / n = 1.0, {b} FROM t
+  UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn / n, 6), coalesce(nn / n = 1.0, false), {b} FROM t
+  UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd / n, 6), coalesce(nd / n = 1.0, false), {b} FROM t
+  UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c0 / n, 6), coalesce(c0 / n = 1.0, false), {b} FROM t
 )"""
 
 

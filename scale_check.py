@@ -919,13 +919,21 @@ def main() -> None:
         # x 32 concurrent tasks = measured JVM heap OOM in the
         # shuffle-read stage.  A cluster operator sizes
         # spark.sql.shuffle.partitions with the data (the session
-        # docstring's own advice); AQE coalesces the BASE runs back
-        # down, so base numbers stay comparable.
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(int(cpus), 8 * copies)),
-        )
+        # docstring's own advice).  r13 review fix: the bump is
+        # applied ONLY to the scaled run — fan_out()'s explicit
+        # repartition is not AQE-coalescible, so a bumped base run
+        # pays hundreds of near-empty tasks of scheduling overhead
+        # and understates the growth ratio (the r13-recorded q140
+        # base rise 8.2 -> 14.6 was exactly this).
+        scaled_dop = str(max(int(cpus), 8 * copies))
         make_scaled_documents(SF_DIR, scaled_dir, copies)
+
+        def _with_dop(dop: str, fn, dirpath: str) -> float:
+            spark.conf.set("spark.sql.shuffle.partitions", dop)
+            try:
+                return fn(dirpath)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
         def _run140(dirpath: str) -> float:
             from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
@@ -946,8 +954,10 @@ def main() -> None:
         if family == "deepcapped133":
             b140 = s140 = None
         else:
-            b140 = min(_run140(SF_DIR) for _ in range(2))
-            s140 = _run140(scaled_dir)
+            b140 = min(
+                _with_dop(str(cpus), _run140, SF_DIR) for _ in range(2)
+            )
+            s140 = _with_dop(scaled_dop, _run140, scaled_dir)
         if b140 is not None:
             out["q140_capped_base_sec"] = b140
             out["q140_capped_scaled_sec"] = s140
@@ -973,8 +983,10 @@ def main() -> None:
             return round(time.monotonic() - t0, 3)
 
         if family != "deepcapped140":
-            b133 = min(_run133(SF_DIR) for _ in range(2))
-            s133 = _run133(scaled_dir)
+            b133 = min(
+                _with_dop(str(cpus), _run133, SF_DIR) for _ in range(2)
+            )
+            s133 = _with_dop(scaled_dop, _run133, scaled_dir)
             out["q133_capped_base_sec"] = b133
             out["q133_capped_scaled_sec"] = s133
             out["q133_capped_growth_ratio"] = round(s133 / b133, 2)
@@ -1039,9 +1051,12 @@ def main() -> None:
         }
     if family == "wave13ops":
         # r13 wave-2 arrivals on both axes.  Docs axis: q154 (BPE —
-        # the corpus pass grows, the per-step vocab iterations DON'T:
-        # the scaled corpus reuses the same token vocabulary, so
-        # growth prices exactly the one corpus->vocab collapse) and
+        # the corpus pass grows linearly; the vocabulary grows too,
+        # but only by the copy-salted replacement tokens
+        # make_scaled_documents injects (every 5th token), so the
+        # per-step pair aggregates grow with VOCAB, far below corpus
+        # growth — the measured ratio prices corpus collapse + that
+        # sub-linear vocab term) and
         # q156 (weighted sampling — the ticket explode is the linear
         # term, the top-k cut is constant).  TPC-H axis: q153 (DQ
         # report — two wide agg passes + two anti-joins, all linear),
@@ -1189,30 +1204,11 @@ def main() -> None:
             vocab_index,
         )
 
-        def _fetch_records(dd):
-            # the q150 sharded fetch-record rendering, applied to one
-            # arriving batch (plans/wave12._q150_records semantics)
-            base = dd.select(
-                "doc_id", TX.tokens("text").alias("__t")
-            ).withColumn("__n", F.size("__t"))
-            cut = F.floor(F.col("__n") / 2).cast("int")
-            ov = (F.lit(8) + F.col("doc_id") % 5).cast("int")
-            elig = base.filter(F.col("__n") >= 24)
-            left = elig.select(
-                (F.col("doc_id") * 2).alias("doc_id"),
-                F.array_join(F.slice("__t", F.lit(1), cut + ov), " ").alias("text"),
-            )
-            right = elig.select(
-                (F.col("doc_id") * 2 + 1).alias("doc_id"),
-                F.array_join(
-                    F.slice("__t", cut + 1, F.col("__n") - cut), " "
-                ).alias("text"),
-            )
-            noise = base.filter(F.col("__n") < 24).select(
-                (F.col("doc_id") * 2).alias("doc_id"),
-                F.array_join("__t", " ").alias("text"),
-            )
-            return left.unionByName(right).unionByName(noise)
+        # the q150 sharded fetch-record rendering, applied to one
+        # arriving batch — the SAME helper the gated queries run, so
+        # knob changes to q150/q151 can't silently diverge from what
+        # this lifecycle measures
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave12 import fetch_records_from_docs as _fetch_records
 
         def run_lifecycle(dirpath: str, tag: str) -> dict:
             root = scratch_path("lifecycle", tag, "store")

@@ -321,3 +321,17 @@ def test_boundary_stitch_anchor_is_broadcast(plans):
     # map-side probed, never shuffled for the candidate join.
     p = plans["q150_boundary_stitch"]
     assert "BroadcastHashJoin" in p
+
+
+def test_gate_lists_partition_catalog():
+    """_GATE_FRONT and _GATE_BACK must exactly partition the catalog:
+    the front is the 50-slot gate window, and any name in neither
+    list would land between them (in-window by default for arrivals,
+    but a FORGOTTEN rotation entry must fail loudly, not silently
+    reorder)."""
+    names = set(registry.queries())
+    front = set(registry._GATE_FRONT)
+    back = set(registry._GATE_BACK)
+    assert len(registry._GATE_FRONT) == 50
+    assert not front & back, front & back
+    assert front | back == names, (names - front - back, (front | back) - names)

@@ -286,3 +286,34 @@ def test_bpe_exhausted_vocab_survives_extra_steps(spark):
     )
     got = sorted((r.word, r.freq, r.sym) for r in vocab.collect())
     assert got == [("a", 2, " a"), ("b", 1, " b"), ("c", 1, " c")]
+
+
+def test_hits_requires_an_iteration(spark):
+    import pytest
+
+    edges = spark.createDataFrame([Row(s=1, p=10)])
+    with pytest.raises(ValueError, match="iterations"):
+        components.hits_bipartite_fixed(edges, "s", "p", iterations=0)
+
+
+def test_snapshot_diff_keys_only(spark):
+    old = spark.createDataFrame([Row(k=1), Row(k=2)])
+    new = spark.createDataFrame([Row(k=2), Row(k=3)])
+    diff = reconcile.snapshot_diff(old, new, ["k"], [])
+    got = {r.k: r.status for r in diff.collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_profile_report_fail_closed_on_empty_table(spark):
+    d = spark.createDataFrame([], "k long, v double")
+    rep = profiling.profile_report(
+        d, "t", complete_cols=["v"], unique_cols=["k"],
+        compliance=[("v", "positive", F.col("v") > 0)],
+    )
+    m = _report_map(rep)
+    assert m[("t", "*", "row_count")] == (0.0, False)
+    # fractions are undefined (NULL value) but ok must be FALSE, not
+    # NULL — a check that can't prove itself has failed
+    for key in (("t", "v", "completeness"), ("t", "k", "uniqueness"), ("t", "v", "positive")):
+        value, ok = m[key]
+        assert value is None and ok is False
