@@ -169,6 +169,7 @@ HEADLINE = [
     "q161_market_share",
     "q162_product_profit",
     "q163_dq_history",
+    "q164_source_overlap_matrix",
 ]
 
 

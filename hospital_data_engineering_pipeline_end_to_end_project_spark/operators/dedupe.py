@@ -188,15 +188,19 @@ def near_dup_candidates(
     )
 
 
-def jaccard_pairs(
+def jaccard_pair_counts(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (verification stage
-    after LSH).  Shingle sets are deduped before set math."""
+    """Exact INTEGER shingle-set sizes for candidate pairs:
+    ``(id_a, id_b, n_inter, n_union)``.  The integer form is the
+    parity-proof primitive — a similarity threshold becomes a
+    cross-multiplication (``n_inter * den >= n_union * num``) with no
+    float rounding surface at all; :func:`jaccard_pairs` derives the
+    rounded ratio from it for human-facing output."""
     # balance the compact scan first: the shingle HOF otherwise runs
     # in the scan stage, serially for a single-file input
     sh = fan_out(df.select(F.col(id_col), F.col(text_col)), by=id_col).select(
@@ -214,7 +218,27 @@ def jaccard_pairs(
     return joined.select(
         "id_a",
         "id_b",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        inter.cast("long").alias("n_inter"),
+        union.cast("long").alias("n_union"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage
+    after LSH).  Shingle sets are deduped before set math."""
+    counts = jaccard_pair_counts(df, pairs, id_col, text_col, shingle_n)
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_union"), 6
+        ).alias("jaccard"),
     )
 
 

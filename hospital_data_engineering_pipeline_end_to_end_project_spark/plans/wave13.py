@@ -593,3 +593,101 @@ Q163_SQL = "\nUNION ALL\n".join(
 
 QUERIES["q163_dq_history"] = q163_dq_history
 ORACLES["q163_dq_history"] = Q163_SQL
+
+
+# ---------------------------------------------------------------------------
+# q164 — cross-source duplication matrix
+#
+# The curation diagnostic behind "which sources copy from each
+# other": LSH-banded candidate pairs (the q25/q61 construction),
+# exact trigram-Jaccard verification via INTEGER set sizes, rolled up
+# per unordered source pair.  Every output cell is integers/strings —
+# the similarity threshold is a cross-multiplication
+# (n_inter * 5 >= n_union * 3, i.e. J >= 0.6), so the whole query has
+# ZERO float surface and the oracle equality is arithmetic identity,
+# not rounding luck.  Scale shape: the banded self-join bounds pair
+# fan-out per bucket (never all-pairs), verification touches only
+# candidate pairs, and the matrix aggregate is |sources|^2-sized.
+# ---------------------------------------------------------------------------
+
+#: verification threshold J >= 3/5 as an integer cross-multiplication
+_Q164_NUM = 3
+_Q164_DEN = 5
+
+
+def q164_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    d = load_table(spark, sf_dir, "documents")
+    bands = dedupe.minhash_bands(
+        d, "doc_id", "text", num_hashes=8, bands=4, shingle_n=5
+    )
+    pairs = dedupe.near_dup_candidates(bands, "doc_id")
+    counts = dedupe.jaccard_pair_counts(d, pairs, "doc_id", "text", shingle_n=3)
+    src = d.select("doc_id", "source")
+    j = (
+        counts.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+    )
+    strong = (
+        F.col("n_inter") * _Q164_DEN >= F.col("n_union") * _Q164_NUM
+    )
+    return (
+        j.groupBy(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(strong, 1).otherwise(0)).cast("long").alias("n_strong"),
+        )
+    )
+
+
+Q164_SQL = f"""
+WITH bands AS ({{Q25_SQL}}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(t[i+1:i+3], ' ') FOR i IN range(len(t) - 2)]) AS sh
+  FROM (SELECT doc_id, source, {{TOKS_SQL}} AS t FROM documents)
+  WHERE len(t) >= 3
+),
+px AS (
+  SELECT least(x.source, y.source) AS src_a,
+         greatest(x.source, y.source) AS src_b,
+         len(list_intersect(x.sh, y.sh)) AS ni,
+         len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS nu
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.id_a
+  JOIN sh y ON y.doc_id = p.id_b
+)
+SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN ni * {_Q164_DEN} >= nu * {_Q164_NUM} THEN 1 ELSE 0 END)::BIGINT AS n_strong
+FROM px GROUP BY src_a, src_b
+"""
+
+
+def _q164_sql() -> str:
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.llm_ops import Q25_SQL
+
+    return Q164_SQL.format(Q25_SQL=Q25_SQL, TOKS_SQL=TOKS_SQL)
+
+
+QUERIES["q164_source_overlap_matrix"] = q164_source_overlap_matrix
+ORACLES["q164_source_overlap_matrix"] = _q164_sql()
