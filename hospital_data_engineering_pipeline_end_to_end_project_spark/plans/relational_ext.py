@@ -278,22 +278,43 @@ def q160_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n2), supplier.s_nationkey == F.col("s_nk")
     ).select("s_suppkey", "supp_nation")
 
-    shipped = li.filter(
-        (F.col("l_shipdate") >= Q160_FROM) & (F.col("l_shipdate") < Q160_TO)
+    # prune BOTH fact sides with their broadcast dimensions BEFORE
+    # the fact-fact shuffle: the two-nation filters cut lineitem and
+    # orders to ~2/|nations| each, so the sort-merge join shuffles
+    # the small slices, not the full tables (Catalyst does not
+    # reorder across a user-specified join chain; the order here IS
+    # the plan)
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= Q160_FROM) & (F.col("l_shipdate") < Q160_TO)
+        )
+        .join(
+            F.broadcast(
+                supp.filter(
+                    F.col("supp_nation").isin(Q160_NATION_A, Q160_NATION_B)
+                )
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
     )
-    j = (
-        shipped.join(orders, shipped.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(
-            (
-                (F.col("supp_nation") == Q160_NATION_A)
-                & (F.col("cust_nation") == Q160_NATION_B)
+    ordered = orders.join(
+        F.broadcast(
+            cust.filter(
+                F.col("cust_nation").isin(Q160_NATION_A, Q160_NATION_B)
             )
-            | (
-                (F.col("supp_nation") == Q160_NATION_B)
-                & (F.col("cust_nation") == Q160_NATION_A)
-            )
+        ),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    j = shipped.join(
+        ordered, shipped.l_orderkey == ordered.o_orderkey
+    ).filter(
+        (
+            (F.col("supp_nation") == Q160_NATION_A)
+            & (F.col("cust_nation") == Q160_NATION_B)
+        )
+        | (
+            (F.col("supp_nation") == Q160_NATION_B)
+            & (F.col("cust_nation") == Q160_NATION_A)
         )
     )
     from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.relational import dsum
@@ -374,12 +395,17 @@ def q161_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = part.filter(F.col("p_type") == Q161_TYPE).select("p_partkey")
 
     vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    # prune each fact with its broadcast dims BEFORE the fact-fact
+    # shuffle: the p_type filter cuts lineitem ~6x and the region
+    # semi-cut shrinks orders, so the expensive sort-merge join runs
+    # over the pruned slices
+    li_p = li.join(
+        F.broadcast(parts), li.l_partkey == F.col("p_partkey")
+    ).join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+    o_p = orders.join(
+        F.broadcast(cust), orders.o_custkey == F.col("c_custkey")
     )
+    j = li_p.join(o_p, li_p.l_orderkey == o_p.o_orderkey)
     DEC = "decimal(18,6)"
     return (
         j.groupBy(F.year("o_orderdate").alias("o_year"))
@@ -474,10 +500,13 @@ def q162_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp_c = F.round(F.col("p_retailprice") * 100).cast("long")
     q_i = F.round(F.col("l_quantity")).cast("long")
     amount_e4 = ep_c * (F.lit(100) - d_c) - rp_c * q_i * F.lit(10)
+    # the widget LIKE prunes lineitem via the broadcast part set
+    # BEFORE the lineitem<->orders shuffle (join order is the plan)
+    li_p = li.join(
+        F.broadcast(parts), li.l_partkey == F.col("p_partkey")
+    ).join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        li_p.join(orders, li_p.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(amount_e4).alias("_e4"))
         .select(
