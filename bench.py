@@ -170,6 +170,9 @@ HEADLINE = [
     "q162_product_profit",
     "q163_dq_history",
     "q164_source_overlap_matrix",
+    "q165_local_supplier_volume",
+    "q166_promo_revenue_share",
+    "q167_large_volume_customers",
 ]
 
 

@@ -180,28 +180,31 @@ def _modules():
 #:      lifecycle), the TPC-H join-pipeline trio q160 (Q7 volume
 #:      shipping) / q161 (Q8 market share) / q162 (Q9 product
 #:      profit, integer-ten-thousandths money), q163 (per-batch
-#:      DQ constraint history via the monitor store), and q164
+#:      DQ constraint history via the monitor store), q164
 #:      (cross-source duplication matrix — zero-float integer
-#:      verification over the banded pairs);
+#:      verification over the banded pairs), and the second TPC-H
+#:      tail q165 (Q5 local-supplier volume) / q166 (Q14 promo
+#:      share) / q167 (Q18 large-volume customers, integer
+#:      end-to-end);
 #:   3. every query whose backing code changed in r13: q147/q148/
 #:      q150/q151 (the engaged measured-inert max_df cap — the r12
 #:      verdict's #1 — plus q151's chain guard), q144/q145/q149
 #:      (concurrent backfill shard builds), q90 (write_zordered
 #:      prefix partitioner — the RangePartitioner sampling pass
 #:      removed);
-#:   4. 23 of the 48 r10-vintage rows (q01, q109, q110, q114, q116,
-#:      q120, q124, q126-q132, q134-q136, q42-q45, q50, q53) —
-#:      code unchanged since r10 (judge-verified r11 + r12 diffs),
-#:      officially re-attested here.  The 50-slot cut leaves
-#:      TWENTY-FIVE r10 rows out: q54-q57, q62-q69, q71-q78,
-#:      q80-q82, q91, q92 (code unchanged; the accepted one-round
-#:      trade — new arrivals and changed code outrank filler).  ALL
-#:      TWENTY-FIVE are PINNED FIRST in the r14 plan below.
+#:   4. 20 of the 48 r10-vintage rows (q01, q109, q110, q114, q116,
+#:      q120, q124, q126-q132, q134-q136, q42-q44) — code unchanged
+#:      since r10 (judge-verified r11 + r12 diffs), officially
+#:      re-attested here.  The 50-slot cut leaves TWENTY-EIGHT r10
+#:      rows out: q45, q50, q53-q57, q62-q69, q71-q78, q80-q82,
+#:      q91, q92 (code unchanged; the accepted one-round trade — new
+#:      arrivals and changed code outrank filler).  ALL TWENTY-EIGHT
+#:      are PINNED FIRST in the r14 plan below.
 #: After this round the freshest-row ledger reads: 50 r13 + 48 r11 +
-#: 29 r12-or-r10-refreshed + 25 r10 (q54-q57, q62-q69, q71-q78,
-#: q80-q82, q91, q92).
-#: R14 ROTATION PLAN: pin q54-q57/q62-q69/q71-q78/q80-q82/q91/q92
-#: first (the only rows that would be three rounds old), then
+#: 26 r12-or-r10-refreshed + 28 r10 (q45, q50, q53-q57, q62-q69,
+#: q71-q78, q80-q82, q91, q92).
+#: R14 ROTATION PLAN: pin q45/q50/q53-q57/q62-q69/q71-q78/q80-q82/
+#: q91/q92 first (the only rows that would be three rounds old), then
 #: r14-changed code + new arrivals, then the aging r11 window (48
 #: rows, two rounds old by then: q87/q88, q102-q108, q111-q113,
 #: q115, q117-q119, q121-q123, q125, q26, q28, q31, q51, q52, q61,
@@ -230,6 +233,9 @@ _GATE_FRONT = (
     "q162_product_profit",
     "q163_dq_history",
     "q164_source_overlap_matrix",
+    "q165_local_supplier_volume",
+    "q166_promo_revenue_share",
+    "q167_large_volume_customers",
     "q144_lsh_index_served_join",
     "q145_span_index_served_join",
     "q147_audio_segment_pairs",
@@ -258,9 +264,6 @@ _GATE_FRONT = (
     "q42_group_mean_deviation",
     "q43_regex_token_count",
     "q44_range_source",
-    "q45_csv_roundtrip",
-    "q50_hash_split",
-    "q53_chunk_documents",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -347,10 +350,13 @@ _GATE_BACK = (
     "q39_percentiles",
     "q40_hospital_medallion_e2e",
     "q41_catalog_ctas",
+    "q45_csv_roundtrip",
     "q47_json_extract",
+    "q50_hash_split",
     "q48_ivf_topk",
     "q51_group_cap",
     "q52_pack_sequences",
+    "q53_chunk_documents",
     "q54_tfidf_top_terms",
     "q55_decontaminate",
     "q56_repetition_stats",

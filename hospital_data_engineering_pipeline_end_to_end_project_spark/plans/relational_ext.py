@@ -544,3 +544,173 @@ QUERIES["q161_market_share"] = q161_market_share
 ORACLES["q161_market_share"] = Q161_SQL
 QUERIES["q162_product_profit"] = q162_product_profit
 ORACLES["q162_product_profit"] = Q162_SQL
+
+
+# ---------------------------------------------------------------------------
+# q165-q167 — TPC-H Q5 / Q14 / Q18 shapes (round 13, wave 2 tail)
+#
+# Same plan discipline as the q160-q162 trio: every dimension chain
+# broadcasts and PRUNES ITS FACT before the one fact-fact shuffle
+# (the measured 7.7-9x rule — Catalyst won't reorder a written join
+# chain).  Q18's money-free form is INTEGER end-to-end (quantities
+# are integral, verified on every SF).
+# ---------------------------------------------------------------------------
+
+Q165_REGION = "ASIA"
+
+
+def q165_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the supplier and the
+    ordering customer sit in the SAME nation of one region — the
+    local-fulfillment diagnostic.  Both facts are pruned to the
+    region's nations via broadcasts before they meet; the same-nation
+    equality is a post-join filter on the two tiny nation columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    rnat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == Q165_REGION)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(rnat.select(F.col("n_nationkey").alias("_cnk"),
+                                F.col("n_name").alias("cust_nation"))),
+        customer.c_nationkey == F.col("_cnk"),
+    ).select("c_custkey", "cust_nation")
+    supp = supplier.join(
+        F.broadcast(rnat.select(F.col("n_nationkey").alias("_snk"),
+                                F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+
+    li_p = li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+    o_p = orders.join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.relational import dsum
+
+    return (
+        li_p.join(o_p, li_p.l_orderkey == o_p.o_orderkey)
+        .filter(F.col("supp_nation") == F.col("cust_nation"))
+        .groupBy(F.col("supp_nation").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+
+
+Q165_SQL = f"""
+SELECT nation,
+       round(cast(sum(cast((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS nation, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = '{Q165_REGION}' AND n1.n_name = n2.n_name
+)
+GROUP BY nation
+"""
+
+
+def q166_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of revenue by ship month —
+    the conditional/total decimal-sum pair over one joined frame (the
+    q161 pattern; one broadcast prune, one aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    parts = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("_is_promo")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    DEC = "decimal(18,6)"
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("_is_promo"), vol).otherwise(F.lit(0.0)).cast(DEC)
+            ).alias("_promo"),
+            F.sum(vol.cast(DEC)).alias("_total"),
+        )
+        .select(
+            "ship_month",
+            F.round(
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_share"),
+        )
+    )
+
+
+Q166_SQL = """
+SELECT ship_month,
+       round(100.0 * cast(promo AS DOUBLE) / cast(total AS DOUBLE), 6) AS promo_share
+FROM (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         sum(cast((CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1.0 - l_discount)
+                        ELSE 0.0 END) AS DECIMAL(18,6))) AS promo,
+         sum(cast((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ship_month
+)
+"""
+
+
+Q167_MIN_QTY = 150
+
+
+def q167_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds the
+    threshold, with their customer — INTEGER end-to-end (quantities
+    are integral on every SF; the rounded cast is exact), so the
+    oracle equality is arithmetic identity.  One groupBy on the fact,
+    one join back to orders/customer on the surviving (tiny) key set
+    — AQE broadcasts the survivors, the big tables never reshuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q167_MIN_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_name", "total_qty")
+    )
+
+
+Q167_SQL = f"""
+SELECT o_orderkey, o_custkey, c_name, total_qty
+FROM (
+  SELECT l_orderkey, sum(cast(round(l_quantity) AS BIGINT))::BIGINT AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > {Q167_MIN_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+QUERIES["q165_local_supplier_volume"] = q165_local_supplier_volume
+ORACLES["q165_local_supplier_volume"] = Q165_SQL
+QUERIES["q166_promo_revenue_share"] = q166_promo_revenue_share
+ORACLES["q166_promo_revenue_share"] = Q166_SQL
+QUERIES["q167_large_volume_customers"] = q167_large_volume_customers
+ORACLES["q167_large_volume_customers"] = Q167_SQL

@@ -1326,6 +1326,9 @@ def main() -> None:
             "q160_volume_shipping",
             "q161_market_share",
             "q162_product_profit",
+            "q165_local_supplier_volume",
+            "q166_promo_revenue_share",
+            "q167_large_volume_customers",
         )
         t_base = time_queries(spark, SF_DIR, names=names)
         t_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
