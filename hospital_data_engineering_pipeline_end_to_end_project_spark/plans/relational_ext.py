@@ -1,4 +1,4 @@
-"""Relational-depth query catalog (q100-q101, round 8).
+"""Relational-depth query catalog (q100-q101 round 8; q160-q167 round 13).
 
 Two classic correlated-subquery shapes from the TPC-H suite, adapted
 to the shipped schema (no partsupp table — supply costs are observed

@@ -1,4 +1,4 @@
-"""Round-13 query wave (q152-q159, q163).
+"""Round-13 query wave (q152-q159, q163, q164).
 
 - q163 per-batch DQ constraint history — the q153 report per
   arriving batch through the monitor store
@@ -144,7 +144,7 @@ ORACLES["q152_ivf_index_served_topk"] = Q152_SQL
 
 
 # ---------------------------------------------------------------------------
-# Round-13 wave 2 (q153-q157): pipeline-gate + tokenizer-training ops
+# Round-13 wave 2 (q153+): pipeline-gate + tokenizer-training ops
 # ---------------------------------------------------------------------------
 
 from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (  # noqa: E402

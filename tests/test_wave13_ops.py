@@ -1,4 +1,4 @@
-"""Unit tests for the round-13 wave-2 operators (q153-q157) — oracle
+"""Unit tests for the round-13 wave-2 operators (q153+) — oracle
 parity is covered by test_oracle_parity / test_gate_scale_parity;
 these pin the operator-level invariants the oracles can't express."""
 
