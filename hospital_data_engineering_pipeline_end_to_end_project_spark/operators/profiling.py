@@ -6,6 +6,18 @@ range compliance and referential-integrity checks, evaluated together
 and emitted as one small ``(tbl, col, chk, value, ok)`` frame a
 scheduler can assert on.
 
+``value`` is a BIGINT in exact integer units — raw counts for
+count-shaped checks (row_count, fk_containment orphans) and
+parts-per-million (``floor(cnt * 1e6 / n)``) for fraction-shaped
+checks (completeness / uniqueness / compliance).  The r13 review
+caught the hazard of the earlier ``round(double, 6)`` form: Spark
+rounds a double via its shortest decimal repr with HALF_UP while
+DuckDB rounds the binary value, so a fraction landing on a
+7th-decimal half boundary could flip a cross-engine hash gate.  The
+ppm value is computed with exact integer arithmetic on BOTH engines
+(decimal mod/divide here, HUGEINT ``//`` in the oracle), so no float
+ever enters the report.
+
 Scale shape — the whole point of the design:
 
 - ALL intra-table checks (row count, completeness, uniqueness,
@@ -35,12 +47,16 @@ from pyspark.sql import functions as F
 _REPORT_COLS = ("tbl", "col", "chk", "value", "ok")
 
 
+#: fraction checks are reported in parts-per-million (see module doc)
+PPM = 1_000_000
+
+
 def _row(tbl: str, col: str, chk: str, value: Column, ok: Column) -> Column:
     return F.struct(
         F.lit(tbl).alias("tbl"),
         F.lit(col).alias("col"),
         F.lit(chk).alias("chk"),
-        F.round(value.cast("double"), 6).alias("value"),
+        value.cast("long").alias("value"),
         ok.alias("ok"),
     )
 
@@ -69,6 +85,10 @@ def profile_report(
       value = fraction of rows satisfying the predicate (NULL counts
       as non-compliant — a row that can't prove compliance isn't
       compliant), 1.0 to pass.
+
+    Fraction values are emitted in integer PPM (see module doc); the
+    pass tests are pure integer equalities (``cnt == n``), never a
+    float comparison.
     """
     complete_cols = complete_cols or []
     unique_cols = unique_cols or []
@@ -85,29 +105,34 @@ def profile_report(
     one = df.agg(*aggs)
     n = F.col("_n")
 
-    def _frac(cnt: Column) -> Column:
-        # guard the division: the session runs ANSI mode (Spark 4
-        # default), where n = 0 would THROW divide-by-zero instead of
-        # nulling; CASE-protected it is NULL, matching DuckDB's x/0
-        return F.when(n > 0, cnt / n)
+    def _ppm(cnt: Column) -> Column:
+        # exact integer floor(cnt * 1e6 / n), no float surface: the
+        # numerator is exact in DECIMAL(38,0), mod/subtract make it
+        # divisible, and decimal division of exactly-divisible values
+        # is exact.  The n > 0 guard doubles as the ANSI-mode
+        # divide-by-zero shield (the session runs Spark 4 ANSI, where
+        # x / 0 THROWS; CASE-protected it is NULL, matching DuckDB)
+        num = cnt.cast("decimal(38,0)") * F.lit(PPM)
+        nd = n.cast("decimal(38,0)")
+        return F.when(n > 0, ((num - num % nd) / nd).cast("long"))
 
-    def _ok(frac: Column) -> Column:
-        # FAIL-CLOSED on an empty table: n = 0 makes every fraction
-        # NULL, and a NULL ok would slip through a scheduler's
-        # three-valued `filter(~ok).count() == 0` promotion gate —
-        # a check that can't prove itself has failed
-        return F.coalesce(frac == 1.0, F.lit(False))
+    def _ok(cnt: Column) -> Column:
+        # FAIL-CLOSED on an empty table: a NULL ok would slip through
+        # a scheduler's three-valued `filter(~ok).count() == 0`
+        # promotion gate — a check that can't prove itself has failed.
+        # Integer equality, never `frac == 1.0`.
+        return F.coalesce((n > 0) & (cnt == n), F.lit(False))
 
     rows: list[Column] = [_row(tbl, "*", "row_count", n, n > 0)]
     for c in complete_cols:
-        frac = _frac(F.col(f"_nn_{c}"))
-        rows.append(_row(tbl, c, "completeness", frac, _ok(frac)))
+        cnt = F.col(f"_nn_{c}")
+        rows.append(_row(tbl, c, "completeness", _ppm(cnt), _ok(cnt)))
     for c in unique_cols:
-        frac = _frac(F.col(f"_nd_{c}"))
-        rows.append(_row(tbl, c, "uniqueness", frac, _ok(frac)))
+        cnt = F.col(f"_nd_{c}")
+        rows.append(_row(tbl, c, "uniqueness", _ppm(cnt), _ok(cnt)))
     for i, (col_label, chk, _) in enumerate(compliance):
-        frac = _frac(F.col(f"_c_{i}"))
-        rows.append(_row(tbl, col_label, chk, frac, _ok(frac)))
+        cnt = F.col(f"_c_{i}")
+        rows.append(_row(tbl, col_label, chk, _ppm(cnt), _ok(cnt)))
     return _explode_report(one, rows)
 
 

@@ -61,8 +61,12 @@ def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _spaced_symbols(word: Column) -> Column:
-    # "low" -> " l o w": one space before every character
-    return F.regexp_replace(word, "(.)", " $1")
+    # "low" -> " l o w": one space before every character.  The class
+    # [\s\S] (not ".") on BOTH engines — r13 review: Java's dot
+    # excludes \r, U+0085, U+2028, U+2029 while RE2's dot excludes
+    # only \n, so a word containing a bare \r would be symbolized
+    # differently across engines and break BPE oracle parity
+    return F.regexp_replace(word, r"([\s\S])", " $1")
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:

@@ -678,8 +678,13 @@ def q167_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, with their customer — INTEGER end-to-end (quantities
     are integral on every SF; the rounded cast is exact), so the
     oracle equality is arithmetic identity.  One groupBy on the fact,
-    one join back to orders/customer on the surviving (tiny) key set
-    — AQE broadcasts the survivors, the big tables never reshuffle."""
+    one join back to orders/customer on the surviving key set.  No
+    broadcast HINT on the survivors (r13 review): with the threshold
+    near the mean order quantity the survivor set is a constant
+    FRACTION of orders, so a forced broadcast would blow the driver /
+    broadcast-table limit at fact scale — AQE picks broadcast only
+    when the measured post-filter size actually fits, and falls back
+    to a shuffled join otherwise."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -690,7 +695,7 @@ def q167_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > Q167_MIN_QTY)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .select("o_orderkey", "o_custkey", "c_name", "total_qty")
     )

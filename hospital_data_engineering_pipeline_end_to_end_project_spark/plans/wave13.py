@@ -208,19 +208,19 @@ fk_l AS (SELECT count(*) AS orphans FROM lineitem li
          WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)),
 fk_o AS (SELECT count(*) AS orphans FROM orders oo
          WHERE NOT EXISTS (SELECT 1 FROM customer cc WHERE cc.c_custkey = oo.o_custkey))
-SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk, round(n::DOUBLE, 6) AS value, n > 0 AS ok FROM o
-UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn_ck / n, 6), coalesce(nn_ck / n = 1.0, false) FROM o
-UNION ALL SELECT 'orders', 'o_orderdate', 'completeness', round(nn_od / n, 6), coalesce(nn_od / n = 1.0, false) FROM o
-UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd_ok / n, 6), coalesce(nd_ok / n = 1.0, false) FROM o
-UNION ALL SELECT 'orders', 'o_orderstatus', 'domain', round(c0 / n, 6), coalesce(c0 / n = 1.0, false) FROM o
-UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c1 / n, 6), coalesce(c1 / n = 1.0, false) FROM o
-UNION ALL SELECT 'lineitem', '*', 'row_count', round(n::DOUBLE, 6), n > 0 FROM l
-UNION ALL SELECT 'lineitem', 'l_quantity', 'completeness', round(nn_q / n, 6), coalesce(nn_q / n = 1.0, false) FROM l
-UNION ALL SELECT 'lineitem', 'l_discount', 'range', round(c0 / n, 6), coalesce(c0 / n = 1.0, false) FROM l
-UNION ALL SELECT 'lineitem', 'l_quantity', 'range', round(c1 / n, 6), coalesce(c1 / n = 1.0, false) FROM l
-UNION ALL SELECT 'lineitem', 'l_extendedprice', 'positive', round(c2 / n, 6), coalesce(c2 / n = 1.0, false) FROM l
-UNION ALL SELECT 'lineitem', 'l_orderkey', 'fk_containment', round(orphans::DOUBLE, 6), orphans = 0 FROM fk_l
-UNION ALL SELECT 'orders', 'o_custkey', 'fk_containment', round(orphans::DOUBLE, 6), orphans = 0 FROM fk_o
+SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk, n::BIGINT AS value, n > 0 AS ok FROM o
+UNION ALL SELECT 'orders', 'o_custkey', 'completeness', ((nn_ck * 1000000) // n)::BIGINT, coalesce(n > 0 AND nn_ck = n, false) FROM o
+UNION ALL SELECT 'orders', 'o_orderdate', 'completeness', ((nn_od * 1000000) // n)::BIGINT, coalesce(n > 0 AND nn_od = n, false) FROM o
+UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', ((nd_ok * 1000000) // n)::BIGINT, coalesce(n > 0 AND nd_ok = n, false) FROM o
+UNION ALL SELECT 'orders', 'o_orderstatus', 'domain', ((c0 * 1000000) // n)::BIGINT, coalesce(n > 0 AND c0 = n, false) FROM o
+UNION ALL SELECT 'orders', 'o_totalprice', 'positive', ((c1 * 1000000) // n)::BIGINT, coalesce(n > 0 AND c1 = n, false) FROM o
+UNION ALL SELECT 'lineitem', '*', 'row_count', n::BIGINT, n > 0 FROM l
+UNION ALL SELECT 'lineitem', 'l_quantity', 'completeness', ((nn_q * 1000000) // n)::BIGINT, coalesce(n > 0 AND nn_q = n, false) FROM l
+UNION ALL SELECT 'lineitem', 'l_discount', 'range', ((c0 * 1000000) // n)::BIGINT, coalesce(n > 0 AND c0 = n, false) FROM l
+UNION ALL SELECT 'lineitem', 'l_quantity', 'range', ((c1 * 1000000) // n)::BIGINT, coalesce(n > 0 AND c1 = n, false) FROM l
+UNION ALL SELECT 'lineitem', 'l_extendedprice', 'positive', ((c2 * 1000000) // n)::BIGINT, coalesce(n > 0 AND c2 = n, false) FROM l
+UNION ALL SELECT 'lineitem', 'l_orderkey', 'fk_containment', orphans::BIGINT, orphans = 0 FROM fk_l
+UNION ALL SELECT 'orders', 'o_custkey', 'fk_containment', orphans::BIGINT, orphans = 0 FROM fk_o
 """
 
 
@@ -268,7 +268,11 @@ def _bpe_chain_ctes(steps: int) -> str:
     parts = [
         f"tok AS (SELECT unnest({TOKS_SQL}) AS word FROM documents)",
         "wf AS (SELECT word AS w, count(*)::BIGINT AS freq FROM tok GROUP BY word)",
-        "w_1 AS (SELECT w AS word, freq, regexp_replace(w, '(.)', ' \\1', 'g') AS sym FROM wf)",
+        # [\s\S], not '.': mirrors operators/tokenizer.py's
+        # _spaced_symbols — Java-dot vs RE2-dot disagree on \r and the
+        # unicode line separators, and the two classes must match
+        "w_1 AS (SELECT w AS word, freq,"
+        " regexp_replace(w, '([\\s\\S])', ' \\1', 'g') AS sym FROM wf)",
     ]
     for i in range(1, steps + 1):
         parts.append(_bpe_pair_cte(f"w_{i}", str(i)))
@@ -385,7 +389,7 @@ def q156_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q156_SQL = f"""
-WITH c AS (SELECT doc_id, 1 + n_chars // {_Q156_UNIT} AS copies FROM documents),
+WITH c AS (SELECT doc_id, greatest(1, 1 + n_chars // {_Q156_UNIT}) AS copies FROM documents),
 tk AS (SELECT doc_id, unnest(range(copies)) AS j FROM c),
 k AS (SELECT doc_id,
              min(md5('{_Q156_SALT}' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))) AS wkey
@@ -579,10 +583,10 @@ SELECT * FROM (
     FROM orders WHERE o_orderkey % {_Q163_BATCHES} = {b}
   )
   SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk,
-         round(n::DOUBLE, 6) AS value, n > 0 AS ok, {b}::BIGINT AS batch_id FROM t
-  UNION ALL SELECT 'orders', 'o_custkey', 'completeness', round(nn / n, 6), coalesce(nn / n = 1.0, false), {b} FROM t
-  UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', round(nd / n, 6), coalesce(nd / n = 1.0, false), {b} FROM t
-  UNION ALL SELECT 'orders', 'o_totalprice', 'positive', round(c0 / n, 6), coalesce(c0 / n = 1.0, false), {b} FROM t
+         n::BIGINT AS value, n > 0 AS ok, {b}::BIGINT AS batch_id FROM t
+  UNION ALL SELECT 'orders', 'o_custkey', 'completeness', ((nn * 1000000) // n)::BIGINT, coalesce(n > 0 AND nn = n, false), {b} FROM t
+  UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', ((nd * 1000000) // n)::BIGINT, coalesce(n > 0 AND nd = n, false), {b} FROM t
+  UNION ALL SELECT 'orders', 'o_totalprice', 'positive', ((c0 * 1000000) // n)::BIGINT, coalesce(n > 0 AND c0 = n, false), {b} FROM t
 )"""
 
 

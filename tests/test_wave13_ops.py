@@ -43,12 +43,12 @@ def test_profile_report_flags_violations(spark):
         compliance=[("s", "domain", F.col("s").isin("A", "B"))],
     )
     m = _report_map(rep)
-    assert m[("t", "*", "row_count")] == (3.0, True)
-    # 2 of 3 non-null
-    assert m[("t", "v", "completeness")] == (round(2 / 3, 6), False)
+    assert m[("t", "*", "row_count")] == (3, True)
+    # 2 of 3 non-null, in integer ppm: floor(2e6 / 3)
+    assert m[("t", "v", "completeness")] == (666666, False)
     # 2 distinct of 3
-    assert m[("t", "k", "uniqueness")] == (round(2 / 3, 6), False)
-    assert m[("t", "s", "domain")] == (round(2 / 3, 6), False)
+    assert m[("t", "k", "uniqueness")] == (666666, False)
+    assert m[("t", "s", "domain")] == (666666, False)
 
 
 def test_profile_report_null_predicate_is_noncompliant(spark):
@@ -58,7 +58,7 @@ def test_profile_report_null_predicate_is_noncompliant(spark):
     )
     m = _report_map(rep)
     # NULL can't prove compliance -> counts against the fraction
-    assert m[("t", "x", "positive")] == (0.5, False)
+    assert m[("t", "x", "positive")] == (500000, False)
 
 
 def test_profile_report_single_job(spark):
@@ -81,7 +81,7 @@ def test_fk_containment_counts_orphans(spark):
     parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
     rep = profiling.fk_containment_report(child, "c", "fk", parent, "pk")
     m = _report_map(rep)
-    assert m[("c", "fk", "fk_containment")] == (1.0, False)
+    assert m[("c", "fk", "fk_containment")] == (1, False)
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +311,7 @@ def test_profile_report_fail_closed_on_empty_table(spark):
         compliance=[("v", "positive", F.col("v") > 0)],
     )
     m = _report_map(rep)
-    assert m[("t", "*", "row_count")] == (0.0, False)
+    assert m[("t", "*", "row_count")] == (0, False)
     # fractions are undefined (NULL value) but ok must be FALSE, not
     # NULL — a check that can't prove itself has failed
     for key in (("t", "v", "completeness"), ("t", "k", "uniqueness"), ("t", "v", "positive")):
