@@ -1591,6 +1591,13 @@ def diagonal_spans(
     )
 
 
+#: auto-dispatch threshold for :func:`boundary_stitch_pairs`' anchor
+#: broadcast — 50M one-row-per-doc anchors ≈ 1.7 GB (33 bytes/row),
+#: comfortably inside Spark's 8 GB broadcast-table ceiling with margin
+#: for the driver's copy; above it the probe joins shuffled
+ANCHOR_BROADCAST_MAX_DOCS = 50_000_000
+
+
 def boundary_stitch_pairs(
     docs: DataFrame,
     id_col: str,
@@ -1600,7 +1607,8 @@ def boundary_stitch_pairs(
     min_overlap: int = 8,
     max_df: int | None = None,
     materialize_mode: str = "eager",
-    broadcast_anchors: bool = True,
+    broadcast_anchors: bool | None = None,
+    approx_docs: int | None = None,
 ) -> DataFrame:
     """Crawl-shard boundary stitches: ordered pairs where the LEFT
     document's token suffix equals the RIGHT document's token prefix —
@@ -1622,17 +1630,27 @@ def boundary_stitch_pairs(
     text can verify several anchors).
 
     Scale shape: the anchor side is ONE row per document — broadcast
-    by default — so the corpus gram postings are scanned once and
-    map-side probed, never shuffled; verification joins token arrays
-    only for anchor docs (left-semi before the array is shipped).
-    NOTE the broadcast is ``|docs|``-bounded (33 bytes/row: one md5 +
-    one id), NOT candidate-bounded like ``tf_cosine_join``'s
+    below the auto threshold — so the corpus gram postings are scanned
+    once and map-side probed, never shuffled; verification joins token
+    arrays only for anchor docs (left-semi before the array is
+    shipped).  NOTE the broadcast is ``|docs|``-bounded (33 bytes/row:
+    one md5 + one id), NOT candidate-bounded like ``tf_cosine_join``'s
     ``cand_docs`` — fine to ~10^8 docs per corpus shard, but a
     billions-of-docs single frame would exceed Spark's 8 GB
-    broadcast-table limit; pass ``broadcast_anchors=False`` there to
-    fall back to a shuffled (sort-merge) probe join, which keeps the
-    same one-pass-over-postings property at the cost of one shuffle
-    of the postings keyed by gram.  The tokenized base
+    broadcast-table limit.  The join strategy is therefore
+    SIZE-DISPATCHED (the ``exact_dup_groups_auto`` idiom, r13 review —
+    a manual flag default was a silent driver-memory cliff): the doc
+    count comes from ``approx_docs`` when the caller has it (parquet
+    footer metadata — a driver-side millisecond read, no job) and
+    otherwise from one column-pruned ``count()``; at or below
+    :data:`ANCHOR_BROADCAST_MAX_DOCS` the anchors broadcast, above it
+    the probe falls back to a shuffled (sort-merge) join, which keeps
+    the same one-pass-over-postings property at the cost of one
+    shuffle of the postings keyed by gram.  The hint steers PLAN
+    choice only — an inaccurate count costs performance, never
+    correctness (both joins produce identical pairs).
+    ``broadcast_anchors`` remains as an explicit override
+    (``True``/``False``); ``None`` means auto.  The tokenized base
     frame is materialized ONCE (policy per ``materialize_mode``): it
     feeds the postings, the anchors and both verification sides, and
     every consumer above it is shuffle-free map work (explode + md5 +
@@ -1655,6 +1673,13 @@ def boundary_stitch_pairs(
         raise ValueError(
             f"min_overlap={min_overlap} below the anchor gram size k={k}"
         )
+    if broadcast_anchors is None:
+        n_docs = (
+            approx_docs
+            if approx_docs is not None
+            else docs.select(F.col(id_col)).count()
+        )
+        broadcast_anchors = n_docs <= ANCHOR_BROADCAST_MAX_DOCS
     base = materialize(
         fan_out(docs.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(F.col(id_col).alias("__id"), TX.tokens(text_col).alias("__t"))
@@ -1727,6 +1752,7 @@ def stitch_merge(
     min_overlap: int = 8,
     max_df: int | None = None,
     materialize_mode: str = "eager",
+    approx_docs: int | None = None,
 ) -> DataFrame:
     """Repair the stitches :func:`boundary_stitch_pairs` names: merge
     each UNAMBIGUOUS stitched record pair back into its logical page —
@@ -1759,6 +1785,7 @@ def stitch_merge(
         min_overlap=min_overlap,
         max_df=max_df,
         materialize_mode=materialize_mode,
+        approx_docs=approx_docs,
     )
     st = materialize(st, materialize_mode)
     lu = (

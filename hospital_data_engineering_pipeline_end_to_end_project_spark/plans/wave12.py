@@ -79,7 +79,10 @@ from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave11 im
     TOKS_SQL,
 )
 from hospital_data_engineering_pipeline_end_to_end_project_spark.scratch import scratch_path
-from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import (
+    load_table,
+    parquet_row_count,
+)
 from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import (
     lsh_index,
     shardstore,
@@ -666,12 +669,23 @@ def _q150_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q150_approx_records(sf_dir: str) -> int | None:
+    """Record-count hint for the stitch operators' anchor-broadcast
+    dispatch: the synthesis emits at most 2 records per document, and
+    the document count is a driver-side parquet-footer read — no job.
+    Plan-choice only; ``None`` (non-parquet input) falls back to the
+    operator's own count probe."""
+    n = parquet_row_count(sf_dir, "documents")
+    return None if n is None else 2 * n
+
+
 def q150_boundary_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
 
     return dedupe.boundary_stitch_pairs(
         _q150_records(spark, sf_dir), "doc_id", "text",
         k=_Q150_K, min_overlap=_Q150_MIN, max_df=_MEDIA_MAX_DF,
+        approx_docs=_q150_approx_records(sf_dir),
     )
 
 
@@ -756,6 +770,7 @@ def q151_stitch_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.stitch_merge(
         records, "doc_id", "text",
         k=_Q150_K, min_overlap=_Q150_MIN, max_df=_MEDIA_MAX_DF,
+        approx_docs=_q150_approx_records(sf_dir),
     )
 
 

@@ -173,3 +173,34 @@ def test_stitch_merge_excludes_chain_middles(spark):
         for r in dedupe.stitch_merge(docs, "doc_id", "text", k=4, min_overlap=8).collect()
     }
     assert got == {(8, 9)}
+
+
+def test_anchor_join_auto_routes_on_doc_count(spark):
+    """r13 review: the anchor broadcast is size-dispatched, not a
+    manual flag — below ANCHOR_BROADCAST_MAX_DOCS the anchor probe is
+    a BroadcastHashJoin, above it the initial plan holds no broadcast
+    hint (shuffled probe), and both routes name identical stitches."""
+    ov = [f"o{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([f"a{i}" for i in range(8)] + ov)),
+            (2, " ".join(ov + [f"b{i}" for i in range(8)])),
+            (4, " ".join(f"d{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    small = dedupe.boundary_stitch_pairs(
+        docs, "doc_id", "text", k=4, min_overlap=8, approx_docs=3
+    )
+    p_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_small
+    big = dedupe.boundary_stitch_pairs(
+        docs, "doc_id", "text", k=4, min_overlap=8,
+        approx_docs=dedupe.ANCHOR_BROADCAST_MAX_DOCS + 1,
+    )
+    # initial (pre-AQE) plan: the hint is absent, so the anchor probe
+    # plans as a shuffled join — AQE may still localize it at runtime
+    # on toy data, which is exactly the desired behavior
+    p_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p_big
+    assert _pairs(small) == _pairs(big) == {(1, 2): 10}
