@@ -1320,7 +1320,12 @@ def tf_cosine_join(
     reads the term frame SEMI-PRUNED to candidate docs — the inner
     probe joins restrict to candidates anyway, so output is identical
     by construction, but the prune keeps the shuffled frame bounded
-    by candidates' terms instead of the whole corpus vocabulary.
+    by candidates' terms instead of the whole corpus vocabulary; and
+    the whole capped path keys its joins on ``xxhash64(term)`` rather
+    than the gram string, so every exchange moves fixed-width
+    ``(long, long, long)`` rows (see the in-code collision analysis —
+    a false match needs a 64-bit collision INSIDE one candidate
+    pair's shared vocabulary).
 
     Returns ``doc_a < doc_b, dot, norm2_a, norm2_b, cosine``.
     """
@@ -1359,10 +1364,32 @@ def tf_cosine_join(
     else:
         # capped path: candidates from the CAPPED postings only, then
         # S recomputed over ALL shared terms of each candidate pair —
-        # the q133 two-stage shape that keeps surviving scores exact
-        dfreq = cnt.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+        # the q133 two-stage shape that keeps surviving scores exact.
+        #
+        # IDS-ONLY SHUFFLE (r13 review's one weak item): every join
+        # below keys on the term, and at the 100x single-node
+        # measurement the capped verification legitimately shuffled
+        # candidate docs' FULL postings (~0.56 GB per sf0.1 copy,
+        # disk-bound) — dominated by the n-gram STRING column (~20-30
+        # bytes vs 8 for the count).  So the capped path re-keys the
+        # materialized count frame on xxhash64(term) once (a narrow
+        # map, no shuffle) and every downstream exchange moves
+        # (long, long, long) rows — the r6 LSH ids-only rework
+        # applied to the verification join.  Equality on the 64-bit
+        # hash stands in for term equality: a false S contribution
+        # needs two DISTINCT grams with the SAME xxhash64 inside ONE
+        # candidate pair — for a per-pair shared vocabulary of v
+        # grams that is ~v^2/2^65 (v = 10^4 -> ~5e-12), and the
+        # corpus-wide birthday bound stays ~n^2/2^65 (vocab 10^6 ->
+        # ~3e-8).  The uncapped path keeps exact string terms: it is
+        # the gate-checked q140 headline and its single postings join
+        # has no re-probe to amortize the hashing against.
+        hid = cnt.select(
+            "__doc", F.xxhash64("__t").alias("__t"), "__c"
+        )
+        dfreq = hid.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
         keep = dfreq.filter(F.col("__df") <= max_df).select("__t")
-        gen = cnt.join(keep, "__t", "left_semi")
+        gen = hid.join(keep, "__t", "left_semi")
         cand = (
             gen.alias("a")
             .join(gen.alias("b"), "__t")
@@ -1393,12 +1420,12 @@ def tf_cosine_join(
             (F.col("__df") >= 2) & (F.col("__df") <= max_df)
         ).select("__t")
         cand_docs = materialize(
-            cnt.join(pairable, "__t", "left_semi").select("__doc").distinct()
+            hid.join(pairable, "__t", "left_semi").select("__doc").distinct()
         )
-        probe_a = cnt.join(
+        probe_a = hid.join(
             F.broadcast(cand_docs), "__doc", "left_semi"
         ).select(F.col("__doc").alias("doc_a"), "__t", F.col("__c").alias("__ca"))
-        probe_b = cnt.join(
+        probe_b = hid.join(
             F.broadcast(cand_docs), "__doc", "left_semi"
         ).select(F.col("__doc").alias("doc_b"), "__t", F.col("__c").alias("__cb"))
         dot = (

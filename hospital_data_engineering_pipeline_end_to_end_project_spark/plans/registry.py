@@ -47,6 +47,7 @@ def _modules():
     # in every pytest run.
     mods = []
     for name in (
+        "wave14",
         "wave13",
         "wave12",
         "wave11",
@@ -213,57 +214,87 @@ def _modules():
 #: catalog stays attested end-to-end by tests/test_oracle_parity.py
 #: at sf0.001 and the 50-window at sf0.01 by
 #: tests/test_gate_scale_parity.py in every pytest run.
+#: ROUND 14 window (exactly 50 names), executing the r13 verdict's
+#: rotation plan verbatim:
+#:   1. the 28 r10-vintage rows FIRST (q45, q50, q53-q57, q62-q69,
+#:      q71-q78, q80-q82, q91, q92) — the only rows that would be
+#:      three-plus rounds old (displaced by the r13 arrivals; the
+#:      one-round debt closes here);
+#:   2. the r14 arrivals, in-window on arrival: the TPC-H
+#:      decorrelation tail q168 (Q13 custdist left-outer count) /
+#:      q169 (Q17 correlated-avg small-quantity revenue) / q170 (Q20
+#:      nested-semi excess shippers) / q171 (Q22 anti-join + scalar
+#:      avg dormant balances), plus the later wave-2 arrivals
+#:      (inserted here when they land);
+#:   3. every query whose backing code changed in r14: q153/q163
+#:      (integer-ppm DQ report values — the r13 float-rounding
+#:      advisory), q154/q158/q159 (the [\s\S] symbolizer class),
+#:      q156 (oracle-side ticket clamp mirror), q167 (broadcast hint
+#:      dropped for AQE choice), q150/q151 (size-dispatched anchor
+#:      broadcast), q140 (capped-path ids-only postings shuffle),
+#:      q147/q149 (audio feature-store + bench attribution work);
+#:   4. remaining slots filled with the OLDEST r11-vintage rows
+#:      (q02-q07) — the r11 window (48 rows) ages to three rounds
+#:      old after this round and its remainder is the R15 PIN DEBT.
+#: After this round the freshest-row ledger reads: 50 r14 + 42 r11
+#: (q08-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
+#: q58-q60, q133, q137-q139, q141-q143) + everything else r12/r13.
+#: R15 ROTATION PLAN: pin those 42 r11 rows first, then r15-changed
+#: code + new arrivals, then the aging r12 window.  The full catalog
+#: stays attested end-to-end by tests/test_oracle_parity.py at
+#: sf0.001 and the 50-window at sf0.01 by
+#: tests/test_gate_scale_parity.py in every pytest run.
 _GATE_FRONT = (
-    "q46_top_words_per_lang",
-    "q49_sketch_stats",
-    "q96_source_divergence",
-    "q97_novelty_filter",
-    "q98_audio_frame_energy",
-    "q99_triangle_counts",
-    "q152_ivf_index_served_topk",
-    "q153_dq_report",
-    "q154_bpe_merge_steps",
-    "q155_snapshot_diff",
-    "q156_weighted_sample",
-    "q157_hits_supplier_part",
-    "q158_bpe_compression",
-    "q159_bpe_from_vocab_index",
-    "q160_volume_shipping",
-    "q161_market_share",
-    "q162_product_profit",
-    "q163_dq_history",
-    "q164_source_overlap_matrix",
-    "q165_local_supplier_volume",
-    "q166_promo_revenue_share",
-    "q167_large_volume_customers",
-    "q144_lsh_index_served_join",
-    "q145_span_index_served_join",
+    "q45_csv_roundtrip",
+    "q50_hash_split",
+    "q53_chunk_documents",
+    "q54_tfidf_top_terms",
+    "q55_decontaminate",
+    "q56_repetition_stats",
+    "q57_pii_scrub",
+    "q62_skew_salted_counts",
+    "q63_stratified_sample",
+    "q64_group_percentiles",
+    "q65_corr_stats",
+    "q66_unpivot_part",
+    "q67_grouping_sets",
+    "q68_orc_roundtrip",
+    "q69_session_windows",
+    "q71_embedding_centroids",
+    "q72_window_suite",
+    "q73_gap_fill_months",
+    "q74_fuzzy_name_pairs",
+    "q75_rolling_revenue",
+    "q76_price_histogram",
+    "q77_revenue_share",
+    "q78_dynamic_pivot",
+    "q80_salted_join_agg",
+    "q81_bag_set_ops",
+    "q82_outer_explode",
+    "q91_event_funnel",
+    "q92_retention_cohorts",
+    "q168_custdist",
+    "q169_small_quantity_revenue",
+    "q170_excess_shippers",
+    "q171_dormant_balances",
+    "q140_tf_cosine_join",
     "q147_audio_segment_pairs",
-    "q148_video_scene_pairs",
     "q149_dhash_index_served_join",
     "q150_boundary_stitch",
     "q151_stitch_repair",
-    "q90_zorder_roundtrip",
-    "q01_pricing_summary",
-    "q109_pq_adc_topk",
-    "q110_ivf_pq_topk",
-    "q114_power_iteration_pc",
-    "q116_pca_project",
-    "q120_bloom_semi_join",
-    "q124_token_budget_mix",
-    "q126_hamming_rerank_topk",
-    "q127_bigram_fluency",
-    "q128_label_propagation",
-    "q129_reservoir_sample",
-    "q130_url_dedup",
-    "q131_ann_recall_eval",
-    "q132_cusum_drift",
-    "q134_source_calibration",
-    "q135_token_gini",
-    "q136_cluster_keepers",
-    "q42_group_mean_deviation",
-    "q43_regex_token_count",
-    "q44_range_source",
+    "q153_dq_report",
+    "q154_bpe_merge_steps",
+    "q156_weighted_sample",
+    "q158_bpe_compression",
+    "q159_bpe_from_vocab_index",
+    "q163_dq_history",
+    "q167_large_volume_customers",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_star_join",
+    "q05_dedupe_exact",
+    "q06_latest_event_per_user",
+    "q07_cleanse_cast",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -281,12 +312,7 @@ _GATE_FRONT = (
 #: partition the catalog, so a forgotten entry fails the suite
 #: instead of silently reordering.
 _GATE_BACK = (
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_star_join",
-    "q05_dedupe_exact",
-    "q06_latest_event_per_user",
-    "q07_cleanse_cast",
+    "q01_pricing_summary",
     "q08_date_dim",
     "q09_word_count",
     "q100_cheapest_regional_supplier",
@@ -298,32 +324,59 @@ _GATE_BACK = (
     "q106_sketch_overlap",
     "q107_contamination_scrub",
     "q108_shuffled_export",
+    "q109_pq_adc_topk",
     "q10_scd2_orders",
+    "q110_ivf_pq_topk",
     "q111_int8_sdc_topk",
     "q112_quantile_sketches",
     "q113_time_weighted_avg",
+    "q114_power_iteration_pc",
     "q115_ols_trend",
+    "q116_pca_project",
     "q117_robust_outliers",
     "q118_binary_hamming_topk",
     "q119_jl_projection",
     "q11_monthly_revenue",
+    "q120_bloom_semi_join",
     "q121_copurchase_lift",
     "q122_countmin_heavy",
     "q123_pagerank",
+    "q124_token_budget_mix",
     "q125_salted_topk",
+    "q126_hamming_rerank_topk",
+    "q127_bigram_fluency",
+    "q128_label_propagation",
+    "q129_reservoir_sample",
     "q12_events_month_type",
+    "q130_url_dedup",
+    "q131_ann_recall_eval",
+    "q132_cusum_drift",
     "q133_prefix_jaccard_join",
+    "q134_source_calibration",
+    "q135_token_gini",
+    "q136_cluster_keepers",
     "q137_winnowing_fingerprints",
     "q138_winnowing_pairs",
     "q139_lsh_incremental_join",
     "q13_running_user_totals",
-    "q140_tf_cosine_join",
     "q141_incremental_labels",
     "q142_leakage_free_split",
     "q143_repeated_spans",
+    "q144_lsh_index_served_join",
+    "q145_span_index_served_join",
     "q146_image_dhash_pairs",
+    "q148_video_scene_pairs",
     "q14_hourly_event_window",
+    "q152_ivf_index_served_topk",
+    "q155_snapshot_diff",
+    "q157_hits_supplier_part",
     "q15_customers_without_orders",
+    "q160_volume_shipping",
+    "q161_market_share",
+    "q162_product_profit",
+    "q164_source_overlap_matrix",
+    "q165_local_supplier_volume",
+    "q166_promo_revenue_share",
     "q16_active_customers_by_segment",
     "q17_acctbal_rollup",
     "q18_returnflag_pivot",
@@ -350,42 +403,21 @@ _GATE_BACK = (
     "q39_percentiles",
     "q40_hospital_medallion_e2e",
     "q41_catalog_ctas",
-    "q45_csv_roundtrip",
+    "q42_group_mean_deviation",
+    "q43_regex_token_count",
+    "q44_range_source",
+    "q46_top_words_per_lang",
     "q47_json_extract",
-    "q50_hash_split",
     "q48_ivf_topk",
+    "q49_sketch_stats",
     "q51_group_cap",
     "q52_pack_sequences",
-    "q53_chunk_documents",
-    "q54_tfidf_top_terms",
-    "q55_decontaminate",
-    "q56_repetition_stats",
-    "q57_pii_scrub",
     "q58_quantize_embeddings",
     "q59_pit_join",
     "q60_cdc_orders",
     "q61_dup_clusters",
-    "q62_skew_salted_counts",
-    "q63_stratified_sample",
-    "q64_group_percentiles",
-    "q65_corr_stats",
-    "q66_unpivot_part",
-    "q67_grouping_sets",
-    "q68_orc_roundtrip",
-    "q69_session_windows",
     "q70_dedup_canonical",
-    "q71_embedding_centroids",
-    "q72_window_suite",
-    "q73_gap_fill_months",
-    "q74_fuzzy_name_pairs",
-    "q75_rolling_revenue",
-    "q76_price_histogram",
-    "q77_revenue_share",
-    "q78_dynamic_pivot",
     "q79_corpus_prep_pipeline",
-    "q80_salted_join_agg",
-    "q81_bag_set_ops",
-    "q82_outer_explode",
     "q83_cluster_sizes",
     "q84_decoded_media",
     "q85_image_header_decode",
@@ -393,11 +425,14 @@ _GATE_BACK = (
     "q87_bm25_topk",
     "q88_semantic_dedup",
     "q89_quality_filter",
-    "q91_event_funnel",
-    "q92_retention_cohorts",
+    "q90_zorder_roundtrip",
     "q93_multi_signal_clusters",
     "q94_temperature_resample",
     "q95_boilerplate_stats",
+    "q96_source_divergence",
+    "q97_novelty_filter",
+    "q98_audio_frame_energy",
+    "q99_triangle_counts",
 )
 
 

@@ -1,0 +1,339 @@
+"""Round-14 query wave (q168-q171 + the DQ anomaly gate / audio
+feature-store arrivals).
+
+q168-q171 complete the decorrelated-subquery grammar the relational
+tail has been building (q100/q101 round 8, q160-q167 round 13) — the
+four remaining classic TPC-H shapes, each rewritten as aggregates and
+joins with NO per-row subquery, and each following the measured plan
+rule "never let two facts meet in a shuffle before every selective
+broadcast prune has run":
+
+- q168 (Q13 custdist): left-outer count — orders pre-aggregated to a
+  per-customer count BEFORE the outer join, so the join moves two
+  customer-sized frames, never raw orders.
+- q169 (Q17 small-quantity revenue): correlated AVG — per-part mean
+  quantity decorrelated into one grouped sum/count over the
+  part-pruned fact, threshold tested by integer cross-multiplication
+  (``5 * q * cnt < sum_q``), revenue in exact integer cents.
+- q170 (Q20 nested semi): the two-level IN — per (supplier, part)
+  window/total quantities in ONE conditional aggregate over the
+  doubly-pruned fact, excess-stock test ``2 * window > total`` in
+  integers, survivors semi-joined back to suppliers.
+- q171 (Q22 anti + scalar avg): the positive-balance average is a
+  one-row broadcast cross join (the accepted BNLJ idiom), the
+  balance comparison is exact cents-vs-(sum, count) cross
+  multiplication, and "dormant" (no orders since a cutoff — the
+  synthetic history covers every customer, so the literal
+  never-ordered set is empty) is a left-anti join against the
+  distinct custkeys of the date-pruned fact.
+
+The shipped schema has no partsupp / no c_phone / no o_comment, so
+the reference predicates adapt (documented per query) while the
+SHAPES — the part the optimizer grammar cares about — are faithful.
+Money stays exact: prices/balances are 2-decimal and quantities
+integral on every SF (verified r13), so cents / integer counts make
+every oracle comparison arithmetic identity, never a float round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.materialize import materialize
+from hospital_data_engineering_pipeline_end_to_end_project_spark.sources.readers import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# q168 — TPC-H Q13 shape: customer distribution by order count
+# ---------------------------------------------------------------------------
+
+#: Q13's o_comment NOT LIKE filter adapted to the shipped schema: the
+#: excluded-order predicate is on priority instead
+Q168_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q168_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders
+    (excluding one priority class) — the left-outer COUNT that makes
+    naive engines join raw orders to customers.  Decorrelated: orders
+    collapse to a per-customer count FIRST (map-side-combinable, fact
+    -> |customers| rows), the left join then moves two customer-sized
+    frames, and zero-order customers surface via coalesce(count, 0).
+    Integer end-to-end."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != Q168_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("__c"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+Q168_SQL = f"""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT coalesce(c, 0)::BIGINT AS c_count
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, count(*)::BIGINT AS c
+    FROM orders WHERE o_orderpriority <> '{Q168_EXCLUDED_PRIORITY}'
+    GROUP BY o_custkey
+  ) ON c_custkey = o_custkey
+)
+GROUP BY c_count
+"""
+
+QUERIES["q168_custdist"] = q168_custdist
+ORACLES["q168_custdist"] = Q168_SQL
+
+
+# ---------------------------------------------------------------------------
+# q169 — TPC-H Q17 shape: small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+Q169_PART_TYPE = "PROMO"
+
+
+def q169_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in line items whose quantity is
+    below 20% of the part's average order quantity (the correlated-AVG
+    subquery), reported per brand over one part type.
+
+    Decorrelation + plan discipline: the fact is pruned FIRST by the
+    broadcast part filter; the per-part (sum, count) aggregate and the
+    join-back both read that pruned frame, which is materialized once
+    (a frame consumed twice must be, or AQE's broadcast rewrite drops
+    the ReusedExchange and the prune runs twice).  The 0.2 * avg
+    threshold is tested as ``5 * qty * cnt < sum_qty`` — pure int64
+    (quantities integral, counts bounded), no division — and revenue
+    is summed in exact integer cents.  The per-part stats frame is
+    |parts|-bounded; AQE broadcasts it when it fits (no forced hint —
+    the q167 lesson)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    parts = part.filter(F.col("p_type") == Q169_PART_TYPE).select(
+        "p_partkey", "p_brand"
+    )
+    q_i = F.round(F.col("l_quantity")).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    lif = materialize(
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).select(
+            "p_partkey", "p_brand", q_i.alias("__q"), ep_c.alias("__ep")
+        )
+    )
+    stats = (
+        lif.groupBy(F.col("p_partkey").alias("__pk"))
+        .agg(
+            F.sum("__q").cast("long").alias("__sum_q"),
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+        )
+    )
+    return (
+        lif.join(stats, lif.p_partkey == stats.__pk)
+        .filter(F.lit(5) * F.col("__q") * F.col("__cnt") < F.col("__sum_q"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum("__ep").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+Q169_SQL = f"""
+WITH lif AS (
+  SELECT p_partkey, p_brand,
+         cast(round(l_quantity) AS BIGINT) AS q,
+         cast(round(l_extendedprice * 100) AS BIGINT) AS ep
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q169_PART_TYPE}'
+),
+stats AS (
+  SELECT p_partkey AS pk, sum(q)::BIGINT AS sum_q, count(*)::BIGINT AS cnt
+  FROM lif GROUP BY p_partkey
+)
+SELECT p_brand, sum(ep)::BIGINT AS revenue_cents, count(*)::BIGINT AS n_small
+FROM lif JOIN stats ON p_partkey = pk
+WHERE 5 * q * cnt < sum_q
+GROUP BY p_brand
+"""
+
+QUERIES["q169_small_quantity_revenue"] = q169_small_quantity_revenue
+ORACLES["q169_small_quantity_revenue"] = Q169_SQL
+
+
+# ---------------------------------------------------------------------------
+# q170 — TPC-H Q20 shape: suppliers with excess window share
+# ---------------------------------------------------------------------------
+
+Q170_PART_PREFIX = "small"
+Q170_YEAR = 1996
+Q170_MAX_NATION = 5  # nations 0..4 — Q20's single-nation filter, widened
+
+
+def q170_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested semi — suppliers (from a nation
+    set) holding a (supplier, part) lane on name-matched parts whose
+    {Q170_YEAR} shipped quantity exceeds HALF the lane's all-time
+    shipped quantity (the shipped schema has no partsupp, so Q20's
+    ``availqty > 0.5 * sum(qty)`` becomes a window-vs-total share on
+    the same nested-aggregate skeleton).
+
+    Plan: the fact is pruned by BOTH broadcast dimensions (nation-set
+    suppliers, name-prefix parts) before any aggregation; the window
+    and total quantities ride ONE conditional groupBy (no second scan
+    for the correlated total); the excess test is integer
+    ``2 * win > tot``; the surviving supplier keys collapse to a
+    distinct set that semi-joins supplier — three broadcasts, one
+    fact aggregate, zero fact-fact shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    supp = supplier.filter(F.col("s_nationkey") < Q170_MAX_NATION).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    parts = part.filter(F.col("p_name").like(f"{Q170_PART_PREFIX}%")).select(
+        "p_partkey"
+    )
+    q_i = F.round(F.col("l_quantity")).cast("long")
+    in_win = F.year(F.col("l_shipdate")) == Q170_YEAR
+    lanes = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .join(
+            F.broadcast(supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_win, q_i).otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias("__win"),
+            F.sum(q_i).cast("long").alias("__tot"),
+        )
+        .filter(F.lit(2) * F.col("__win") > F.col("__tot"))
+    )
+    keys = lanes.select("l_suppkey").distinct()
+    return (
+        supp.join(keys, supp.s_suppkey == keys.l_suppkey, "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        )
+    )
+
+
+Q170_SQL = f"""
+WITH lanes AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN year(l_shipdate) = {Q170_YEAR}
+                  THEN cast(round(l_quantity) AS BIGINT) ELSE 0 END) AS win,
+         sum(cast(round(l_quantity) AS BIGINT)) AS tot
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '{Q170_PART_PREFIX}%')
+    AND l_suppkey IN (SELECT s_suppkey FROM supplier
+                      WHERE s_nationkey < {Q170_MAX_NATION})
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lanes WHERE 2 * win > tot)
+"""
+
+QUERIES["q170_excess_shippers"] = q170_excess_shippers
+ORACLES["q170_excess_shippers"] = Q170_SQL
+
+
+# ---------------------------------------------------------------------------
+# q171 — TPC-H Q22 shape: dormant high-balance customers
+# ---------------------------------------------------------------------------
+
+#: Q22's phone-country-code set adapted to nation keys
+Q171_NATIONS = (1, 3, 5, 7, 9)
+
+#: the synthetic order history covers every customer, so Q22's
+#: literal "never ordered" is empty at every SF — dormant means no
+#: order SINCE this cutoff (the anti-join shape is identical, with a
+#: pushed-down date filter pruning the fact before its distinct)
+Q171_SINCE = "2000-01-01"
+
+
+def q171_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers from a nation set whose balance
+    beats the positive-balance AVERAGE of that set and who placed no
+    order since the cutoff — the anti-join + scalar-subquery pair.
+
+    The scalar average is decorrelated into a one-row (sum_cents, n)
+    aggregate broadcast as a cross join (the accepted BNLJ idiom);
+    the comparison ``balance > avg`` is exact integer cross
+    multiplication ``cents * n > sum_cents`` — no division, no float.
+    "Dormant" is a left-anti join against the DISTINCT custkeys of
+    date-filtered orders: the filter pushes to the parquet scan, the
+    distinct collapses the surviving fact on the same hash key the
+    anti join shuffles on (the extra exchange is reused, not added).
+    Output per nation: count + total balance in cents."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = customer.filter(
+        F.col("c_nationkey").isin(*Q171_NATIONS)
+    ).select("c_custkey", "c_nationkey", cents.alias("__bal"))
+    avg1 = cust.filter(F.col("__bal") > 0).agg(
+        F.sum("__bal").cast("long").alias("__sum"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    rich = cust.join(F.broadcast(avg1)).filter(
+        F.col("__bal") * F.col("__n") > F.col("__sum")
+    )
+    dormant = rich.join(
+        orders.filter(F.col("o_orderdate") >= F.lit(Q171_SINCE).cast("timestamp"))
+        .select("o_custkey")
+        .distinct(),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return dormant.groupBy(
+        F.col("c_nationkey").cast("long").alias("c_nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("__bal").cast("long").alias("totacctbal_cents"),
+    )
+
+
+Q171_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         cast(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer WHERE c_nationkey IN {Q171_NATIONS}
+),
+avg1 AS (
+  SELECT sum(bal)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM cust WHERE bal > 0
+)
+SELECT c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS numcust,
+       sum(bal)::BIGINT AS totacctbal_cents
+FROM cust, avg1
+WHERE bal * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{Q171_SINCE}')
+GROUP BY c_nationkey
+"""
+
+QUERIES["q171_dormant_balances"] = q171_dormant_balances
+ORACLES["q171_dormant_balances"] = Q171_SQL

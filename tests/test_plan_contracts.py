@@ -73,6 +73,10 @@ BNLJ_ALLOWED = {
     # HITS: the per-half-step L1 normalizer (a one-row sum aggregate)
     # broadcast-cross joins back into the node frame — same idiom
     "q157_hits_supplier_part",
+    # Q22 shape: the positive-balance (sum, count) scalar (one row)
+    # broadcast-cross joins into the nation-filtered customers —
+    # 1-row idiom like q77/q121
+    "q171_dormant_balances",
 }
 
 
