@@ -165,3 +165,84 @@ def fk_containment_report(
             )
         ],
     )
+
+
+def dq_anomaly_gate(
+    history: DataFrame,
+    k: int = 3,
+    min_dev: int = 1000,
+) -> DataFrame:
+    """Anomaly verdicts over a per-batch constraint-report series —
+    the Deequ anomaly-check tier on top of the monitor store: a batch
+    whose metric deviates more than ``k`` MADs from the series median
+    is flagged (median/MAD, not mean/stddev, so one bad batch cannot
+    drag its own acceptance region after it).
+
+    Everything is INTEGER, so the verdict replays bit-exactly:
+
+    - metric values arrive as the report's BIGINT units (ppm
+      fractions / raw counts);
+    - the median is the DISCRETE lower median — the row at
+      ``(n - 1) div 2 + 1`` under the total order ``(value,
+      batch_id)`` — a data value, never an interpolated float;
+    - the MAD is the same selection over ``|value - median|``;
+    - the flag is ``dev > greatest(k * mad, min_dev)``.  The
+      ``min_dev`` floor keeps a near-constant series (mad = 0 or
+      tiny) from flagging benign jitter: a row_count that wobbles by
+      a few rows, a completeness a few ppm off — Deequ's absolute
+      tolerance knob expressed in the report's integer units.
+
+    Scale shape: the history is METRICS-sized by construction
+    (batches x checks — the monitor sink writes O(checks) rows per
+    batch regardless of batch volume), so the per-metric window sorts
+    partition on (tbl, col, chk) with at most #batches rows each;
+    the median/MAD frames broadcast back.  Nothing here ever touches
+    the monitored data itself.
+
+    Returns ``(tbl, col, chk, batch_id, value, med, mad,
+    is_anomaly)`` — the full annotated series, one verdict per stored
+    report row.  Rows with NULL value (empty-batch fractions) are
+    excluded from both the statistics and the output: an
+    undefined metric has its own fail-closed ``ok = false`` in the
+    report; the anomaly tier judges only measured values.
+    """
+    from pyspark.sql.window import Window
+
+    g = ["tbl", "col", "chk"]
+    h = history.filter(F.col("value").isNotNull()).select(
+        *g, F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("value").cast("long").alias("value"),
+    )
+    wn = Window.partitionBy(*g)
+
+    def _lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        wv = Window.partitionBy(*g).orderBy(F.col(val), F.col("batch_id"))
+        return (
+            df.withColumn("__rn", F.row_number().over(wv))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("__rn") == F.floor((F.col("__n") - 1) / 2) + 1)
+            .select(*g, F.col(val).alias(out))
+        )
+
+    med = _lower_median(h, "value", "med")
+    dev = h.join(F.broadcast(med), g).withColumn(
+        "__dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _lower_median(dev, "__dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), g)
+        .select(
+            *g,
+            "batch_id",
+            "value",
+            "med",
+            "mad",
+            (
+                F.col("__dev")
+                > F.greatest(
+                    F.lit(int(k)).cast("long") * F.col("mad"),
+                    F.lit(int(min_dev)).cast("long"),
+                )
+            ).alias("is_anomaly"),
+        )
+    )

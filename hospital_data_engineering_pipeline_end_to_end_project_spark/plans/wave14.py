@@ -337,3 +337,120 @@ GROUP BY c_nationkey
 
 QUERIES["q171_dormant_balances"] = q171_dormant_balances
 ORACLES["q171_dormant_balances"] = Q171_SQL
+
+
+# ---------------------------------------------------------------------------
+# q172 — DQ anomaly gate over the per-batch constraint history
+#
+# The Deequ anomaly-check tier the r13 verdict asked for: q163 stores
+# a per-batch constraint series in the monitor store; this query runs
+# a NEW series with a PLANTED completeness drift in one batch and
+# gates it with the integer median/MAD verdict
+# (operators/profiling.py:dq_anomaly_gate) — the regression is a hard
+# flag in the series while staying invisible to a whole-table
+# fraction.  The oracle replays each batch's aggregates (the q163
+# pattern, drift included) and the same discrete median/MAD selection
+# via window functions — every value BIGINT, every comparison integer.
+# ---------------------------------------------------------------------------
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import profiling  # noqa: E402
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave13 import _fresh_store  # noqa: E402
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import monitor, shardstore  # noqa: E402
+
+_Q172_BATCHES = 6
+_Q172_DRIFT_BATCH = 4
+_Q172_K = 3
+_Q172_MIN_DEV = 1000
+
+
+def _q172_batch(o: DataFrame, b: int) -> DataFrame:
+    d = o.filter(F.col("o_orderkey") % _Q172_BATCHES == b)
+    if b == _Q172_DRIFT_BATCH:
+        # the planted drift: tonight's load lost ~30% of its custkeys
+        d = d.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 10 < 3, F.lit(None).cast("long"))
+            .otherwise(F.col("o_custkey")),
+        )
+    return d
+
+
+def _q172_report(batch_df: DataFrame) -> DataFrame:
+    return profiling.profile_report(
+        batch_df,
+        "orders",
+        complete_cols=["o_custkey"],
+        unique_cols=["o_orderkey"],
+        compliance=[("o_totalprice", "positive", F.col("o_totalprice") > 0)],
+    )
+
+
+def q172_dq_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly verdicts over a 6-batch constraint history with one
+    planted completeness regression: per-batch reports through the
+    monitor store (streaming/monitor.py), then the integer median/MAD
+    gate — exactly one metric-batch row should flag."""
+    o = load_table(spark, sf_dir, "orders")
+    root = _fresh_store("q172", sf_dir)
+    writer = monitor.make_dq_batch_writer(root, _q172_report)
+    shardstore.build_shards_concurrently(
+        writer,
+        [(b, _q172_batch(o, b)) for b in range(_Q172_BATCHES)],
+    )
+    hist = monitor.read_dq_history(spark, root)
+    return profiling.dq_anomaly_gate(hist, k=_Q172_K, min_dev=_Q172_MIN_DEV)
+
+
+def _q172_batch_sql(b: int) -> str:
+    ck = (
+        f"(CASE WHEN o_orderkey % 10 < 3 THEN NULL ELSE o_custkey END)"
+        if b == _Q172_DRIFT_BATCH
+        else "o_custkey"
+    )
+    return f"""
+SELECT * FROM (
+  WITH t AS (
+    SELECT count(*) AS n, count({ck}) AS nn,
+           count(DISTINCT o_orderkey) AS nd,
+           sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS c0
+    FROM orders WHERE o_orderkey % {_Q172_BATCHES} = {b}
+  )
+  SELECT 'orders' AS tbl, '*' AS col, 'row_count' AS chk,
+         n::BIGINT AS value, {b}::BIGINT AS batch_id FROM t
+  UNION ALL SELECT 'orders', 'o_custkey', 'completeness', ((nn * 1000000) // n)::BIGINT, {b} FROM t
+  UNION ALL SELECT 'orders', 'o_orderkey', 'uniqueness', ((nd * 1000000) // n)::BIGINT, {b} FROM t
+  UNION ALL SELECT 'orders', 'o_totalprice', 'positive', ((c0 * 1000000) // n)::BIGINT, {b} FROM t
+)"""
+
+
+Q172_SQL = (
+    "WITH hist AS ("
+    + "\nUNION ALL\n".join(_q172_batch_sql(b) for b in range(_Q172_BATCHES))
+    + f"""
+),
+st AS (
+  SELECT *, row_number() OVER (PARTITION BY tbl, col, chk
+                               ORDER BY value, batch_id) AS rn,
+         count(*) OVER (PARTITION BY tbl, col, chk) AS n
+  FROM hist
+),
+med AS (SELECT tbl, col, chk, value AS med FROM st WHERE rn = (n - 1) // 2 + 1),
+dv AS (
+  SELECT h.*, m.med, abs(h.value - m.med) AS dev
+  FROM hist h JOIN med m USING (tbl, col, chk)
+),
+sd AS (
+  SELECT *, row_number() OVER (PARTITION BY tbl, col, chk
+                               ORDER BY dev, batch_id) AS rn,
+         count(*) OVER (PARTITION BY tbl, col, chk) AS n
+  FROM dv
+),
+mad AS (SELECT tbl, col, chk, dev AS mad FROM sd WHERE rn = (n - 1) // 2 + 1)
+SELECT d.tbl, d.col, d.chk, d.batch_id, d.value, d.med, m2.mad::BIGINT AS mad,
+       d.dev > greatest({_Q172_K} * m2.mad, {_Q172_MIN_DEV}) AS is_anomaly
+FROM dv d JOIN mad m2 USING (tbl, col, chk)
+"""
+)
+
+QUERIES["q172_dq_anomaly_gate"] = q172_dq_anomaly_gate
+ORACLES["q172_dq_anomaly_gate"] = Q172_SQL

@@ -554,3 +554,78 @@ def test_dq_monitor_batch_report_equals_batch_mode(spark, tmp_path):
         for r in _dq_report_fn(half).collect()
     )
     assert got == want
+
+
+def test_dq_anomaly_gate_flags_planted_stream_drift(spark, tmp_path):
+    """The Deequ anomaly tier end-to-end on a STREAM: six micro-batch
+    files, one with a planted completeness regression (40% of values
+    nulled) — the median/MAD gate must flag exactly that batch's
+    completeness row and nothing else."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import profiling
+
+    out, src = str(tmp_path / "dq"), str(tmp_path / "src")
+    os.makedirs(src)
+    events = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .select("event_id", "value")
+        .toPandas()
+    )
+    for i in range(6):
+        part = events[events.event_id % 6 == i].copy()
+        if i == 3:  # the planted drift
+            part.loc[part.event_id % 5 < 2, "value"] = None
+        part.to_json(
+            os.path.join(src, f"b{i}.json"), orient="records", lines=True
+        )
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+    def report(batch_df):
+        return profiling.profile_report(
+            batch_df, "events", complete_cols=["value"],
+            unique_cols=["event_id"],
+        )
+
+    q = (
+        monitor.dq_monitor_sink(
+            stream, out, report, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = monitor.read_dq_history(spark, out)
+    gate = profiling.dq_anomaly_gate(hist, k=3, min_dev=1000)
+    flagged = gate.filter(F.col("is_anomaly")).collect()
+    assert len(flagged) == 1
+    (r,) = flagged
+    assert (r.tbl, r.col, r.chk) == ("events", "value", "completeness")
+    # the drifted batch sits ~600000 ppm against a clean 1000000 median
+    assert r.med == 1000000 and r.value < 700000
+
+
+def test_dq_anomaly_gate_min_dev_floor_absorbs_jitter(spark):
+    """A near-constant series (mad = 0, a few rows of wobble) must NOT
+    flag below the min_dev floor — and must flag above it."""
+    from pyspark.sql import functions as F
+
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import profiling
+
+    rows = [
+        ("t", "c", "completeness", b, v)
+        for b, v in enumerate([1000000, 999998, 1000000, 1000000, 998000])
+    ]
+    hist = spark.createDataFrame(
+        rows, "tbl string, col string, chk string, batch_id long, value long"
+    )
+    got = {
+        r.batch_id: r.is_anomaly
+        for r in profiling.dq_anomaly_gate(hist, k=3, min_dev=1000).collect()
+    }
+    # med = 1000000, mad = 0: only the 2000-ppm drop beats the floor
+    assert got == {0: False, 1: False, 2: False, 3: False, 4: True}
