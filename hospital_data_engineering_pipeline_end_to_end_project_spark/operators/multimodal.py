@@ -974,6 +974,45 @@ def synthesize_speech_wav(
     )
 
 
+def audio_gram_postings(
+    media: DataFrame,
+    *,
+    k: int = 4,
+    frame_samples: int = SPEECH_SAMPLES_PER_TOKEN,
+) -> DataFrame:
+    """Positional energy-gram postings ``(media_id, __pos 1-based,
+    __h)`` for a media frame — the decode-and-fingerprint stage of
+    :func:`audio_segment_pairs`, factored out so the streaming audio
+    feature store (``streaming/audio_index.py``) can persist exactly
+    these rows per batch and the match stage can be served WITHOUT
+    re-decoding: the gram hash is a pure function of the decoded
+    int64 frame energies (md5 over the ``|``-joined window), so the
+    stored postings are engine- and run-stable."""
+    frames = audio_frame_energy(media, frame_samples=frame_samples)
+    seq = (
+        frames.groupBy("media_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_id", "energy"))),
+                lambda x: x["energy"],
+            ).alias("__e")
+        )
+        .filter(F.size("__e") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__e") - (k - 1)),
+        lambda i: F.md5(
+            F.array_join(
+                F.transform(F.slice("__e", i, k), lambda v: v.cast("string")),
+                "|",
+            )
+        ),
+    )
+    return seq.select(
+        "media_id", F.posexplode(grams).alias("__p0", "__h")
+    ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
+
+
 def audio_segment_pairs(
     media: DataFrame,
     *,
@@ -1015,29 +1054,7 @@ def audio_segment_pairs(
     """
     if min_frames < k:
         raise ValueError(f"min_frames={min_frames} below the gram size k={k}")
-    frames = audio_frame_energy(media, frame_samples=frame_samples)
-    seq = (
-        frames.groupBy("media_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("frame_id", "energy"))),
-                lambda x: x["energy"],
-            ).alias("__e")
-        )
-        .filter(F.size("__e") >= k)
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("__e") - (k - 1)),
-        lambda i: F.md5(
-            F.array_join(
-                F.transform(F.slice("__e", i, k), lambda v: v.cast("string")),
-                "|",
-            )
-        ),
-    )
-    pos = seq.select(
-        "media_id", F.posexplode(grams).alias("__p0", "__h")
-    ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    pos = audio_gram_postings(media, k=k, frame_samples=frame_samples)
     return _posting_run_pairs(
         pos,
         k=k,

@@ -234,12 +234,14 @@ def _modules():
 #:      broadcast), q140 (capped-path ids-only postings shuffle),
 #:      q147/q149 (audio feature-store + bench attribution work);
 #:   4. remaining slots filled with the OLDEST r11-vintage rows
-#:      (q02-q07) — the r11 window (48 rows) ages to three rounds
-#:      old after this round and its remainder is the R15 PIN DEBT.
-#: After this round the freshest-row ledger reads: 50 r14 + 42 r11
-#: (q08-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
+#:      (q02-q05; the late q172/q173 arrivals displaced q06/q07 —
+#:      new arrivals outrank filler, the standing lesson) — the r11
+#:      window (48 rows) ages to three rounds old after this round
+#:      and its remainder is the R15 PIN DEBT.
+#: After this round the freshest-row ledger reads: 50 r14 + 44 r11
+#: (q06-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
 #: q58-q60, q133, q137-q139, q141-q143) + everything else r12/r13.
-#: R15 ROTATION PLAN: pin those 42 r11 rows first, then r15-changed
+#: R15 ROTATION PLAN: pin those 44 r11 rows first, then r15-changed
 #: code + new arrivals, then the aging r12 window.  The full catalog
 #: stays attested end-to-end by tests/test_oracle_parity.py at
 #: sf0.001 and the 50-window at sf0.01 by
@@ -277,6 +279,8 @@ _GATE_FRONT = (
     "q169_small_quantity_revenue",
     "q170_excess_shippers",
     "q171_dormant_balances",
+    "q172_dq_anomaly_gate",
+    "q173_audio_segments_from_index",
     "q140_tf_cosine_join",
     "q147_audio_segment_pairs",
     "q149_dhash_index_served_join",
@@ -293,8 +297,6 @@ _GATE_FRONT = (
     "q03_top_revenue_orders",
     "q04_star_join",
     "q05_dedupe_exact",
-    "q06_latest_event_per_user",
-    "q07_cleanse_cast",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -313,6 +315,8 @@ _GATE_FRONT = (
 #: instead of silently reordering.
 _GATE_BACK = (
     "q01_pricing_summary",
+    "q06_latest_event_per_user",
+    "q07_cleanse_cast",
     "q08_date_dim",
     "q09_word_count",
     "q100_cheapest_regional_supplier",

@@ -454,3 +454,53 @@ FROM dv d JOIN mad m2 USING (tbl, col, chk)
 
 QUERIES["q172_dq_anomaly_gate"] = q172_dq_anomaly_gate
 ORACLES["q172_dq_anomaly_gate"] = Q172_SQL
+
+
+# ---------------------------------------------------------------------------
+# q173 — shared audio segments served FROM the energy-gram feature
+# store (the EIGHTH index-served lifecycle)
+#
+# q147's one remaining 100x constant was re-decoding every WAV per
+# run; here the corpus arrives as three concurrent batches through
+# streaming/audio_index.py (decode once, store (media_id, pos, h)
+# posting shards), the shards compact, and the match stage — cap,
+# gram join, diagonal runs — is served from the STORE with zero
+# decodes.  Row-identical to q147's recomputing form by construction,
+# so the oracle is q147's verbatim.
+# ---------------------------------------------------------------------------
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave12 import (  # noqa: E402
+    _MEDIA_MAX_DF,
+    _Q147_K,
+    _Q147_MIN,
+    Q147_SQL,
+)
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import audio_index  # noqa: E402
+
+_Q173_BATCHES = 3
+
+
+def q173_audio_segments_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q147's shared-segment match served from the persistent audio
+    feature store: per-batch decode+fingerprint shards, compaction,
+    then the diagonal-run match stage over stored postings only."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _fresh_store("q173", sf_dir)
+    writer = audio_index.make_audio_doc_batch_writer(root, k=_Q147_K)
+    shardstore.build_shards_concurrently(
+        writer,
+        [
+            (b, d.filter(F.col("doc_id") % _Q173_BATCHES == b))
+            for b in range(_Q173_BATCHES)
+        ],
+    )
+    audio_index.compact_audio_shards(spark, root)
+    return audio_index.segments_from_index(
+        spark, root, k=_Q147_K, min_frames=_Q147_MIN, max_df=_MEDIA_MAX_DF
+    )
+
+
+QUERIES["q173_audio_segments_from_index"] = q173_audio_segments_from_index
+ORACLES["q173_audio_segments_from_index"] = Q147_SQL
