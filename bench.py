@@ -173,6 +173,15 @@ HEADLINE = [
     "q165_local_supplier_volume",
     "q166_promo_revenue_share",
     "q167_large_volume_customers",
+    # round-14 wave: the TPC-H decorrelation tail, the DQ anomaly
+    # gate, and the audio feature store (build+compact+serve
+    # lifecycle — attribution in BASELINE.md)
+    "q168_custdist",
+    "q169_small_quantity_revenue",
+    "q170_excess_shippers",
+    "q171_dormant_balances",
+    "q172_dq_anomaly_gate",
+    "q173_audio_segments_from_index",
 ]
 
 

@@ -1698,6 +1698,210 @@ def main() -> None:
             for k in out["streaming_base"]
             if k.endswith("_per_sec")
         }
+    if family == "tpch14":
+        # the round-14 decorrelation tail + the DQ anomaly gate on
+        # the fact axis (100x lineitem/orders over the fixed dim
+        # catalog).  Base min-of-2, scaled single-run — the tpchtrio
+        # protocol.
+        make_scaled_tpch_dir(SF_DIR, scaled_dir, copies)
+        names = (
+            "q168_custdist",
+            "q169_small_quantity_revenue",
+            "q170_excess_shippers",
+            "q171_dormant_balances",
+            "q172_dq_anomaly_gate",
+        )
+        t_base = time_queries(spark, SF_DIR, names=names)
+        t_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["tpch14_base_sec"] = t_base
+        out["tpch14_scaled_sec"] = t_scaled
+        out["tpch14_growth_ratio"] = {
+            q: round(t_scaled[q] / t_base[q], 2) for q in names
+        }
+    if family == "audioidx":
+        # the audio feature store's amortization claim, measured: at
+        # ``copies``x documents, the store build (decode ONCE) is the
+        # linear term, and the SERVED match stage must cost a small
+        # fraction of the full recomputing operator (which re-decodes
+        # every payload per run).  Store build at the scaled corpus =
+        # 3 concurrent doc shards + compaction (the q173 lifecycle);
+        # serve and recompute timed on the same session.
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import audio_index, shardstore
+
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+
+        def _measure(dirpath: str, tag: str) -> None:
+            docs = spark.read.parquet(
+                os.path.join(dirpath, "documents.parquet")
+            ).select("doc_id", "text")
+            root = os.path.join(scaled_dir, f"audio_idx_{tag}")
+            shutil.rmtree(root, ignore_errors=True)
+            t0 = time.time()
+            writer = audio_index.make_audio_doc_batch_writer(root, k=4)
+            shardstore.build_shards_concurrently(
+                writer,
+                [(b, docs.filter(F.col("doc_id") % 3 == b)) for b in range(3)],
+            )
+            t_build = round(time.time() - t0, 3)
+            t0 = time.time()
+            audio_index.compact_audio_shards(spark, root)
+            t_compact = round(time.time() - t0, 3)
+            t0 = time.time()
+            audio_index.segments_from_index(
+                spark, root, k=4, min_frames=8, max_df=32
+            ).write.format("noop").mode("overwrite").save()
+            t_serve = round(time.time() - t0, 3)
+            t0 = time.time()
+            multimodal.audio_segment_pairs(
+                multimodal.synthesize_speech_wav(
+                    fan_out(docs), "doc_id", "text"
+                ),
+                k=4,
+                min_frames=8,
+                max_df=32,
+            ).write.format("noop").mode("overwrite").save()
+            t_recompute = round(time.time() - t0, 3)
+            out[f"audioidx_{tag}"] = {
+                "build_sec": t_build,
+                "compact_sec": t_compact,
+                "serve_sec": t_serve,
+                "recompute_sec": t_recompute,
+            }
+
+        _measure(SF_DIR, "base")
+        _measure(scaled_dir, "scaled")
+        b, s = out["audioidx_base"], out["audioidx_scaled"]
+        out["audioidx_serve_growth"] = round(s["serve_sec"] / b["serve_sec"], 2)
+        out["audioidx_serve_vs_recompute_scaled"] = round(
+            s["serve_sec"] / s["recompute_sec"], 3
+        )
+    if family == "ratesource":
+        # non-file streaming source (r13 verdict "missing" #3): the
+        # deterministic rate-micro-batch source (rowsPerBatch pinned,
+        # no wall-clock dependence in batch CONTENT) drives the two
+        # stateful building blocks the file-backed stream10 table
+        # measures, so the throughput rows become portable beyond
+        # this sandbox's filesystem.  ``copies`` scales rows/batch;
+        # reported as rows/sec over the drained-batch wall clock.
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import ingest
+
+        rows_per_batch = 100_000 * copies
+        n_batches = 10
+
+        def _rate_events():
+            # shape the rate rows like the events table: value is the
+            # monotonically increasing row id, all columns derive
+            # deterministically from it
+            raw = (
+                spark.readStream.format("rate-micro-batch")
+                .option("rowsPerBatch", rows_per_batch)
+                .option("numPartitions", int(cpus))
+                .load()
+            )
+            return raw.select(
+                F.col("value").alias("event_id"),
+                F.concat(F.lit("type_"), (F.col("value") % 8)).alias(
+                    "event_type"
+                ),
+                (F.col("value") % 1000).cast("double").alias("value"),
+                F.col("timestamp").alias("ts"),
+            )
+
+        def _drain(df, tag: str) -> None:
+            sink = os.path.join(scaled_dir, f"rate_{tag}")
+            q = (
+                df.writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(sink, "ckpt"))
+                .outputMode("update")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            t0 = time.time()
+            done = 0
+            while done < n_batches and time.time() - t0 < 300:
+                time.sleep(0.2)
+                done = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+            q.stop()
+            q.awaitTermination()
+            wall = time.time() - t0
+            rows = sum(p["numInputRows"] for p in q.recentProgress)
+            out[f"rate_{tag}_rows"] = rows
+            out[f"rate_{tag}_rows_per_sec"] = round(rows / wall, 1)
+
+        _drain(ingest.windowed_event_counts(_rate_events()), "window")
+        _drain(ingest.dedupe_event_stream(_rate_events()), "dedup")
+    if family == "q149attr":
+        # q145-style lifecycle attribution for q149 (the r13 verdict's
+        # item: the headline was dominated by store wipe + PGM
+        # synthesis, i.e. harness cost).  Stages at SF_DIR: corpus
+        # synthesis+hash (the decode term), shard build (3 concurrent
+        # writers, includes synthesis), compaction, and the SERVED
+        # probe (batch synthesis + banded join against the stored
+        # fingerprints) — the operator the headline should reflect.
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import dhash_index, shardstore
+
+        docs = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        ).select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 13 != 0)
+        batch = docs.filter(F.col("doc_id") % 13 == 0)
+        root = os.path.join(scaled_dir, "q149_idx")
+
+        def _run() -> dict:
+            shutil.rmtree(root, ignore_errors=True)
+            r: dict = {}
+            t0 = time.time()
+            multimodal.dhash_bands_from_pgm(
+                multimodal.synthesize_minhash_pgm(
+                    fan_out(corpus), "doc_id", "text"
+                )
+            ).write.format("noop").mode("overwrite").save()
+            r["synthesis_hash_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            writer = dhash_index.make_dhash_batch_writer(root)
+            shardstore.build_shards_concurrently(
+                writer,
+                [
+                    (
+                        b,
+                        multimodal.synthesize_minhash_pgm(
+                            fan_out(corpus.filter(F.col("doc_id") % 3 == b)),
+                            "doc_id",
+                            "text",
+                        ),
+                    )
+                    for b in range(3)
+                ],
+            )
+            r["build_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            dhash_index.compact_dhash_shards(spark, root)
+            r["compact_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            dhash_index.incremental_image_join_against_index(
+                spark,
+                root,
+                multimodal.synthesize_minhash_pgm(
+                    fan_out(batch), "doc_id", "text"
+                ),
+            ).write.format("noop").mode("overwrite").save()
+            r["probe_sec"] = round(time.time() - t0, 3)
+            return r
+
+        a, b2 = _run(), _run()  # min-of-2 per stage
+        out["q149attr"] = {
+            k: min(a[k], b2[k]) for k in a
+        }
     print(json.dumps(out))
     shutil.rmtree(scaled_dir, ignore_errors=True)
 
