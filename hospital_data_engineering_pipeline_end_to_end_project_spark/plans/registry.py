@@ -232,16 +232,18 @@ def _modules():
 #:      q156 (oracle-side ticket clamp mirror), q167 (broadcast hint
 #:      dropped for AQE choice), q150/q151 (size-dispatched anchor
 #:      broadcast), q140 (capped-path ids-only postings shuffle),
-#:      q147/q149 (audio feature-store + bench attribution work);
+#:      q147/q149 (audio feature-store + bench attribution work),
+#:      q90 (the bounded _directed_salts probe in sources/writers.py);
 #:   4. remaining slots filled with the OLDEST r11-vintage rows
-#:      (q02-q05; the late q172/q173 arrivals displaced q06/q07 —
-#:      new arrivals outrank filler, the standing lesson) — the r11
+#:      (q02-q04; the late q172/q173 arrivals displaced q06/q07 and
+#:      the q90 writers.py change displaced q05 — arrivals and
+#:      changed code outrank filler, the standing lesson) — the r11
 #:      window (48 rows) ages to three rounds old after this round
 #:      and its remainder is the R15 PIN DEBT.
-#: After this round the freshest-row ledger reads: 50 r14 + 44 r11
-#: (q06-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
+#: After this round the freshest-row ledger reads: 50 r14 + 45 r11
+#: (q05-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
 #: q58-q60, q133, q137-q139, q141-q143) + everything else r12/r13.
-#: R15 ROTATION PLAN: pin those 44 r11 rows first, then r15-changed
+#: R15 ROTATION PLAN: pin those 45 r11 rows first, then r15-changed
 #: code + new arrivals, then the aging r12 window.  The full catalog
 #: stays attested end-to-end by tests/test_oracle_parity.py at
 #: sf0.001 and the 50-window at sf0.01 by
@@ -293,10 +295,10 @@ _GATE_FRONT = (
     "q159_bpe_from_vocab_index",
     "q163_dq_history",
     "q167_large_volume_customers",
+    "q90_zorder_roundtrip",
     "q02_filter_project",
     "q03_top_revenue_orders",
     "q04_star_join",
-    "q05_dedupe_exact",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -315,6 +317,7 @@ _GATE_FRONT = (
 #: instead of silently reordering.
 _GATE_BACK = (
     "q01_pricing_summary",
+    "q05_dedupe_exact",
     "q06_latest_event_per_user",
     "q07_cleanse_cast",
     "q08_date_dim",
@@ -429,8 +432,7 @@ _GATE_BACK = (
     "q87_bm25_topk",
     "q88_semantic_dedup",
     "q89_quality_filter",
-    "q90_zorder_roundtrip",
-    "q93_multi_signal_clusters",
+        "q93_multi_signal_clusters",
     "q94_temperature_resample",
     "q95_boilerplate_stats",
     "q96_source_divergence",

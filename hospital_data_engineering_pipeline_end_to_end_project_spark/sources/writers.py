@@ -274,7 +274,18 @@ def _directed_salts(spark, n: int) -> list[int]:
         return _SALT_CACHE[n]
     got: dict[int, int] = {}
     lo = 0
-    while len(got) < n:
+    # bounded probe (r13 review): coverage is probabilistic, so cap
+    # the scan at 32 rounds of n*64 candidates — P(some pmod class
+    # unhit) < n * (1 - 1/n)^(2048 n) is astronomically small for any
+    # real n, but an unbounded loop on a (hypothetically) degenerate
+    # hash would hang the driver.  On exhaustion, fall back to reusing
+    # an arbitrary found salt for the missing classes: routing becomes
+    # imbalanced (two file ids share a partition, another sits empty),
+    # never incorrect — the salt only steers WHICH shuffle partition
+    # writes a file.
+    for _ in range(32):
+        if len(got) >= n:
+            break
         rows = (
             spark.range(lo, lo + n * 64)
             .select(
@@ -286,6 +297,9 @@ def _directed_salts(spark, n: int) -> list[int]:
         for r in rows:
             got.setdefault(r["f"], r["s"])
         lo += n * 64
+    if len(got) < n:
+        fallback = next(iter(got.values()), 0)
+        got = {f: got.get(f, fallback) for f in range(n)}
     _SALT_CACHE[n] = [got[f] for f in range(n)]
     return _SALT_CACHE[n]
 
