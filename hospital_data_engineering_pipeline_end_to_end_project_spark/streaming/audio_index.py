@@ -183,3 +183,69 @@ def segments_from_index(
         out_len="seg_frames",
         materialize_mode=materialize_mode,
     )
+
+
+def incremental_segments_against_index(
+    spark: SparkSession,
+    out_dir: str,
+    batch_media: DataFrame,
+    *,
+    k: int = 4,
+    min_frames: int = 8,
+    frame_samples: int = multimodal.SPEECH_SAMPLES_PER_TOKEN,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared segments between an ARRIVING media batch and the indexed
+    corpus — the daily-probe form: the batch is decoded once (its own
+    gram postings), the corpus side comes entirely FROM the store, and
+    the batch postings broadcast past the posting scan (the dHash-leg
+    shape: the stored rows are the whole match input, zero corpus
+    payload re-reads).
+
+    ``max_df`` is applied to the STORED postings' distinct-media df,
+    so the cap's meaning is stable as the corpus grows (the span
+    leg's convention).  The ``(k, frame_samples)`` config must match
+    the writer's.
+
+    Returns ``(batch_doc, corpus_doc, start_batch, start_corpus,
+    seg_frames)`` with ``batch_doc != corpus_doc`` — per-batch cost ∝
+    batch decode + matched postings, never accumulated payloads.
+    """
+    idx = read_audio_index(spark, out_dir)
+    if max_df is not None:
+        drop = (
+            idx.groupBy("h")
+            .agg(F.countDistinct("media_id").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("h")
+        )
+        idx = idx.join(drop, "h", "left_anti")
+    bpos = multimodal.audio_gram_postings(
+        batch_media, k=k, frame_samples=frame_samples
+    ).select(
+        F.col("media_id").alias("batch_doc"),
+        F.col("__pos").alias("__pb"),
+        F.col("__h").alias("h"),
+    )
+    m = (
+        idx.select(
+            F.col("media_id").alias("corpus_doc"),
+            F.col("pos").alias("__pc"),
+            "h",
+        )
+        .join(F.broadcast(bpos), "h")
+        .filter(F.col("batch_doc") != F.col("corpus_doc"))
+    )
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    return dedupe.diagonal_spans(
+        m,
+        "batch_doc",
+        "corpus_doc",
+        "__pb",
+        "__pc",
+        k=k,
+        min_run=min_frames - k + 1,
+        out_left="start_batch",
+        out_right="start_corpus",
+    ).withColumnRenamed("span_tokens", "seg_frames")

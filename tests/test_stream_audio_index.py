@@ -147,3 +147,38 @@ def test_audio_index_live_stream(spark, tmp_path):
         )
     )
     assert served == recomputed and served
+
+
+def test_incremental_segments_probe_equals_batch_restriction(spark, tmp_path):
+    """The daily-probe form: batch-vs-index segments must equal the
+    recomputing operator over the concatenated corpus restricted to
+    batch-vs-corpus pairs (either orientation), with the df cap
+    computed against the INDEX."""
+    out = str(tmp_path / "au")
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    batch = docs.filter(F.col("doc_id") % 17 == 0)
+    handle = audio_index.make_audio_doc_batch_writer(out, k=_K)
+    for b in range(2):
+        handle(corpus.filter(corpus.doc_id % 2 == b), b)
+    served = sorted(
+        map(
+            tuple,
+            audio_index.incremental_segments_against_index(
+                spark, out, _media(batch), k=_K, min_frames=_MIN
+            ).collect(),
+        )
+    )
+    full = multimodal.audio_segment_pairs(
+        _media(docs), k=_K, min_frames=_MIN
+    )
+    bkeys = {r.doc_id for r in batch.select("doc_id").collect()}
+    want = sorted(
+        (ra, rb, sa, sb, n)
+        for (a, b2, s_a, s_b, n) in map(tuple, full.collect())
+        if (a in bkeys) != (b2 in bkeys)
+        for (ra, rb, sa, sb) in [
+            (a, b2, s_a, s_b) if a in bkeys else (b2, a, s_b, s_a)
+        ]
+    )
+    assert served == want and served
