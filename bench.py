@@ -182,6 +182,17 @@ HEADLINE = [
     "q171_dormant_balances",
     "q172_dq_anomaly_gate",
     "q173_audio_segments_from_index",
+    # round-14 wave 2: incremental audio probe + the eight TPC-H
+    # shapes completing the 22-query grammar
+    "q174_audio_probe_vs_index",
+    "q175_priority_returns",
+    "q176_forecast_revenue",
+    "q177_returned_item_customers",
+    "q178_important_part_values",
+    "q179_priority_by_status",
+    "q180_top_supplier",
+    "q181_part_supplier_counts",
+    "q182_disjunctive_revenue",
 ]
 
 

@@ -47,6 +47,7 @@ def _modules():
     # in every pytest run.
     mods = []
     for name in (
+        "wave14b",
         "wave14",
         "wave13",
         "wave12",
@@ -224,27 +225,33 @@ def _modules():
 #:      decorrelation tail q168 (Q13 custdist left-outer count) /
 #:      q169 (Q17 correlated-avg small-quantity revenue) / q170 (Q20
 #:      nested-semi excess shippers) / q171 (Q22 anti-join + scalar
-#:      avg dormant balances), plus the later wave-2 arrivals
-#:      (inserted here when they land);
-#:   3. every query whose backing code changed in r14: q153/q163
-#:      (integer-ppm DQ report values — the r13 float-rounding
-#:      advisory), q154/q158/q159 (the [\s\S] symbolizer class),
-#:      q156 (oracle-side ticket clamp mirror), q167 (broadcast hint
-#:      dropped for AQE choice), q150/q151 (size-dispatched anchor
-#:      broadcast), q140 (capped-path ids-only postings shuffle),
-#:      q147/q149 (audio feature-store + bench attribution work),
-#:      q90 (the bounded _directed_salts probe in sources/writers.py);
-#:   4. remaining slots filled with the OLDEST r11-vintage rows
-#:      (q02-q04; the late q172/q173 arrivals displaced q06/q07 and
-#:      the q90 writers.py change displaced q05 — arrivals and
-#:      changed code outrank filler, the standing lesson) — the r11
-#:      window (48 rows) ages to three rounds old after this round
-#:      and its remainder is the R15 PIN DEBT.
+#:      avg dormant balances), q172 (DQ anomaly gate), q173 (audio
+#:      feature-store serve), and the wave-2 block: q174 (incremental
+#:      audio probe) + q175-q182 (the eight remaining TPC-H shapes —
+#:      Q4/Q6/Q10/Q11/Q12/Q15/Q16/Q19 — completing the full 22-query
+#:      TPC-H grammar);
+#:   3. r14-changed code whose VALUES changed or whose runtime path
+#:      is not pinned row-identical elsewhere: q153/q163 (integer-ppm
+#:      DQ report values — the r13 float-rounding advisory),
+#:      q154/q158/q159 (the [\s\S] symbolizer class), q156
+#:      (oracle-side ticket clamp mirror), q90 (the bounded
+#:      _directed_salts probe in sources/writers.py);
+#:   4. NO filler — 28 pins + 15 arrivals + 7 changed fill the window
+#:      exactly.  The wave-2 arrivals displaced q02-q04 (r11 filler)
+#:      AND the six r14-changed-but-VALUE-IDENTICAL rows q140, q147,
+#:      q149, q150, q151, q167 (plan/serving-layout changes, each
+#:      pinned by plan contracts or bit-identity pytest rows, official
+#:      rows r13-fresh) — arrivals outrank value-identical changes
+#:      outrank filler; those six join the R15 PIN DEBT.
 #: After this round the freshest-row ledger reads: 50 r14 + 45 r11
-#: (q05-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
-#: q58-q60, q133, q137-q139, q141-q143) + everything else r12/r13.
-#: R15 ROTATION PLAN: pin those 45 r11 rows first, then r15-changed
-#: code + new arrivals, then the aging r12 window.  The full catalog
+#: (q02-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
+#: q58-q60, q133, q137-q139, q141-q143) + q140/q147/q149-q151/q167
+#: r13 + everything else r12/r13.
+#: R15 ROTATION PLAN: pin the 45 r11 rows first (they age to three
+#: rounds old), then the six r14-changed VALUE-IDENTICAL rows
+#: (q140/q147/q149/q150/q151/q167 — their freshest rows predate the
+#: r14 code), then r15-changed code + new arrivals, then the aging
+#: r12 window.  The full catalog
 #: stays attested end-to-end by tests/test_oracle_parity.py at
 #: sf0.001 and the 50-window at sf0.01 by
 #: tests/test_gate_scale_parity.py in every pytest run.
@@ -283,22 +290,22 @@ _GATE_FRONT = (
     "q171_dormant_balances",
     "q172_dq_anomaly_gate",
     "q173_audio_segments_from_index",
-    "q140_tf_cosine_join",
-    "q147_audio_segment_pairs",
-    "q149_dhash_index_served_join",
-    "q150_boundary_stitch",
-    "q151_stitch_repair",
+    "q174_audio_probe_vs_index",
+    "q175_priority_returns",
+    "q176_forecast_revenue",
+    "q177_returned_item_customers",
+    "q178_important_part_values",
+    "q179_priority_by_status",
+    "q180_top_supplier",
+    "q181_part_supplier_counts",
+    "q182_disjunctive_revenue",
     "q153_dq_report",
     "q154_bpe_merge_steps",
     "q156_weighted_sample",
     "q158_bpe_compression",
     "q159_bpe_from_vocab_index",
     "q163_dq_history",
-    "q167_large_volume_customers",
     "q90_zorder_roundtrip",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_star_join",
 )
 
 #: Queries demoted to the BACK of the catalog (outside the window):
@@ -317,6 +324,9 @@ _GATE_FRONT = (
 #: instead of silently reordering.
 _GATE_BACK = (
     "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_star_join",
     "q05_dedupe_exact",
     "q06_latest_event_per_user",
     "q07_cleanse_cast",
@@ -365,6 +375,7 @@ _GATE_BACK = (
     "q137_winnowing_fingerprints",
     "q138_winnowing_pairs",
     "q139_lsh_incremental_join",
+    "q140_tf_cosine_join",
     "q13_running_user_totals",
     "q141_incremental_labels",
     "q142_leakage_free_split",
@@ -372,8 +383,12 @@ _GATE_BACK = (
     "q144_lsh_index_served_join",
     "q145_span_index_served_join",
     "q146_image_dhash_pairs",
+    "q147_audio_segment_pairs",
     "q148_video_scene_pairs",
+    "q149_dhash_index_served_join",
     "q14_hourly_event_window",
+    "q150_boundary_stitch",
+    "q151_stitch_repair",
     "q152_ivf_index_served_topk",
     "q155_snapshot_diff",
     "q157_hits_supplier_part",
@@ -384,6 +399,7 @@ _GATE_BACK = (
     "q164_source_overlap_matrix",
     "q165_local_supplier_volume",
     "q166_promo_revenue_share",
+    "q167_large_volume_customers",
     "q16_active_customers_by_segment",
     "q17_acctbal_rollup",
     "q18_returnflag_pivot",
@@ -432,7 +448,7 @@ _GATE_BACK = (
     "q87_bm25_topk",
     "q88_semantic_dedup",
     "q89_quality_filter",
-        "q93_multi_signal_clusters",
+    "q93_multi_signal_clusters",
     "q94_temperature_resample",
     "q95_boilerplate_stats",
     "q96_source_divergence",

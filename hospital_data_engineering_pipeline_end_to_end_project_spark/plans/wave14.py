@@ -1,5 +1,7 @@
-"""Round-14 query wave (q168-q171 + the DQ anomaly gate / audio
-feature-store arrivals).
+"""Round-14 query wave (q168-q171, the DQ anomaly gate q172, the
+audio feature-store serve q173, and the incremental audio probe
+q174; the round's wave 2 — the eight remaining TPC-H shapes
+q175-q182 — lives in ``wave14b.py``).
 
 q168-q171 complete the decorrelated-subquery grammar the relational
 tail has been building (q100/q101 round 8, q160-q167 round 13) — the
@@ -504,3 +506,105 @@ def q173_audio_segments_from_index(
 
 QUERIES["q173_audio_segments_from_index"] = q173_audio_segments_from_index
 ORACLES["q173_audio_segments_from_index"] = Q147_SQL
+
+
+# ---------------------------------------------------------------------------
+# q174 — incremental audio probe: an ARRIVING media batch matched
+# against the stored energy-gram index (the daily-probe form)
+#
+# q173 serves the full O(corpus²-candidates) match from the store;
+# the nightly question is smaller and cheaper: which segments of
+# TONIGHT'S arrivals already exist in the corpus?  The probe decodes
+# only the batch, broadcasts its postings past the posting scan (the
+# dHash-leg shape — stored rows are the whole corpus-side input,
+# zero payload re-reads), and applies the df cap against the INDEX
+# so its meaning is stable as the corpus grows.  Batch split is
+# doc_id % 13 (q139/q141 use % 17 — distinct gated row sets).  The
+# oracle replays the q147 synthesis/energy arithmetic, caps grams by
+# corpus-side distinct-doc df, and runs the diagonal-island SQL over
+# batch-vs-corpus matches only.
+# ---------------------------------------------------------------------------
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal  # noqa: E402
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out  # noqa: E402
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave11 import TOKS_SQL  # noqa: E402
+
+_Q174_MOD = 13
+
+
+def q174_audio_probe_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index shared audio segments: corpus (doc_id % 13 != 0)
+    ingested as two concurrent feature shards, the arriving batch
+    (doc_id % 13 == 0) decoded once and probed against the stored
+    postings — per-run cost ∝ batch decode + matched postings."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % _Q174_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _Q174_MOD == 0)
+    root = _fresh_store("q174", sf_dir)
+    writer = audio_index.make_audio_doc_batch_writer(root, k=_Q147_K)
+    shardstore.build_shards_concurrently(
+        writer,
+        [(b, corpus.filter(F.col("doc_id") % 2 == b)) for b in range(2)],
+    )
+    media = multimodal.synthesize_speech_wav(fan_out(batch), "doc_id", "text")
+    return audio_index.incremental_segments_against_index(
+        spark,
+        root,
+        media,
+        k=_Q147_K,
+        min_frames=_Q147_MIN,
+        max_df=_MEDIA_MAX_DF,
+    )
+
+
+Q174_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+en AS (
+  SELECT doc_id,
+         [list_sum([v*v FOR v IN
+            [((CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) + 7*j) % 65536
+              + 32768) % 65536 - 32768
+             FOR j IN range({multimodal.SPEECH_SAMPLES_PER_TOKEN})]])
+          FOR tok IN t] AS e
+  FROM toks
+),
+sq AS (SELECT doc_id, e FROM en WHERE len(e) >= {_Q147_K}),
+g AS (
+  SELECT doc_id,
+         unnest([{{'p': i,
+                   'h': md5(CAST(e[i] AS VARCHAR) || '|' || CAST(e[i+1] AS VARCHAR)
+                            || '|' || CAST(e[i+2] AS VARCHAR) || '|' || CAST(e[i+3] AS VARCHAR))}}
+                 FOR i IN range(1, len(e) - {_Q147_K - 1} + 1)]) AS ph
+  FROM sq
+),
+pos0 AS (SELECT doc_id, ph.p AS pos, ph.h AS h FROM g),
+cpos0 AS (SELECT * FROM pos0 WHERE doc_id % {_Q174_MOD} <> 0),
+bpos AS (SELECT * FROM pos0 WHERE doc_id % {_Q174_MOD} = 0),
+keep AS (SELECT h FROM cpos0 GROUP BY h
+         HAVING count(DISTINCT doc_id) <= {_MEDIA_MAX_DF}),
+cpos AS (SELECT cpos0.* FROM cpos0 JOIN keep USING (h)),
+m AS (
+  SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+         b.pos AS pb, c.pos AS pc
+  FROM bpos b JOIN cpos c ON b.h = c.h
+),
+r AS (
+  SELECT batch_doc, corpus_doc, pb - pc AS delta, pb, pc,
+         pb - row_number() OVER (PARTITION BY batch_doc, corpus_doc, pb - pc
+                                 ORDER BY pb) AS isl
+  FROM m
+),
+runs AS (
+  SELECT batch_doc, corpus_doc, min(pb) AS sb, min(pc) AS sc, count(*) AS len
+  FROM r GROUP BY batch_doc, corpus_doc, delta, isl
+)
+SELECT batch_doc, corpus_doc,
+       CAST(sb AS BIGINT) AS start_batch,
+       CAST(sc AS BIGINT) AS start_corpus,
+       CAST(len + {_Q147_K - 1} AS BIGINT) AS seg_frames
+FROM runs
+WHERE len >= {_Q147_MIN - _Q147_K + 1}
+"""
+
+QUERIES["q174_audio_probe_vs_index"] = q174_audio_probe_vs_index
+ORACLES["q174_audio_probe_vs_index"] = Q174_SQL

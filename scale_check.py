@@ -1718,6 +1718,86 @@ def main() -> None:
         out["tpch14_growth_ratio"] = {
             q: round(t_scaled[q] / t_base[q], 2) for q in names
         }
+    if family == "tpch14b":
+        # round-14 wave 2: the eight TPC-H shapes completing the
+        # 22-query grammar, on the fact axis (100x lineitem/orders
+        # over the fixed dim catalog) — the tpchtrio protocol.
+        make_scaled_tpch_dir(SF_DIR, scaled_dir, copies)
+        names = (
+            "q175_priority_returns",
+            "q176_forecast_revenue",
+            "q177_returned_item_customers",
+            "q178_important_part_values",
+            "q179_priority_by_status",
+            "q180_top_supplier",
+            "q181_part_supplier_counts",
+            "q182_disjunctive_revenue",
+        )
+        t_base = time_queries(spark, SF_DIR, names=names)
+        t_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["tpch14b_base_sec"] = t_base
+        out["tpch14b_scaled_sec"] = t_scaled
+        out["tpch14b_growth_ratio"] = {
+            q: round(t_scaled[q] / t_base[q], 2) for q in names
+        }
+    if family == "audioprobe":
+        # q174's amortization claim, measured: a FIXED arriving batch
+        # (the base corpus's doc_id % 13 == 0 slice) probed against
+        # the stored postings of a ``copies``x corpus.  The probe
+        # decodes only the batch and map-side joins the broadcast
+        # batch postings past the posting scan, so its cost must grow
+        # FAR slower than the corpus (the scan term is a payload-free
+        # parquet read); the recomputing alternative re-decodes the
+        # whole corpus per run.
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import multimodal
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators.parallelism import fan_out
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import audio_index, shardstore
+
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        batch = (
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 13 == 0)
+        )
+        media = multimodal.synthesize_speech_wav(
+            fan_out(batch), "doc_id", "text"
+        )
+
+        def _measure(dirpath: str, tag: str) -> None:
+            corpus = (
+                spark.read.parquet(os.path.join(dirpath, "documents.parquet"))
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") % 13 != 0)
+            )
+            root = os.path.join(scaled_dir, f"audio_probe_{tag}")
+            shutil.rmtree(root, ignore_errors=True)
+            t0 = time.time()
+            writer = audio_index.make_audio_doc_batch_writer(root, k=4)
+            shardstore.build_shards_concurrently(
+                writer,
+                [(b, corpus.filter(F.col("doc_id") % 3 == b)) for b in range(3)],
+            )
+            audio_index.compact_audio_shards(spark, root)
+            t_build = round(time.time() - t0, 3)
+            t0 = time.time()
+            audio_index.incremental_segments_against_index(
+                spark, root, media, k=4, min_frames=8, max_df=32
+            ).write.format("noop").mode("overwrite").save()
+            t_probe = round(time.time() - t0, 3)
+            out[f"audioprobe_{tag}"] = {
+                "build_sec": t_build,
+                "probe_sec": t_probe,
+            }
+
+        _measure(SF_DIR, "base")
+        _measure(scaled_dir, "scaled")
+        out["audioprobe_probe_growth"] = round(
+            out["audioprobe_scaled"]["probe_sec"]
+            / out["audioprobe_base"]["probe_sec"],
+            2,
+        )
     if family == "audioidx":
         # the audio feature store's amortization claim, measured: at
         # ``copies``x documents, the store build (decode ONCE) is the

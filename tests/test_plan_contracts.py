@@ -77,6 +77,12 @@ BNLJ_ALLOWED = {
     # broadcast-cross joins into the nation-filtered customers —
     # 1-row idiom like q77/q121
     "q171_dormant_balances",
+    # Q11 shape: the grand-total value scalar (one row) broadcast-cross
+    # joins into the |parts|-bounded per-part frame — 1-row idiom
+    "q178_important_part_values",
+    # Q15 shape: the max-revenue scalar (one row) broadcast-cross
+    # joins into the |suppliers|-bounded revenue frame — 1-row idiom
+    "q180_top_supplier",
 }
 
 
@@ -339,3 +345,54 @@ def test_gate_lists_partition_catalog():
     assert len(registry._GATE_FRONT) == 50
     assert not front & back, front & back
     assert front | back == names, (names - front - back, (front | back) - names)
+
+
+def test_priority_returns_semi_join_never_materializes_lines(plans):
+    # q175 (Q4 shape): the EXISTS must stay a semi join — lineitem
+    # contributes existence only, never payload rows
+    p = plans["q175_priority_returns"]
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_forecast_revenue_pushes_shipdate_range(plans):
+    # q176 (Q6 shape): the whole query is one scan — the shipdate
+    # range must reach the parquet reader, not a post-scan Filter
+    p = plans["q176_forecast_revenue"]
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+
+
+def test_returned_item_customers_topk_not_global_sort(plans):
+    # q177 (Q10 shape): the top-20 must be TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a full global sort,
+    # and nation must ride a broadcast
+    p = plans["q177_returned_item_customers"]
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_priority_by_status_pushes_year_window(plans):
+    # q179 (Q12 shape): lineitem pruned by the pushed shipdate year
+    # before the fact-fact join
+    p = plans["q179_priority_by_status"]
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_part_supplier_counts_broadcast_prunes(plans):
+    # q181 (Q16 shape): the part filter and the complaint set must
+    # both broadcast (semi + anti) — the fact never shuffles to be
+    # filtered
+    p = plans["q181_part_supplier_counts"]
+    assert "LeftAnti" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_disjunctive_revenue_single_broadcast_join(plans):
+    # q182 (Q19 shape): the pushable UNION of the part-side
+    # conditions filters the dim BEFORE one broadcast join; the OR
+    # blocks evaluate post-join in codegen — never a per-block scan
+    # or a cartesian
+    p = plans["q182_disjunctive_revenue"]
+    assert p.count("BroadcastHashJoin") == 1
+    assert "In(p_brand" in p
+    assert "CartesianProduct" not in p
