@@ -396,3 +396,13 @@ def test_disjunctive_revenue_single_broadcast_join(plans):
     assert p.count("BroadcastHashJoin") == 1
     assert "In(p_brand" in p
     assert "CartesianProduct" not in p
+
+
+def test_audio_probe_broadcasts_batch_postings(plans):
+    # q174: the arriving batch's postings (and the df-cap drop set —
+    # ubiquitous grams only, small by construction) must broadcast
+    # past the stored-posting scan; the store side is never shuffled
+    # for the match
+    p = plans["q174_audio_probe_vs_index"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
