@@ -193,6 +193,7 @@ HEADLINE = [
     "q180_top_supplier",
     "q181_part_supplier_counts",
     "q182_disjunctive_revenue",
+    "q183_cdc_chunk_dedup",
 ]
 
 

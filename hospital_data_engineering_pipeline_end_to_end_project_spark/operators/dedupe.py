@@ -1863,3 +1863,105 @@ def stitch_merge(
             ).alias("merged_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — shift-robust exact chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    w: int = 4,
+    boundary_mod: int = 32,
+) -> DataFrame:
+    """Content-defined chunks per document: a chunk boundary falls
+    AFTER token position ``i`` whenever the hash of the ``w``-token
+    window ending at ``i`` lands in the boundary class (``H(gram) %
+    boundary_mod == 0`` over the md5-prefix integer, the engine's
+    cross-engine hash idiom) — the Rabin-style rolling-boundary
+    primitive (LBFS/storage dedup; Gopher/RefinedWeb-era corpus
+    pipelines).  Unlike fixed windows (``dataprep.chunk_documents``,
+    q53), boundaries are functions of CONTENT, so an insertion near
+    a document's head shifts only the chunks up to the next
+    boundary: downstream chunks re-align and exact chunk-hash dedup
+    still finds the shared tail.
+
+    Scale shape: the chunker is one hundred-percent per-row —
+    boundary detection, segment splitting and chunk assembly are
+    higher-order array expressions (filter/transform/zip_with) inside
+    whole-stage codegen, so there is NO shuffle, NO UDF and NO
+    explode-then-window pass; a document's cost is bounded by its
+    own token count.  The only exchange in any downstream dedup is
+    the final chunk-hash groupBy.
+
+    Returns ``(id_col, chunk_idx, chunk_text, chunk_hash,
+    n_tokens)`` — one row per chunk, ``chunk_idx`` 0-based in
+    document order; empty documents yield no rows.
+    """
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    gram_of = lambda i: F.concat_ws("|", F.slice(toks, i - w + 1, F.lit(w)))  # noqa: E731
+    is_boundary = (
+        lambda i: F.conv(F.substring(F.md5(gram_of(i)), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % boundary_mod
+        == 0
+    )  # noqa: E731
+    # candidate boundary positions are w..n-1 (a break at n would
+    # open an empty trailing chunk); sequence() descends when
+    # start > stop, so guard the short-doc case explicitly
+    idxs = F.when(n > w, F.sequence(F.lit(w), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    breaks = F.filter(idxs, is_boundary)
+    starts = F.concat(F.array(F.lit(1)), F.transform(breaks, lambda b: b + 1))
+    ends = F.concat(breaks, F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.concat_ws(" ", F.slice(toks, s, e - s + 1)),
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).filter(F.col("chunk_text") != "")
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.md5("chunk_text").alias("chunk_hash"),
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def cdc_dup_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    w: int = 4,
+    boundary_mod: int = 32,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Chunk-level exact-duplication report over content-defined
+    chunks: for every chunk text occurring at least ``min_copies``
+    times, its hash, copy count, distinct-document spread and token
+    length.  One combinable groupBy on ``chunk_hash`` — the
+    boilerplate/shared-passage detector whose candidate unit is
+    insertion-shift-robust (the CDC property ``cdc_chunks``
+    documents)."""
+    ch = cdc_chunks(docs, id_col, text_col, w=w, boundary_mod=boundary_mod)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+    )

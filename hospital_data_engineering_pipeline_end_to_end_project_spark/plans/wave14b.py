@@ -554,3 +554,61 @@ WHERE {" OR ".join(_q182_block_sql(b) for b in Q182_BLOCKS)}
 
 QUERIES["q182_disjunctive_revenue"] = q182_disjunctive_revenue
 ORACLES["q182_disjunctive_revenue"] = Q182_SQL
+
+
+# ---------------------------------------------------------------------------
+# q183 — content-defined chunking dedup (shift-robust boilerplate
+# detection; see operators/dedupe.py:cdc_chunks for the CDC contract)
+# ---------------------------------------------------------------------------
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe  # noqa: E402
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.data_prep import TOKS_SQL  # noqa: E402
+
+Q183_W = 4
+Q183_MOD = 32
+
+
+def q183_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact chunk-level duplication over CONTENT-DEFINED chunks:
+    boundaries fall where the rolling w-gram hash lands in the
+    boundary class, so the dedup unit survives head insertions
+    (fixed windows — q53 — shift everything after an edit).  The
+    whole chunker is per-row higher-order array code in codegen;
+    the only exchange is the final chunk-hash groupBy."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedupe.cdc_dup_chunks(
+        d, "doc_id", "text", w=Q183_W, boundary_mod=Q183_MOD
+    )
+
+
+Q183_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+brk AS (
+  SELECT doc_id, toks, n,
+         [i FOR i IN range({Q183_W}, n) IF
+            CAST('0x' || substr(md5(array_to_string(
+                list_slice(toks, i - {Q183_W} + 1, i), '|')), 1, 4) AS BIGINT)
+            % {Q183_MOD} = 0] AS breaks
+  FROM d
+),
+seg AS (
+  SELECT doc_id, toks, n,
+         list_concat([1], [b + 1 FOR b IN breaks]) AS starts,
+         list_concat(breaks, [n]) AS ends
+  FROM brk
+),
+ch AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(toks, starts[i], ends[i]), ' ')
+                 FOR i IN range(1, len(starts) + 1)]) AS c
+  FROM seg
+)
+SELECT md5(c) AS chunk_hash, count(*)::BIGINT AS n_copies,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       max(len(string_split(c, ' ')))::BIGINT AS n_tokens
+FROM ch GROUP BY md5(c) HAVING count(*) >= 2
+"""
+
+QUERIES["q183_cdc_chunk_dedup"] = q183_cdc_chunk_dedup
+ORACLES["q183_cdc_chunk_dedup"] = Q183_SQL

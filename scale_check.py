@@ -1740,6 +1740,20 @@ def main() -> None:
         out["tpch14b_growth_ratio"] = {
             q: round(t_scaled[q] / t_base[q], 2) for q in names
         }
+    if family == "cdc":
+        # q183: content-defined chunking dedup on the document axis —
+        # the chunker is per-row codegen (no shuffle, no UDF), so
+        # growth must track the scan + the single chunk-hash
+        # aggregate
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        names = ("q183_cdc_chunk_dedup",)
+        t_base = time_queries(spark, SF_DIR, names=names)
+        t_scaled = time_queries(spark, scaled_dir, runs=1, names=names)
+        out["cdc_base_sec"] = t_base
+        out["cdc_scaled_sec"] = t_scaled
+        out["cdc_growth_ratio"] = {
+            q: round(t_scaled[q] / t_base[q], 2) for q in names
+        }
     if family == "audioprobe":
         # q174's amortization claim, measured: a FIXED arriving batch
         # (the base corpus's doc_id % 13 == 0 slice) probed against

@@ -313,3 +313,78 @@ def test_repeated_span_pairs_max_df_semantics(spark):
     a = sorted(map(tuple, dedupe.repeated_span_pairs(d2, "doc_id", "text", k=8, w=9).collect()))
     b = sorted(map(tuple, dedupe.repeated_span_pairs(d2, "doc_id", "text", k=8, w=9, max_df=10**6).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (q183)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_partition_document_exactly(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    # chunks concatenated in chunk_idx order must reconstruct the
+    # tokenized document — CDC is a partition, not a sample
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(200))) for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    ch = dedupe.cdc_chunks(d, "doc_id", "text", w=4, boundary_mod=8)
+    got = {
+        r.doc_id: " ".join(
+            c for _, c in sorted((x.chunk_idx, x.chunk_text) for x in grp)
+        )
+        for r in ch.select("doc_id").distinct().collect()
+        for grp in [[x for x in ch.collect() if x.doc_id == r.doc_id]]
+    }
+    for i, text in rows:
+        assert got[i] == text
+
+
+def test_cdc_chunks_shift_robust(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    # the CDC property: prepending tokens changes only the chunks up
+    # to the first surviving boundary — the tail chunk hashes
+    # re-align (a fixed-size chunker would shift every chunk)
+    base = " ".join(f"tok{j}" for j in range(400))
+    d = spark.createDataFrame(
+        [(1, base), (2, "INSERTED HEAD " + base)], "doc_id int, text string"
+    )
+    ch = dedupe.cdc_chunks(d, "doc_id", "text", w=4, boundary_mod=8)
+    hashes = {
+        i: {r.chunk_hash for r in ch.filter(ch.doc_id == i).collect()}
+        for i in (1, 2)
+    }
+    shared = hashes[1] & hashes[2]
+    # everything after the first boundary following the edit is
+    # identical; with ~50 chunks the overlap must be nearly total
+    assert len(shared) >= len(hashes[1]) - 2
+    assert len(shared) >= 1
+
+
+def test_cdc_chunks_edge_docs(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    # empty docs vanish; docs shorter than the gram window are one
+    # chunk equal to the whole document
+    d = spark.createDataFrame(
+        [(1, ""), (2, "a b"), (3, "   ")], "doc_id int, text string"
+    )
+    ch = dedupe.cdc_chunks(d, "doc_id", "text", w=4, boundary_mod=8)
+    rows = {(r.doc_id, r.chunk_idx): r.chunk_text for r in ch.collect()}
+    assert rows == {(2, 0): "a b"}
+
+
+def test_cdc_dup_chunks_counts_copies_and_docs(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe
+
+    shared = " ".join(f"s{j}" for j in range(120))
+    rows = [
+        (1, shared),
+        (2, "PFX " + shared),          # same shared tail, shifted
+        (3, " ".join(f"u{j}" for j in range(60))),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    dup = dedupe.cdc_dup_chunks(d, "doc_id", "text", w=4, boundary_mod=8)
+    got = {r.chunk_hash: (r.n_copies, r.n_docs) for r in dup.collect()}
+    assert got  # the re-aligned shared chunks are found
+    assert all(v == (2, 2) for v in got.values())

@@ -406,3 +406,21 @@ def test_audio_probe_broadcasts_batch_postings(plans):
     p = plans["q174_audio_probe_vs_index"]
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_cdc_chunk_dedup_no_joins_no_window(plans):
+    # q183: the CDC chunker is per-row higher-order array code — the
+    # plan must contain NO join and NO Window pass; the only
+    # exchanges are the final chunk-hash distinct-aggregate pair
+    p = plans["q183_cdc_chunk_dedup"]
+    assert not any(
+        j in p
+        for j in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        )
+    )
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
