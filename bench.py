@@ -194,6 +194,8 @@ HEADLINE = [
     "q181_part_supplier_counts",
     "q182_disjunctive_revenue",
     "q183_cdc_chunk_dedup",
+    "q184_cdc_from_index",
+    "q185_cdc_probe_vs_index",
 ]
 
 

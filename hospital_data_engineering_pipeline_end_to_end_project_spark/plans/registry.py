@@ -229,31 +229,38 @@ def _modules():
 #:      feature-store serve), and the wave-2 block: q174 (incremental
 #:      audio probe) + q175-q182 (the eight remaining TPC-H shapes —
 #:      Q4/Q6/Q10/Q11/Q12/Q15/Q16/Q19 — completing the full 22-query
-#:      TPC-H grammar) and q183 (content-defined-chunking dedup, the
-#:      late wave-3 arrival);
+#:      TPC-H grammar) and the wave-3 CDC block q183 (content-defined
+#:      chunking dedup), q184 (the chunk store's served report — the
+#:      NINTH index lifecycle) and q185 (the incremental chunk
+#:      probe);
 #:   3. r14-changed code whose VALUES changed or whose runtime path
 #:      is not pinned row-identical elsewhere: q153/q163 (integer-ppm
-#:      DQ report values — the r13 float-rounding advisory),
-#:      q154/q158/q159 (the [\s\S] symbolizer class), q90 (the
-#:      bounded _directed_salts probe in sources/writers.py);
-#:   4. NO filler — 28 pins + 16 arrivals + 6 changed fill the window
+#:      DQ report values — the r13 float-rounding advisory), q154
+#:      (the [\s\S] symbolizer class — its representative; q158/q159
+#:      share the identical change), q90 (the bounded _directed_salts
+#:      probe in sources/writers.py);
+#:   4. NO filler — 28 pins + 18 arrivals + 4 changed fill the window
 #:      exactly.  The wave-2/3 arrivals displaced q02-q04 (r11
 #:      filler), the six r14-changed-but-VALUE-IDENTICAL rows q140,
 #:      q147, q149, q150, q151, q167 (plan/serving-layout changes,
 #:      each pinned by plan contracts or bit-identity pytest rows,
-#:      official rows r13-fresh), and q156 (whose r14 change touched
-#:      only the never-engaged non-positive-weight clamp arm of its
-#:      ORACLE, value-identical on every SF) — arrivals outrank
-#:      value-identical changes outrank filler; those seven join the
+#:      official rows r13-fresh), q156 (whose r14 change touched only
+#:      the never-engaged non-positive-weight clamp arm of its
+#:      ORACLE, value-identical on every SF), and q158/q159 (the
+#:      symbolizer-class change, value-identical on every SF — the
+#:      advisory itself calls it dormant — with q154 kept in-window
+#:      as the class representative) — arrivals outrank
+#:      value-identical changes outrank filler; those nine join the
 #:      R15 PIN DEBT.
 #: After this round the freshest-row ledger reads: 50 r14 + 45 r11
 #: (q02-q19, q20, q21-q25, q27, q29, q30, q32-q41, q47, q48,
 #: q58-q60, q133, q137-q139, q141-q143) + q140/q147/q149-q151/q167
 #: r13 + everything else r12/r13.
 #: R15 ROTATION PLAN: pin the 45 r11 rows first (they age to three
-#: rounds old), then the six r14-changed VALUE-IDENTICAL rows
-#: (q140/q147/q149/q150/q151/q156/q167 — their freshest rows predate
-#: the r14 code), then r15-changed code + new arrivals, then the aging
+#: rounds old), then the nine r14-changed VALUE-IDENTICAL rows
+#: (q140/q147/q149/q150/q151/q156/q158/q159/q167 — their freshest
+#: rows predate the r14 code), then r15-changed code + new arrivals,
+#: then the aging
 #: r12 window.  The full catalog
 #: stays attested end-to-end by tests/test_oracle_parity.py at
 #: sf0.001 and the 50-window at sf0.01 by
@@ -303,10 +310,10 @@ _GATE_FRONT = (
     "q181_part_supplier_counts",
     "q182_disjunctive_revenue",
     "q183_cdc_chunk_dedup",
+    "q184_cdc_from_index",
+    "q185_cdc_probe_vs_index",
     "q153_dq_report",
     "q154_bpe_merge_steps",
-    "q158_bpe_compression",
-    "q159_bpe_from_vocab_index",
     "q163_dq_history",
     "q90_zorder_roundtrip",
 )
@@ -396,6 +403,8 @@ _GATE_BACK = (
     "q155_snapshot_diff",
     "q156_weighted_sample",
     "q157_hits_supplier_part",
+    "q158_bpe_compression",
+    "q159_bpe_from_vocab_index",
     "q15_customers_without_orders",
     "q160_volume_shipping",
     "q161_market_share",

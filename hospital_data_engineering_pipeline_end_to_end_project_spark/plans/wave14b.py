@@ -612,3 +612,111 @@ FROM ch GROUP BY md5(c) HAVING count(*) >= 2
 
 QUERIES["q183_cdc_chunk_dedup"] = q183_cdc_chunk_dedup
 ORACLES["q183_cdc_chunk_dedup"] = Q183_SQL
+
+
+# ---------------------------------------------------------------------------
+# q184/q185 — the NINTH index-served lifecycle: persistent CDC
+# chunk-hash store (streaming/chunk_index.py)
+# ---------------------------------------------------------------------------
+
+from hospital_data_engineering_pipeline_end_to_end_project_spark.plans.wave13 import _fresh_store  # noqa: E402
+from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import chunk_index, shardstore  # noqa: E402
+
+_Q184_BATCHES = 3
+_Q185_MOD = 19
+
+
+def q184_cdc_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q183's duplication report served FROM the persistent chunk
+    store: per-batch chunking shards, compaction, then the aggregate
+    stage over stored hashes only — zero document re-reads.
+    Row-identical to the recomputing form by construction, so the
+    oracle is q183's verbatim."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _fresh_store("q184", sf_dir)
+    writer = chunk_index.make_chunk_batch_writer(
+        root, w=Q183_W, boundary_mod=Q183_MOD
+    )
+    shardstore.build_shards_concurrently(
+        writer,
+        [
+            (b, d.filter(F.col("doc_id") % _Q184_BATCHES == b))
+            for b in range(_Q184_BATCHES)
+        ],
+    )
+    chunk_index.compact_chunk_shards(spark, root)
+    return chunk_index.dup_chunks_from_index(spark, root)
+
+
+QUERIES["q184_cdc_from_index"] = q184_cdc_from_index
+ORACLES["q184_cdc_from_index"] = Q183_SQL
+
+
+def q185_cdc_probe_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which chunks of an arriving batch (doc_id % 19 == 0; q174 uses
+    % 13, q139/q141 % 17 — distinct gated row sets) already exist in
+    the indexed corpus: the batch is chunked once, its distinct
+    hashes broadcast past the store scan, matched rows collapse to
+    per-hash corpus counts.  The oracle replays both sides' chunking
+    in closed form and joins per-hash counts."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % _Q185_MOD != 0)
+    batch = d.filter(F.col("doc_id") % _Q185_MOD == 0)
+    root = _fresh_store("q185", sf_dir)
+    writer = chunk_index.make_chunk_batch_writer(
+        root, w=Q183_W, boundary_mod=Q183_MOD
+    )
+    shardstore.build_shards_concurrently(
+        writer,
+        [(b, corpus.filter(F.col("doc_id") % 2 == b)) for b in range(2)],
+    )
+    return chunk_index.incremental_dup_chunks_against_index(
+        spark, root, batch, w=Q183_W, boundary_mod=Q183_MOD
+    )
+
+
+_Q185_CH_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+brk AS (
+  SELECT doc_id, toks, n,
+         [i FOR i IN range({Q183_W}, n) IF
+            CAST('0x' || substr(md5(array_to_string(
+                list_slice(toks, i - {Q183_W} + 1, i), '|')), 1, 4) AS BIGINT)
+            % {Q183_MOD} = 0] AS breaks
+  FROM d
+),
+seg AS (
+  SELECT doc_id, toks, n,
+         list_concat([1], [b + 1 FOR b IN breaks]) AS starts,
+         list_concat(breaks, [n]) AS ends
+  FROM brk
+),
+ch AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(toks, starts[i], ends[i]), ' ')
+                 FOR i IN range(1, len(starts) + 1)]) AS c
+  FROM seg
+)
+"""
+
+Q185_SQL = (
+    _Q185_CH_SQL
+    + f""",
+b AS (
+  SELECT md5(c) AS chunk_hash, count(*)::BIGINT AS n_batch_copies,
+         max(len(string_split(c, ' ')))::BIGINT AS n_tokens
+  FROM ch WHERE doc_id % {_Q185_MOD} = 0 GROUP BY md5(c)
+),
+co AS (
+  SELECT md5(c) AS chunk_hash, count(*)::BIGINT AS n_corpus_copies,
+         count(DISTINCT doc_id)::BIGINT AS n_corpus_docs
+  FROM ch WHERE doc_id % {_Q185_MOD} <> 0 GROUP BY md5(c)
+)
+SELECT chunk_hash, n_batch_copies, n_corpus_copies, n_corpus_docs, n_tokens
+FROM b JOIN co USING (chunk_hash)
+"""
+)
+
+QUERIES["q185_cdc_probe_vs_index"] = q185_cdc_probe_vs_index
+ORACLES["q185_cdc_probe_vs_index"] = Q185_SQL

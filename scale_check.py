@@ -1754,6 +1754,68 @@ def main() -> None:
         out["cdc_growth_ratio"] = {
             q: round(t_scaled[q] / t_base[q], 2) for q in names
         }
+    if family == "chunkstore":
+        # the CDC chunk store's amortization: at ``copies``x docs the
+        # store build (chunk ONCE) is the linear term; the SERVED dup
+        # report reads stored hashes only, and the FIXED batch's
+        # incremental probe re-chunks nothing but the batch.
+        from pyspark.sql import functions as F
+
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import dedupe as DD
+        from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming import chunk_index, shardstore
+
+        make_scaled_documents(SF_DIR, scaled_dir, copies)
+        batch = (
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 19 == 0)
+        )
+
+        def _measure(dirpath: str, tag: str) -> None:
+            docs = spark.read.parquet(
+                os.path.join(dirpath, "documents.parquet")
+            ).select("doc_id", "text")
+            root = os.path.join(scaled_dir, f"chunk_idx_{tag}")
+            shutil.rmtree(root, ignore_errors=True)
+            t0 = time.time()
+            writer = chunk_index.make_chunk_batch_writer(root)
+            shardstore.build_shards_concurrently(
+                writer,
+                [(b, docs.filter(F.col("doc_id") % 3 == b)) for b in range(3)],
+            )
+            chunk_index.compact_chunk_shards(spark, root)
+            t_build = round(time.time() - t0, 3)
+            t0 = time.time()
+            chunk_index.dup_chunks_from_index(spark, root).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t_serve = round(time.time() - t0, 3)
+            t0 = time.time()
+            chunk_index.incremental_dup_chunks_against_index(
+                spark, root, batch
+            ).write.format("noop").mode("overwrite").save()
+            t_probe = round(time.time() - t0, 3)
+            t0 = time.time()
+            DD.cdc_dup_chunks(docs, "doc_id", "text").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t_recompute = round(time.time() - t0, 3)
+            out[f"chunkstore_{tag}"] = {
+                "build_sec": t_build,
+                "serve_sec": t_serve,
+                "probe_sec": t_probe,
+                "recompute_sec": t_recompute,
+            }
+
+        _measure(SF_DIR, "base")
+        _measure(scaled_dir, "scaled")
+        b, s = out["chunkstore_base"], out["chunkstore_scaled"]
+        out["chunkstore_probe_growth"] = round(
+            s["probe_sec"] / b["probe_sec"], 2
+        )
+        out["chunkstore_serve_vs_recompute_scaled"] = round(
+            s["serve_sec"] / s["recompute_sec"], 3
+        )
     if family == "audioprobe":
         # q174's amortization claim, measured: a FIXED arriving batch
         # (the base corpus's doc_id % 13 == 0 slice) probed against

@@ -424,3 +424,21 @@ def test_cdc_chunk_dedup_no_joins_no_window(plans):
     )
     assert "Window" not in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_cdc_from_index_is_pure_aggregate(plans):
+    # q184: the served dup report reads stored hashes and aggregates
+    # — no join anywhere in the plan
+    p = plans["q184_cdc_from_index"]
+    assert not any(
+        j in p
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+
+
+def test_cdc_probe_broadcasts_batch_hashes(plans):
+    # q185: the batch's distinct hashes (and its per-hash counts)
+    # broadcast past the store scan — the index is never shuffled
+    p = plans["q185_cdc_probe_vs_index"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
