@@ -1,5 +1,7 @@
-"""Round-14 wave 2: the last eight classic TPC-H shapes (q175-q182),
-completing the full 22-query TPC-H optimizer grammar.
+"""Round-14 waves 2-3: the last eight classic TPC-H shapes
+(q175-q182), completing the full 22-query TPC-H optimizer grammar,
+plus the content-defined-chunking dedup block (q183 CDC dedup, q184
+chunk-store served report, q185 incremental chunk probe).
 
 With q175-q182 every TPC-H query shape has a gated, oracle-checked
 form in the catalog: Q1=q01, Q2=q100, Q3=q03, Q4=q175, Q5=q165,
