@@ -407,7 +407,6 @@ def simhash16(col: Column | str) -> Column:
     same construction widens via an explode-aggregate formulation.
     """
     t = TX.tokens(col)
-    hexes = F.transform(t, lambda x: F.md5(x))
 
     def bit_fold(pos: int, shift: int):
         # closure factory: keeps the fold lambda strictly 2-arg
@@ -421,14 +420,25 @@ def simhash16(col: Column | str) -> Column:
 
         return fold
 
-    bit_terms = []
-    for i in range(16):
-        balance = F.aggregate(hexes, F.lit(0), bit_fold(i // 4, i % 4))
-        bit_terms.append(F.when(balance > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bit_terms[0]
-    for term in bit_terms[1:]:
-        out = out + term
-    return out
+    # the md5 array is BOUND as a lambda variable so the 16 per-bit
+    # folds share ONE evaluation — each fold referencing the
+    # tokenize+md5 expression directly re-hashes every token per bit
+    # (16x; interpreted HOF bodies, no subexpression cache — r14)
+    def _sim_of(hexes: Column) -> Column:
+        bit_terms = []
+        for i in range(16):
+            balance = F.aggregate(hexes, F.lit(0), bit_fold(i // 4, i % 4))
+            bit_terms.append(
+                F.when(balance > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            )
+        out = bit_terms[0]
+        for term in bit_terms[1:]:
+            out = out + term
+        return out
+
+    return F.element_at(
+        F.transform(F.array(F.transform(t, lambda x: F.md5(x))), _sim_of), 1
+    )
 
 
 def hamming16(a: Column, b: Column) -> Column:
@@ -971,11 +981,16 @@ def _winnow_fp_arrays(
     # into slice(start=0) and aborts the job.  For clamped short
     # docs the junk single-element arrays are dropped by the guard;
     # for guarded docs the clamp is inert (n_grams >= w >= 1).
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15), 16, 10).cast("long"),
-    )
+    # the TOKEN array is bound as a lambda variable too (r14): slicing
+    # the tokens() EXPRESSION from inside the per-gram lambda re-runs
+    # the split per gram — O(n²) per document, the same interpreted-HOF
+    # re-evaluation the `hs` binding below guards against one level up
+    def _hs_of(tk: Column) -> Column:
+        n_grams = F.greatest(F.size(tk) - (k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(F.substring(F.md5(F.array_join(F.slice(tk, i, k), " ")), 1, 15), 16, 10).cast("long"),
+        )
 
     # the hash array is BOUND as a lambda variable (transform over a
     # one-element wrapper) so the whole selection is a single
@@ -1009,7 +1024,13 @@ def _winnow_fp_arrays(
             )
         )
 
-    fps = F.element_at(F.transform(F.array(hs), _select), 1)
+    fps = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.element_at(F.transform(F.array(_hs_of(tk)), _select), 1),
+        ),
+        1,
+    )
     return (
         docs.filter(F.size(toks) >= w + k - 1)
         .select(
@@ -1559,14 +1580,27 @@ def positional_gram_hashes(
     InferFiltersFromGenerate evaluates it beside (not after) the
     short-doc guard — see the note in ``_winnow_fp_arrays``."""
     toks = TX.tokens(text_col)
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 15),
-            16,
-            10,
-        ).cast("long"),
+    # bind the token array as a lambda variable: slicing the tokens()
+    # EXPRESSION from inside the per-gram lambda re-runs the split per
+    # gram (interpreted HOF bodies, no subexpression cache) — O(n²)
+    # per document (the r14 finding; same trap as _winnow_fp_arrays)
+    hs = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1))
+                ),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(tk, i, k), " ")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ),
+        ),
+        1,
     )
     return (
         docs.filter(F.size(toks) >= k)
@@ -1903,29 +1937,45 @@ def cdc_chunks(
     document order; empty documents yield no rows.
     """
     toks = TX.tokens(text_col)
-    n = F.size(toks)
-    gram_of = lambda i: F.concat_ws("|", F.slice(toks, i - w + 1, F.lit(w)))  # noqa: E731
-    is_boundary = (
-        lambda i: F.conv(F.substring(F.md5(gram_of(i)), 1, 4), 16, 10).cast(
-            "long"
+
+    # token array and break list are BOUND as lambda variables
+    # (transform over a one-element wrapper — the established idiom):
+    # slicing the tokens() EXPRESSION from inside the boundary filter
+    # re-runs the split per candidate position (interpreted HOF
+    # bodies, no subexpression cache) — O(n²) per document — and the
+    # `breaks` expression referenced from both `starts` and `ends`
+    # would re-run the whole md5 boundary scan twice (r14)
+    def _chunks_of(tk: Column) -> Column:
+        n = F.size(tk)
+        gram_of = lambda i: F.concat_ws("|", F.slice(tk, i - w + 1, F.lit(w)))  # noqa: E731
+        is_boundary = (
+            lambda i: F.conv(F.substring(F.md5(gram_of(i)), 1, 4), 16, 10).cast(
+                "long"
+            )
+            % boundary_mod
+            == 0
+        )  # noqa: E731
+        # candidate boundary positions are w..n-1 (a break at n would
+        # open an empty trailing chunk); sequence() descends when
+        # start > stop, so guard the short-doc case explicitly
+        idxs = F.when(n > w, F.sequence(F.lit(w), n - 1)).otherwise(
+            F.array().cast("array<int>")
         )
-        % boundary_mod
-        == 0
-    )  # noqa: E731
-    # candidate boundary positions are w..n-1 (a break at n would
-    # open an empty trailing chunk); sequence() descends when
-    # start > stop, so guard the short-doc case explicitly
-    idxs = F.when(n > w, F.sequence(F.lit(w), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    breaks = F.filter(idxs, is_boundary)
-    starts = F.concat(F.array(F.lit(1)), F.transform(breaks, lambda b: b + 1))
-    ends = F.concat(breaks, F.array(n))
-    chunks = F.zip_with(
-        starts,
-        ends,
-        lambda s, e: F.concat_ws(" ", F.slice(toks, s, e - s + 1)),
-    )
+
+        def _segs_of(br: Column) -> Column:
+            starts = F.concat(F.array(F.lit(1)), F.transform(br, lambda b: b + 1))
+            ends = F.concat(br, F.array(n))
+            return F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.concat_ws(" ", F.slice(tk, s, e - s + 1)),
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.filter(idxs, is_boundary)), _segs_of), 1
+        )
+
+    chunks = F.element_at(F.transform(F.array(toks), _chunks_of), 1)
     out = docs.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),

@@ -305,6 +305,20 @@ def _be_hex(col, n_hex: int):
     return F.lpad(F.hex(col), n_hex, "0")
 
 
+#: byte length of one :func:`_jpeg_hex` frame — every segment is
+#: fixed-width (the dims are zero-padded 4-hex fields), so all
+#: synthesized frames are exactly this many bytes
+_JPEG_FRAME_BYTES = (
+    len(
+        "ffd8" "ffe0" "0010" "4a46494600" "0101" "00" "0001" "0001" "0000"
+        "ffc0" "0011" "08" "hhhh" "wwww"
+        "03" "012200" "021101" "031101"
+        "ffd9"
+    )
+    // 2
+)
+
+
 def _jpeg_hex(w, h):
     """Hex text of a minimal spec-correct baseline JPEG (SOI |
     APP0/JFIF | SOF0 with the given dims | EOI) — shared by the image
@@ -483,7 +497,11 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.struct(
             F.lit("audio/wav").alias("mime"),
             F.lit("synthetic").alias("source"),
-            F.length(payload).cast("long").alias("byte_len"),
+            # closed form (data bytes + 44-byte RIFF/fmt/data headers):
+            # F.length(payload) would re-run the per-sample HOF
+            # synthesis a second time per row (no CSE for interpreted
+            # HOF subtrees — the r14 finding)
+            (data_size + 44).alias("byte_len"),
         ).alias("meta"),
     )
 
@@ -509,43 +527,107 @@ def audio_frame_energy(
     wants is one float op away).  Rows whose payload fails to decode
     emit no frames — on mixed 100 TB media a corrupt file must not
     kill the stage (same contract as :func:`decoded_stats`)."""
-    decoder = _DECODERS["audio/wav"]
-
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             ids, fids, counts, energies = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
+                got = _pcm_frame_energies(payload, frame_samples)
+                if got is None:
                     continue
-                try:
-                    pcm = decoder(bytes(payload))
-                except ValueError:
-                    continue
-                if len(pcm) % 2:
-                    # structurally valid RIFF whose data chunk is an
-                    # odd byte count: not int16 PCM — corrupt-payload
-                    # branch, never a stage failure (frombuffer would
-                    # raise OUTSIDE any guard otherwise)
-                    continue
-                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
-                for f in range(0, len(s), frame_samples):
-                    frame = s[f : f + frame_samples]
-                    ids.append(media_id)
-                    fids.append(f // frame_samples)
-                    counts.append(len(frame))
-                    energies.append(int((frame * frame).sum()))
+                e, last_n = got
+                nf = len(e)
+                ids.append(np.full(nf, media_id, dtype=np.int64))
+                fids.append(np.arange(nf, dtype=np.int64))
+                cnt = np.full(nf, frame_samples, dtype=np.int64)
+                if nf:
+                    cnt[-1] = last_n
+                counts.append(cnt)
+                energies.append(e)
+            cat = (
+                lambda parts: np.concatenate(parts)
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "frame_id": pd.Series(fids, dtype="int64"),
-                    "n_samples": pd.Series(counts, dtype="int64"),
-                    "energy": pd.Series(energies, dtype="int64"),
+                    "media_id": pd.Series(cat(ids), dtype="int64"),
+                    "frame_id": pd.Series(cat(fids), dtype="int64"),
+                    "n_samples": pd.Series(cat(counts), dtype="int64"),
+                    "energy": pd.Series(cat(energies), dtype="int64"),
                 }
             )
 
     return media.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+def _pcm_frame_energies(payload, frame_samples: int):
+    """Decode one WAV payload to its per-frame int64 energy vector —
+    the shared kernel of :func:`audio_frame_energy` and
+    :func:`audio_energy_sequences`.  Returns ``(energies ndarray,
+    n_samples_in_last_frame)`` or ``None`` for the corrupt-payload
+    branch.  Frame sums are whole-array numpy ops (square, pad,
+    reshape, row-sum) — identical int64 values to the former
+    per-frame Python loop, minus the interpreter in the row path
+    (guide §4.2)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    try:
+        pcm = _DECODERS["audio/wav"](bytes(payload))
+    except ValueError:
+        return None
+    if len(pcm) % 2:
+        # structurally valid RIFF whose data chunk is an odd byte
+        # count: not int16 PCM — corrupt-payload branch, never a
+        # stage failure (frombuffer would raise OUTSIDE any guard
+        # otherwise)
+        return None
+    s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), 0
+    nf = -(-n // frame_samples)
+    sq = s * s
+    pad = nf * frame_samples - n
+    if pad:
+        sq = np.concatenate([sq, np.zeros(pad, dtype=np.int64)])
+    e = sq.reshape(nf, frame_samples).sum(axis=1)
+    return e, frame_samples - pad
+
+
+def audio_energy_sequences(
+    media: DataFrame, frame_samples: int = 16
+) -> DataFrame:
+    """Per-media frame-energy SEQUENCES ``(media_id, __e
+    array<long>)`` in frame order, decoded map-side in one Arrow
+    pass.  Row-identical to grouping :func:`audio_frame_energy` by
+    ``media_id`` and collecting energies sorted by ``frame_id`` —
+    but each payload's frames are produced together in its own task,
+    so reassembling them through a groupBy/collect_list EXCHANGE is
+    pure waste (guide §2.4); the gram builders consume this form
+    directly with zero shuffle.  Undecodable payloads emit no row
+    (the same corrupt-payload contract)."""
+
+    def _seqs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, seqs = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = _pcm_frame_energies(payload, frame_samples)
+                if got is None:
+                    continue
+                ids.append(media_id)
+                seqs.append(got[0])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "__e": pd.Series(seqs, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_seqs, schema="media_id long, __e array<long>")
 
 
 def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -575,7 +657,11 @@ def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.struct(
             F.lit("video/x-motion-jpeg").alias("mime"),
             F.lit("synthetic").alias("source"),
-            F.length(payload).cast("long").alias("byte_len"),
+            # closed form: every _jpeg_hex frame is exactly 41 bytes
+            # (fixed markers + two 2-byte dims) — F.length(payload)
+            # would re-run the per-frame HOF synthesis a second time
+            # per row (no CSE for interpreted HOF subtrees — r14)
+            (n * _JPEG_FRAME_BYTES).alias("byte_len"),
         ).alias("meta"),
     )
 
@@ -762,13 +848,18 @@ def synthesize_minhash_pgm(
     payload = F.concat(
         F.unhex(F.lit(_PGM_HEADER.hex())), F.unhex(raster_hex)
     )
+    # byte_len is structurally constant (fixed header + one raster
+    # byte per pixel, every doc): F.length(payload) would be a SECOND
+    # reference to the HOF pixel build, re-running the whole 72-pixel
+    # minhash synthesis per row (interpreted HOF subtrees get no
+    # projection CSE — the r14 finding)
     return docs.select(
         idc.alias("media_id"),
         payload.alias("payload"),
         F.struct(
             F.lit(PGM_MIME).alias("mime"),
             F.lit("synthetic-minhash-sketch").alias("source"),
-            F.length(payload).cast("long").alias("byte_len"),
+            F.lit(len(_PGM_HEADER) + n_px).cast("long").alias("byte_len"),
         ).alias("meta"),
     )
 
@@ -939,12 +1030,22 @@ def synthesize_speech_wav(
     u16 = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
 
     def tok_hex(t):
-        return F.array_join(
+        # bind the token's base u16 once (one-element-array transform,
+        # the synthesize_minhash_pgm idiom): referencing u16(t) from
+        # inside the per-sample lambda re-runs the md5 for every one
+        # of the SPEECH_SAMPLES_PER_TOKEN samples (16x — r14)
+        return F.element_at(
             F.transform(
-                F.sequence(F.lit(0), F.lit(SPEECH_SAMPLES_PER_TOKEN - 1)),
-                lambda j: _le_hex((u16(t) + 7 * j) % 65536, 4),
+                F.array(u16(t)),
+                lambda u: F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(SPEECH_SAMPLES_PER_TOKEN - 1)),
+                        lambda j: _le_hex((u + 7 * j) % 65536, 4),
+                    ),
+                    "",
+                ),
             ),
-            "",
+            1,
         )
 
     samples_hex = F.array_join(F.transform(toks, tok_hex), "")
@@ -969,7 +1070,12 @@ def synthesize_speech_wav(
         F.struct(
             F.lit("audio/wav").alias("mime"),
             F.lit("synthetic-speech").alias("source"),
-            F.length(payload).cast("long").alias("byte_len"),
+            # closed form (data bytes + 44-byte RIFF/fmt/data headers):
+            # F.length(payload) would re-run the per-token sample HOF
+            # synthesis a second time per row (no CSE for interpreted
+            # HOF subtrees — the r14 finding).  data_size re-tokenizes
+            # (one linear split), never the md5 sample build.
+            (data_size + 44).alias("byte_len"),
         ).alias("meta"),
     )
 
@@ -987,17 +1093,16 @@ def audio_gram_postings(
     these rows per batch and the match stage can be served WITHOUT
     re-decoding: the gram hash is a pure function of the decoded
     int64 frame energies (md5 over the ``|``-joined window), so the
-    stored postings are engine- and run-stable."""
-    frames = audio_frame_energy(media, frame_samples=frame_samples)
-    seq = (
-        frames.groupBy("media_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("frame_id", "energy"))),
-                lambda x: x["energy"],
-            ).alias("__e")
-        )
-        .filter(F.size("__e") >= k)
+    stored postings are engine- and run-stable.
+
+    The energy sequences come from :func:`audio_energy_sequences` —
+    decoded straight to per-media arrays in one map-side Arrow pass.
+    r13 reassembled :func:`audio_frame_energy` rows through a
+    groupBy/collect_list EXCHANGE; the frames of a payload never
+    leave their decode task, so that shuffle (plus its array_sort)
+    bought nothing (guide §2.4) — removed in r14, rows identical."""
+    seq = audio_energy_sequences(media, frame_samples=frame_samples).filter(
+        F.size("__e") >= k
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__e") - (k - 1)),
@@ -1190,13 +1295,31 @@ def synthesize_token_video(
         )
 
     payload = F.unhex(F.array_join(F.transform(toks, frame_hex), ""))
+    # every token frame is fixed-width (all markers literal, the COM
+    # body a fixed VIDEO_FP_HEX hex chars rendered as 2-hex-per-byte
+    # ASCII), so byte_len is a closed form of the token count —
+    # F.length(payload) would re-run the per-token md5 frame HOF
+    # build a second time per row (no CSE for interpreted HOF
+    # subtrees — the r14 finding)
+    frame_bytes = (
+        len(
+            "ffd8"
+            "ffe0" "0010" "4a46494600" "0101" "00" "0001" "0001" "0000"
+            "fffe" "llll"
+            "ffc0" "0011" "08" "hhhh" "wwww"
+            "03" "012200" "021101" "031101"
+            "ffd9"
+        )
+        // 2
+        + VIDEO_FP_HEX
+    )
     return docs.select(
         idc.alias("media_id"),
         payload.alias("payload"),
         F.struct(
             F.lit("video/x-motion-jpeg").alias("mime"),
             F.lit("synthetic-token-video").alias("source"),
-            F.length(payload).cast("long").alias("byte_len"),
+            (F.size(toks) * frame_bytes).cast("long").alias("byte_len"),
         ).alias("meta"),
     )
 
@@ -1288,6 +1411,49 @@ def video_frame_signatures(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_sigs, schema=VIDEO_SIG_SCHEMA)
 
 
+def video_fp_sequences(media: DataFrame) -> DataFrame:
+    """Per-media frame-fingerprint SEQUENCES ``(media_id, __f
+    array<long>)`` in frame order — :func:`video_frame_signatures`'s
+    walk emitted as one array row per payload, map-side (the audio
+    leg's :func:`audio_energy_sequences` shape: a payload's frames
+    never leave their decode task, so the former
+    groupBy/collect_list reassembly EXCHANGE bought nothing — guide
+    §2.4).  Same all-or-nothing per-payload failure contract."""
+
+    def _seqs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, seqs = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                p_fps: list[int] = []
+                ok = True
+                start = 0
+                while start < len(b):
+                    end = b.find(b"\xff\xd9", start)
+                    if end < 0:
+                        ok = False
+                        break
+                    try:
+                        p_fps.append(_frame_com_fp(b[start : end + 2]))
+                    except ValueError:
+                        ok = False
+                        break
+                    start = end + 2
+                if ok:
+                    ids.append(media_id)
+                    seqs.append(p_fps)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "__f": pd.Series(seqs, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_seqs, schema="media_id long, __f array<long>")
+
+
 def video_scene_pairs(
     media: DataFrame,
     *,
@@ -1310,17 +1476,10 @@ def video_scene_pairs(
     1-based frame offsets, maximal-run lengths >= ``min_frames``."""
     if min_frames < k:
         raise ValueError(f"min_frames={min_frames} below the gram size k={k}")
-    sigs = video_frame_signatures(media)
-    seq = (
-        sigs.groupBy("media_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("frame_index", "fp"))),
-                lambda x: x["fp"],
-            ).alias("__f")
-        )
-        .filter(F.size("__f") >= k)
-    )
+    # decoded straight to per-media fingerprint arrays map-side —
+    # r13's groupBy/collect_list reassembly exchange removed (r14,
+    # rows identical; see video_fp_sequences)
+    seq = video_fp_sequences(media).filter(F.size("__f") >= k)
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__f") - (k - 1)),
         lambda i: F.md5(

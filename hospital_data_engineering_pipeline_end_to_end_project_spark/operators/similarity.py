@@ -531,13 +531,23 @@ def _centroid_dists(v, centroids: list[list[float]]):
     and each distance is the same sequential zip_with/aggregate fold
     the oracles replay."""
     cents = _dmatrix(centroids)
-    return F.transform(
-        cents,
-        lambda p: F.aggregate(
-            F.zip_with(v, p, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # the vector is BOUND as a lambda variable: referencing the
+    # as_double() cast expression from inside the per-centroid lambda
+    # re-casts the vector once per centroid (K x dim instead of dim —
+    # interpreted HOF bodies re-evaluate their subtrees, r14)
+    return F.element_at(
+        F.transform(
+            F.array(v),
+            lambda vv: F.transform(
+                cents,
+                lambda p: F.aggregate(
+                    F.zip_with(vv, p, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
         ),
+        1,
     )
 
 
@@ -556,8 +566,20 @@ def assign_ivf_cluster(
     survives production cluster counts (K ~ sqrt(n))."""
     v = V.as_double(vec_col)
     d = _centroid_dists(v, centroids)
+    # bind the K-entry distance array once: argmin references it twice
+    # (array_position + array_min), and each reference re-runs all K
+    # distance folds (r14)
     return df.withColumn(
-        "cluster", (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        "cluster",
+        F.element_at(
+            F.transform(
+                F.array(d),
+                lambda dd: (
+                    F.array_position(dd, F.array_min(dd)) - 1
+                ).cast("int"),
+            ),
+            1,
+        ),
     )
 
 
@@ -675,7 +697,17 @@ def ivf_topk(
     if hierarchical:
         meta, super_cents = _hier_routing(df.sparkSession, centroids, None)
         sup_d = _centroid_dists(F.col("v"), super_cents)
-        sup = (F.array_position(sup_d, F.array_min(sup_d)) - 1).cast("int")
+        # bind the routing-distance array once (argmin = two
+        # references, each re-running the sqrt(K) folds — r14)
+        sup = F.element_at(
+            F.transform(
+                F.array(sup_d),
+                lambda sd: (
+                    F.array_position(sd, F.array_min(sd)) - 1
+                ).cast("int"),
+            ),
+            1,
+        )
         routed = base.withColumn("__sup", sup).join(F.broadcast(meta), "__sup")
         structs = F.zip_with(
             F.col("__kids"),
@@ -1358,19 +1390,45 @@ def assign_ivf_cluster_hierarchical(
     meta, super_cents = _hier_routing(df.sparkSession, centroids, n_super)
     v = V.as_double(vec_col)
     sup_d = _centroid_dists(v, super_cents)
-    sup = (F.array_position(sup_d, F.array_min(sup_d)) - 1).cast("int")
-    routed = df.withColumn("__sup", sup).join(F.broadcast(meta), "__sup")
-    kd = F.transform(
-        F.col("__kids"),
-        lambda p: F.aggregate(
-            F.zip_with(v, p, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # bind the routing-distance array once (argmin = two references,
+    # each re-running the sqrt(K) folds otherwise — r14)
+    sup = F.element_at(
+        F.transform(
+            F.array(sup_d),
+            lambda sd: (F.array_position(sd, F.array_min(sd)) - 1).cast("int"),
         ),
+        1,
     )
-    local = F.array_position(kd, F.array_min(kd)).cast("int")
+    routed = df.withColumn("__sup", sup).join(F.broadcast(meta), "__sup")
+    # child distances: the vector cast is bound (one evaluation, not
+    # one per child centroid), and each consumer binds the kd array
+    # so its argmin/min references share one evaluation
+    kd = F.element_at(
+        F.transform(
+            F.array(v),
+            lambda vv: F.transform(
+                F.col("__kids"),
+                lambda p: F.aggregate(
+                    F.zip_with(vv, p, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        ),
+        1,
+    )
     out = routed.withColumn(
-        "cluster", F.element_at(F.col("__kid_ids"), local).cast("int")
+        "cluster",
+        F.element_at(
+            F.transform(
+                F.array(kd),
+                lambda kdv: F.element_at(
+                    F.col("__kid_ids"),
+                    F.array_position(kdv, F.array_min(kdv)).cast("int"),
+                ),
+            ),
+            1,
+        ).cast("int"),
     )
     if with_dist:
         # squared distance to the chosen centroid (``__hdist``) rides
@@ -1616,9 +1674,19 @@ def pq_encode(
     out = df.select(F.col(id_col), V.as_double(vec_col).alias("__xd"))
     for m, book in enumerate(codebooks):
         d = _centroid_dists(F.slice(F.col("__xd"), m * ds + 1, ds), book)
+        # bind the k-entry distance array once per subspace: argmin
+        # references it twice, each re-running all k folds (r14)
         out = out.withColumn(
             f"code_{m}",
-            (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+            F.element_at(
+                F.transform(
+                    F.array(d),
+                    lambda dd: (
+                        F.array_position(dd, F.array_min(dd)) - 1
+                    ).cast("int"),
+                ),
+                1,
+            ),
         )
     return out.drop("__xd")
 
@@ -1888,9 +1956,19 @@ def ivf_pq_adc_topk(
         )
         for m, book in enumerate(books):
             d = _centroid_dists(F.slice(F.col("__rd"), m * ds + 1, ds), book)
+            # bind the k-entry distance array once per subspace (the
+            # pq_encode argmin fix — r14)
             resid = resid.withColumn(
                 f"code_{m}",
-                (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+                F.element_at(
+                    F.transform(
+                        F.array(d),
+                        lambda dd: (
+                            F.array_position(dd, F.array_min(dd)) - 1
+                        ).cast("int"),
+                    ),
+                    1,
+                ),
             )
         codes = resid.select(
             "neighbor_id", "cluster", *[f"code_{m}" for m in range(n_sub)]
@@ -2051,13 +2129,23 @@ def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     SQL.  Returns ``(id_col, __s, __n, __qv)``."""
     v = V.as_double(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # the absmax is BOUND as a lambda variable inside the code
+    # transform: referencing the array_max expression from the
+    # per-element lambda re-scans the vector per element (dim² — r14)
+    qv = F.element_at(
+        F.transform(
+            F.array(amax),
+            lambda am: F.transform(
+                v, lambda x: F.floor(x / (am / F.lit(127.0)) + F.lit(0.5)).cast("int")
+            ),
+        ),
+        1,
+    )
     return df.select(
         F.col(id_col),
         (amax / F.lit(127.0)).alias("__s"),
         V.norm(v).alias("__n"),
-        F.transform(
-            v, lambda x: F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast("int")
-        ).alias("__qv"),
+        qv.alias("__qv"),
     ).filter(F.col("__s") > 0)
 
 
@@ -2488,7 +2576,7 @@ def binary_sign_pack(
     n_words = (dim + 31) // 32
     v = V.as_double(vec_col)
 
-    def _word(base: int):
+    def _word(vv: Column, base: int):
         # closure factory, NOT a default arg: F.aggregate inspects the
         # lambda's arity and a bound default would read as 3 params
         return F.aggregate(
@@ -2496,13 +2584,22 @@ def binary_sign_pack(
             F.lit(0).cast("long"),
             lambda acc, i: acc * 2
             + F.when(
-                F.element_at(v, (i + F.lit(base + 1)).cast("int")) > 0,
+                F.element_at(vv, (i + F.lit(base + 1)).cast("int")) > 0,
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
 
-    words = [_word(32 * w) for w in range(n_words)]
-    return df.select(F.col(id_col), F.array(*words).alias(out_col))
+    # the cast vector is BOUND as a lambda variable: element_at on the
+    # as_double() expression from inside the fold re-casts the whole
+    # vector once per BIT (dim² — interpreted HOF bodies, r14)
+    packed = F.element_at(
+        F.transform(
+            F.array(v),
+            lambda vv: F.array(*[_word(vv, 32 * w) for w in range(n_words)]),
+        ),
+        1,
+    )
+    return df.select(F.col(id_col), packed.alias(out_col))
 
 
 def binary_hamming_topk(

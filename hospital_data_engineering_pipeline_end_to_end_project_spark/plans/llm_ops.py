@@ -876,7 +876,17 @@ def q58_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = V.as_double("embedding")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = (amax / F.lit(127.0)).alias("scale")
-    qv = F.transform(v, lambda x: F.floor(x / (amax / 127.0) + 0.5).cast("int"))
+    # amax bound once — the per-element reference re-scans the vector
+    # per element otherwise (dim², the int8_quantize finding — r14)
+    qv = F.element_at(
+        F.transform(
+            F.array(amax),
+            lambda am: F.transform(
+                v, lambda x: F.floor(x / (am / 127.0) + 0.5).cast("int")
+            ),
+        ),
+        1,
+    )
     return (
         e.select(
             "vec_id",
