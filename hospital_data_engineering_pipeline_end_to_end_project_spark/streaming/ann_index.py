@@ -147,8 +147,8 @@ def make_ivf_batch_writer(
         assigned = assign_ivf_cluster(
             batch_df.select(id_col, vec_col), cents, vec_col=vec_col
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(root, f"batch={batch_id}")
+        shardstore.write_shard(
+            assigned, os.path.join(root, f"batch={batch_id}")
         )
 
     return handle

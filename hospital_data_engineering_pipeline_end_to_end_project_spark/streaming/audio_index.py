@@ -77,8 +77,8 @@ def make_audio_batch_writer(
             )
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         )
-        postings.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        shardstore.write_shard(
+            postings, os.path.join(out_dir, f"batch={batch_id}")
         )
 
     return handle

@@ -77,8 +77,8 @@ def make_chunk_batch_writer(
             )
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         )
-        chunks.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        shardstore.write_shard(
+            chunks, os.path.join(out_dir, f"batch={batch_id}")
         )
 
     return handle

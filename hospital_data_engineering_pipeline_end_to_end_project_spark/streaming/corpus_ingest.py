@@ -229,14 +229,17 @@ def make_novelty_batch_ingestor(
             .select(id_col, "simhash")
         )
         accepted = batch.join(novel.select(id_col), id_col, "left_semi")
-        accepted.write.mode("overwrite").parquet(
-            accepted_batch_path(root, batch_id)
+        shardstore.write_shard(
+            accepted, accepted_batch_path(root, batch_id)
         )
         # the batch id rides along as a COLUMN so self-exclusion
         # survives compaction folding this shard away (see read_index)
-        novel.withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
-        ).write.mode("overwrite").parquet(shard)
+        shardstore.write_shard(
+            novel.withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            ),
+            shard,
+        )
         if skip_applied:
             _write_marker(marker)
         if compact_every is not None:

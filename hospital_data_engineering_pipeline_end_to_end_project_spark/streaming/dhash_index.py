@@ -72,8 +72,8 @@ def make_dhash_batch_writer(out_dir: str):
             .select("media_id", *_HASH_COLS)
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         )
-        hashes.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        shardstore.write_shard(
+            hashes, os.path.join(out_dir, f"batch={batch_id}")
         )
 
     return handle

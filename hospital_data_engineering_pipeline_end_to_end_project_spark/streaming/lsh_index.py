@@ -61,8 +61,8 @@ def make_lsh_batch_writer(
             bands=bands,
             shingle_n=shingle_n,
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        banded.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        shardstore.write_shard(
+            banded, os.path.join(out_dir, f"batch={batch_id}")
         )
 
     return handle

@@ -136,6 +136,20 @@ def _dir_bytes(paths: list[str]) -> int:
     return total
 
 
+def write_shard(df: DataFrame, dest: str) -> None:
+    """Write one batch shard with AQE-sized output files: a REBALANCE
+    hint before the write lets AQE coalesce the shard to
+    ``advisoryPartitionSizeInBytes``-sized files instead of one file
+    per upstream compute task — a compute-parallel batch (the writers
+    all fan the decode/hash stage across every core) otherwise writes
+    cores-many KB-sized files, and every later list+open of the store
+    pays for them (guide §6's small-files tax; object stores far more
+    than local fs).  The extra exchange moves only the post-compute
+    shard rows, and at real batch sizes AQE re-expands the partition
+    count to match the data, so write parallelism is not capped."""
+    df.hint("rebalance").write.mode("overwrite").parquet(dest)
+
+
 def build_shards_concurrently(writer, batches) -> None:
     """Run independent per-batch shard writes as CONCURRENT Spark jobs
     from driver threads — ``batches`` is ``[(batch_id, DataFrame),

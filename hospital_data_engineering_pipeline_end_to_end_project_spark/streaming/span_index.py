@@ -76,8 +76,8 @@ def make_span_batch_writer(
         postings = _fp_postings(batch_df, id_col, text_col, k, w).withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         )
-        postings.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        shardstore.write_shard(
+            postings, os.path.join(out_dir, f"batch={batch_id}")
         )
 
     return handle

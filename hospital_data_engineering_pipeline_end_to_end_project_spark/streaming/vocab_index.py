@@ -49,8 +49,8 @@ def make_vocab_batch_writer(out_dir: str, text_col: str = "text"):
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         wf = tokenizer.word_freqs(batch_df, text_col)
-        wf.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
+        shardstore.write_shard(
+            wf, os.path.join(out_dir, f"batch={batch_id}")
         )
 
     return handle
