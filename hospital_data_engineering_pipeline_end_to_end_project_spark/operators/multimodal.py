@@ -565,7 +565,7 @@ def audio_frame_energy(
 def _pcm_frame_energies(payload, frame_samples: int):
     """Decode one WAV payload to its per-frame int64 energy vector —
     the shared kernel of :func:`audio_frame_energy` and
-    :func:`audio_energy_sequences`.  Returns ``(energies ndarray,
+    :func:`audio_gram_postings`.  Returns ``(energies ndarray,
     n_samples_in_last_frame)`` or ``None`` for the corrupt-payload
     branch.  Frame sums are whole-array numpy ops (square, pad,
     reshape, row-sum) — identical int64 values to the former
@@ -596,38 +596,6 @@ def _pcm_frame_energies(payload, frame_samples: int):
         sq = np.concatenate([sq, np.zeros(pad, dtype=np.int64)])
     e = sq.reshape(nf, frame_samples).sum(axis=1)
     return e, frame_samples - pad
-
-
-def audio_energy_sequences(
-    media: DataFrame, frame_samples: int = 16
-) -> DataFrame:
-    """Per-media frame-energy SEQUENCES ``(media_id, __e
-    array<long>)`` in frame order, decoded map-side in one Arrow
-    pass.  Row-identical to grouping :func:`audio_frame_energy` by
-    ``media_id`` and collecting energies sorted by ``frame_id`` —
-    but each payload's frames are produced together in its own task,
-    so reassembling them through a groupBy/collect_list EXCHANGE is
-    pure waste (guide §2.4); the gram builders consume this form
-    directly with zero shuffle.  Undecodable payloads emit no row
-    (the same corrupt-payload contract)."""
-
-    def _seqs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, seqs = [], []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                got = _pcm_frame_energies(payload, frame_samples)
-                if got is None:
-                    continue
-                ids.append(media_id)
-                seqs.append(got[0])
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "__e": pd.Series(seqs, dtype="object"),
-                }
-            )
-
-    return media.mapInPandas(_seqs, schema="media_id long, __e array<long>")
 
 
 def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1142,27 +1110,54 @@ def audio_gram_postings(
     int64 frame energies (md5 over the ``|``-joined window), so the
     stored postings are engine- and run-stable.
 
-    The energy sequences come from :func:`audio_energy_sequences` —
-    decoded straight to per-media arrays in one map-side Arrow pass.
-    r13 reassembled :func:`audio_frame_energy` rows through a
-    groupBy/collect_list EXCHANGE; the frames of a payload never
-    leave their decode task, so that shuffle (plus its array_sort)
-    bought nothing (guide §2.4) — removed in r14, rows identical."""
-    seq = audio_energy_sequences(media, frame_samples=frame_samples).filter(
-        F.size("__e") >= k
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("__e") - (k - 1)),
-        lambda i: F.md5(
-            F.array_join(
-                F.transform(F.slice("__e", i, k), lambda v: v.cast("string")),
-                "|",
+    Decode AND gram-hash run in ONE map-side Arrow pass (r13
+    reassembled :func:`audio_frame_energy` rows through a
+    groupBy/collect_list EXCHANGE — removed in r14; the window md5s
+    then moved from interpreted array expressions into the decode
+    kernel itself, guide §4.2 — rows identical: the hash is
+    ``md5('|'-joined decimal window)`` either way, and Python's
+    ``str(int)`` matches Spark's long→string cast)."""
+
+    def _postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = _pcm_frame_energies(payload, frame_samples)
+                if got is None:
+                    continue
+                e = got[0]
+                n = len(e) - (k - 1)
+                if n <= 0:
+                    continue
+                parts = [str(v) for v in e.tolist()]
+                for i in range(n):
+                    ids.append(media_id)
+                    poss.append(i + 1)
+                    hs.append(
+                        hashlib.md5(
+                            "|".join(parts[i : i + k]).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(
+                        np.asarray(ids, dtype=np.int64), dtype="int64"
+                    ),
+                    # int32, matching the former posexplode+1 column
+                    "__pos": pd.Series(
+                        np.asarray(poss, dtype=np.int32), dtype="int32"
+                    ),
+                    "__h": pd.Series(hs, dtype="object"),
+                }
             )
-        ),
+
+    return media.select("media_id", "payload").mapInPandas(
+        _postings, schema="media_id long, __pos int, __h string"
     )
-    return seq.select(
-        "media_id", F.posexplode(grams).alias("__p0", "__h")
-    ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
 
 
 def audio_segment_pairs(
@@ -1480,18 +1475,21 @@ def video_frame_signatures(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_sigs, schema=VIDEO_SIG_SCHEMA)
 
 
-def video_fp_sequences(media: DataFrame) -> DataFrame:
-    """Per-media frame-fingerprint SEQUENCES ``(media_id, __f
-    array<long>)`` in frame order — :func:`video_frame_signatures`'s
-    walk emitted as one array row per payload, map-side (the audio
-    leg's :func:`audio_energy_sequences` shape: a payload's frames
-    never leave their decode task, so the former
-    groupBy/collect_list reassembly EXCHANGE bought nothing — guide
-    §2.4).  Same all-or-nothing per-payload failure contract."""
+def video_gram_postings(media: DataFrame, *, k: int = 4) -> DataFrame:
+    """Positional frame-fingerprint gram postings ``(media_id, __pos
+    1-based, __h)`` — the video analog of :func:`audio_gram_postings`:
+    the MJPEG EOI walk + COM fingerprint recovery of
+    :func:`video_fp_sequences` and the ``md5('|'-joined decimal
+    window)`` gram hash, fused into ONE Arrow pass (guide §4.2).
+    Same all-or-nothing per-payload failure contract."""
 
-    def _seqs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
         for pdf in batches:
-            ids, seqs = [], []
+            ids, poss, hs = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
@@ -1510,17 +1508,34 @@ def video_fp_sequences(media: DataFrame) -> DataFrame:
                         ok = False
                         break
                     start = end + 2
-                if ok:
+                n = len(p_fps) - (k - 1)
+                if not ok or n <= 0:
+                    continue
+                parts = [str(v) for v in p_fps]
+                for i in range(n):
                     ids.append(media_id)
-                    seqs.append(p_fps)
+                    poss.append(i + 1)
+                    hs.append(
+                        hashlib.md5(
+                            "|".join(parts[i : i + k]).encode()
+                        ).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "__f": pd.Series(seqs, dtype="object"),
+                    "media_id": pd.Series(
+                        np.asarray(ids, dtype=np.int64), dtype="int64"
+                    ),
+                    # int32, matching the former posexplode+1 column
+                    "__pos": pd.Series(
+                        np.asarray(poss, dtype=np.int32), dtype="int32"
+                    ),
+                    "__h": pd.Series(hs, dtype="object"),
                 }
             )
 
-    return media.mapInPandas(_seqs, schema="media_id long, __f array<long>")
+    return media.select("media_id", "payload").mapInPandas(
+        _postings, schema="media_id long, __pos int, __h string"
+    )
 
 
 def video_scene_pairs(
@@ -1545,22 +1560,13 @@ def video_scene_pairs(
     1-based frame offsets, maximal-run lengths >= ``min_frames``."""
     if min_frames < k:
         raise ValueError(f"min_frames={min_frames} below the gram size k={k}")
-    # decoded straight to per-media fingerprint arrays map-side —
-    # r13's groupBy/collect_list reassembly exchange removed (r14,
-    # rows identical; see video_fp_sequences)
-    seq = video_fp_sequences(media).filter(F.size("__f") >= k)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("__f") - (k - 1)),
-        lambda i: F.md5(
-            F.array_join(
-                F.transform(F.slice("__f", i, k), lambda v: v.cast("string")),
-                "|",
-            )
-        ),
-    )
-    pos = seq.select(
-        "media_id", F.posexplode(grams).alias("__p0", "__h")
-    ).select("media_id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    # decode AND gram-hash in ONE map-side Arrow pass — r13's
+    # groupBy/collect_list reassembly exchange was removed in r14,
+    # then the window md5s moved from interpreted array expressions
+    # into the decode kernel (guide §4.2; the audio_gram_postings
+    # trade).  Rows identical: md5 over the '|'-joined decimal
+    # window either way.
+    pos = video_gram_postings(media, k=k)
     return _posting_run_pairs(
         pos,
         k=k,
