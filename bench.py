@@ -264,14 +264,23 @@ def main() -> None:
         "unit": "sec",
         "value": round(sum(timings.values()), 3),
     }
-    line = json.dumps(out)
-    if len(line) > 1900:  # belt-and-braces: never exceed the window
+    # compact separators (no spaces) keep ~140 entries well under the
+    # driver's 2000-char tail window at 2-decimal resolution; if the
+    # catalog ever outgrows that, degrade to 1 decimal (floored at 0.1 s
+    # so no query prints as 0 and reads as dropped) — NEVER to integers:
+    # r14's integer fallback quantized every sub-second query to 0/1 and
+    # gutted the driver's per-query comparison (73 phantom regressions).
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
         out["queries"] = {
-            k: round(v) for k, v in sorted(
-                compact.items(), key=lambda kv: -kv[1]
-            )
+            k: max(0.1, round(v, 1)) if v > 0 else 0.0
+            for k, v in compact.items()
         }
-        line = json.dumps(out)
+        line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"bench line {len(line)} chars exceeds the driver's tail window; "
+        "shrink the encoding without dropping resolution below 0.1 s"
+    )
     print(line)
     spark.stop()
 
