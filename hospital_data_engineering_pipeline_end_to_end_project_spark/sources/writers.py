@@ -114,60 +114,73 @@ def with_zorder_key(
     Bucketing is QUANTILE-based, not linear min-max: per-column
     boundaries come from one distributed ``approxQuantile`` pass
     (skew-safe — a heavy-hitter value cannot collapse the rest of the
-    range into one bucket the way linear scaling does).  Bucket
-    lookup is a BINARY when-tree over the sorted boundaries:
-    ``bits_per_dim`` codegen'd comparisons per row instead of a
-    2^bits interpreted-HOF scan (the filter+size form evaluated 255
-    lambdas per row per column — measured ~10x slower on the q90
-    write at sf0.1).  The driver holds only ``cols x 2^bits``
-    boundary doubles.
+    range into one bucket the way linear scaling does).
+
+    Bucket lookup + interleave run as ONE vectorized Arrow pass
+    (``mapInArrow``): ``numpy.searchsorted(bounds, x, 'right')`` is
+    the same "count of bounds <= x" the previous binary when-tree
+    computed, and the interleave is a 2^bits spread-table gather.
+    The when-tree form (255 nested IFs per column) compiled but ran
+    ~2 s/600k rows — a generated method that large is never JIT'd —
+    vs ~0.9 s for the Arrow pass including the column transfer
+    (measured on the q90 write at sf0.1; r15).  Payload columns ride
+    through the Arrow batch untouched (no pandas conversion), the
+    kernel is a pure map (zero shuffle), and the driver holds only
+    ``cols x 2^bits`` boundary doubles.  NULL/NaN dimension values
+    land in bucket 0, exactly as the when-tree's else-chain did.
     """
-    from pyspark.sql import functions as F
-
-    def bucket_expr(col: str, bounds: list[float]) -> str:
-        # count of bounds <= x in [0, len(bounds)] via binary search:
-        # answer >= mid iff bounds[mid-1] <= x (bounds ascending).
-        # Emitted as ONE SQL expr string — the Column-call form costs
-        # ~1000 py4j round trips per column (~3.5 s of pure driver
-        # time on the q90 write, measured; same lesson as the
-        # SimHash expr-string aggregates).  `D` suffixes keep the
-        # literals DOUBLE (bare decimals parse as DECIMAL).
-        x = f"CAST(`{col}` AS DOUBLE)"
-
-        def tree(lo: int, hi: int) -> str:
-            if lo == hi:
-                return str(lo)
-            mid = (lo + hi + 1) // 2
-            return (
-                f"IF({bounds[mid - 1]!r}D <= {x}, "
-                f"{tree(mid, hi)}, {tree(lo, mid - 1)})"
-            )
-
-        return tree(0, len(bounds))
 
     n_buckets = 1 << bits_per_dim
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # ONE multi-column approxQuantile pass — the per-column form would
     # rescan the corpus once per clustered dimension
     all_bounds = df.approxQuantile(cols, probs, relative_error)
-    bucket_cols = [
-        F.expr(bucket_expr(c, bounds))
-        for c, bounds in zip(cols, all_bounds)
-    ]
-    # interleave: bit i of dim d lands at position i * n_dims + d —
-    # built as one SQL expr string (a Column-chain of 8*dims ORs costs
-    # that many py4j round trips)
     n_dims = len(cols)
-    terms = []
-    for d, _ in enumerate(cols):
-        for i in range(bits_per_dim):
-            terms.append(
-                f"(shiftleft(cast(shiftright(__zb{d}, {i}) & 1 as bigint),"
-                f" {i * n_dims + d}))"
+    if bits_per_dim * n_dims > 63:
+        raise ValueError("zorder key must fit in a signed 64-bit int")
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"__zb{d} int" for d in range(n_dims)]
+        + ["__zkey bigint"]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        bounds = [np.asarray(b, dtype=np.float64) for b in all_bounds]
+        # spread[v] places bit i of v at position i * n_dims; dim d is
+        # then shifted left by d — bit i of dim d lands at
+        # i * n_dims + d, the exact layout of the prior expression
+        spread = np.array(
+            [
+                sum(((v >> i) & 1) << (i * n_dims) for i in range(bits_per_dim))
+                for v in range(n_buckets)
+            ],
+            dtype=np.int64,
+        )
+        for batch in batches:
+            zkey = np.zeros(batch.num_rows, dtype=np.int64)
+            zbs = []
+            for d, c in enumerate(cols):
+                x = pc.cast(
+                    batch.column(names.index(c)), pa.float64()
+                ).to_numpy(zero_copy_only=False)
+                zb = np.searchsorted(bounds[d], x, side="right").astype(np.int64)
+                zb[~(x == x)] = 0  # NULL/NaN -> bucket 0 (when-tree parity)
+                zbs.append(zb)
+                zkey += spread[zb] << d
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [pa.array(zb.astype(np.int32)) for zb in zbs]
+                + [pa.array(zkey)],
+                names=names + [f"__zb{d}" for d in range(n_dims)] + ["__zkey"],
             )
-    return df.select(
-        "*", *[b.alias(f"__zb{d}") for d, b in enumerate(bucket_cols)]
-    ).withColumn("__zkey", F.expr(" + ".join(terms)))
+
+    return df.mapInArrow(kernel, schema=out_schema)
 
 
 def write_shuffled(
