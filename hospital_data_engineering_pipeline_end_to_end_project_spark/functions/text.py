@@ -121,21 +121,40 @@ def lsh_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
 
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Deterministic quality-scoring features (length / punctuation /
-    stopword ratios) used for corpus filtering."""
+    stopword ratios) used for corpus filtering.
+
+    Each returned Column tokenizes AT MOST ONCE per row: features
+    that reference the token array (or its size) more than once bind
+    it as a lambda variable over a one-element wrapper, so placing
+    several features in one projection costs one linear split per
+    feature instead of one per reference (r15; the dict API means the
+    split cannot be shared ACROSS features — callers that need every
+    feature and care can bind ``tokens()`` as their own column)."""
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(c)
     n_chars = F.length(c)
-    n_tokens = F.size(t)
-    stop_hits = F.size(F.filter(t, lambda x: x.isin(*LANG_STOPWORDS["en"])))
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+
+    def bound_tokens(fn):
+        return F.element_at(F.transform(F.array(t), fn), 1)
+
     return {
         "n_chars": n_chars,
-        "n_tokens": n_tokens,
-        "avg_token_len": F.round(
-            (n_chars - n_tokens + 1).cast("double") / n_tokens, 6
+        "n_tokens": F.size(t),
+        "avg_token_len": bound_tokens(
+            lambda tk: F.round(
+                (n_chars - F.size(tk) + 1).cast("double") / F.size(tk), 6
+            )
         ),
         "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
-        "stopword_ratio": F.round(stop_hits.cast("double") / n_tokens, 6),
+        "stopword_ratio": bound_tokens(
+            lambda tk: F.round(
+                F.size(F.filter(tk, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+                .cast("double")
+                / F.size(tk),
+                6,
+            )
+        ),
     }
 
 
@@ -144,16 +163,62 @@ def lang_hits(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(tokens(col), lambda x: x.isin(*LANG_STOPWORDS[lang])))
 
 
-def lang_guess(col: Column | str) -> Column:
-    """Argmax over language hit counts, fixed precedence en>es>de>fr,
-    'und' (undetermined) when nothing hits."""
-    en, es, de, fr = (lang_hits(col, L) for L in ("en", "es", "de", "fr"))
+def lang_guess_from_hits(
+    en: Column, es: Column, de: Column, fr: Column
+) -> Column:
+    """Argmax over precomputed language hit counts, fixed precedence
+    en>es>de>fr, 'und' (undetermined) when nothing hits.  Callers
+    that already carry hit-count columns (q23) use this directly so
+    the when-chain's repeated references stay cheap attribute reads."""
     return (
         F.when((en >= es) & (en >= de) & (en >= fr) & (en > 0), F.lit("en"))
         .when((es >= de) & (es >= fr) & (es > 0), F.lit("es"))
         .when((de >= fr) & (de > 0), F.lit("de"))
         .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
+    )
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Argmax over language hit counts, fixed precedence en>es>de>fr,
+    'und' (undetermined) when nothing hits.
+
+    The token array is bound once and the four hit counts once more
+    (nested one-element-array bindings, the r14/r15 idiom): the flat
+    form re-split the text per hit count AND re-counted per when-chain
+    reference — ~14 linear passes per row; this form does one split +
+    four filters."""
+
+    def is_stopword(lang: str):
+        # closure factory — a default-arg lambda would make PySpark
+        # pass the array INDEX as the second parameter
+        words = LANG_STOPWORDS[lang]
+        return lambda x: x.isin(*words)
+
+    return F.element_at(
+        F.transform(
+            F.array(tokens(col)),
+            lambda tk: F.element_at(
+                F.transform(
+                    F.array(
+                        F.array(
+                            *[
+                                F.size(F.filter(tk, is_stopword(L)))
+                                for L in ("en", "es", "de", "fr")
+                            ]
+                        )
+                    ),
+                    lambda h: lang_guess_from_hits(
+                        F.element_at(h, 1),
+                        F.element_at(h, 2),
+                        F.element_at(h, 3),
+                        F.element_at(h, 4),
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
 
 

@@ -557,20 +557,28 @@ def quality_filter(
     """
     from hospital_data_engineering_pipeline_end_to_end_project_spark.functions import text as TX
 
-    t = TX.tokens(text_col)
     n_chars = F.length(text_col)
     punct = (
         n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
     ).cast("double") / n_chars
+    # tokenize ONCE per row: the single-projection form re-ran the
+    # split per reference (n_tokens + the stop ratio's numerator and
+    # denominator = 3 linear splits/row); the bound __t column is a
+    # cheap attribute, and CollapseProject keeps the projections
+    # separate because the alias is non-cheap and multiply-referenced
+    # (r15; the linear cousin of the r14 HOF-binding class)
+    tk = F.col("__t")
     stop = (
-        F.size(F.filter(t, lambda x: x.isin(*TX.LANG_STOPWORDS["en"])))
+        F.size(F.filter(tk, lambda x: x.isin(*TX.LANG_STOPWORDS["en"])))
         .cast("double")
-        / F.size(t)
+        / F.size(tk)
     )
     base = docs.select(
+        F.col(id_col), TX.tokens(text_col).alias("__t"), punct.alias("__punct")
+    ).select(
         F.col(id_col),
-        F.size(t).cast("long").alias("n_tokens"),
-        punct.alias("__punct"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.col("__punct"),
         stop.alias("__stop"),
     )
     # shingling is a ~50x row expansion over an interpreted HOF: a

@@ -454,10 +454,10 @@ def _le_hex(col, n_hex: int):
 
 
 def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic REAL 16-bit mono PCM WAV payloads from an id
-    column, built entirely with Column expressions (hex/lpad/unhex —
-    JVM-side, no Python in the synthesis path; the audio sibling of
-    :func:`synthesize_image_media`).
+    """Deterministic REAL 16-bit mono PCM WAV payloads from a
+    NON-NEGATIVE id column (the synthesized-corpus contract; doc ids
+    are nonneg everywhere in this engine) — the audio sibling of
+    :func:`synthesize_image_media`.
 
     ``n_samples = 64 + id % 64``; sample i stores the u16
     ``(id*31 + i*7) % 65536``, which a PCM decoder reinterprets as the
@@ -465,45 +465,68 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     an oracle can regenerate, so a correct RIFF walk + PCM decode is
     checkable to the sample.  Each payload is a spec-correct
     RIFF/WAVE: fmt chunk (PCM, mono, 16 kHz, 16-bit) + data chunk of
-    ``2 * n_samples`` bytes, all sizes little-endian."""
-    idc = F.col(id_col).cast("long")
-    n = (idc % 64 + 64).cast("long")
-    # per-sample int16 LE hex: ((id*31 + i*7) % 65536) byte-swapped
-    samples_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), n - 1),
-            lambda i: _le_hex((idc * 31 + i * 7) % 65536, 4),
-        ),
-        "",
-    )
-    data_size = (n * 2).cast("long")
-    riff_size = (data_size + 36).cast("long")
-    payload = F.unhex(
-        F.concat(
-            F.lit("52494646"),            # "RIFF"
-            _le_hex(riff_size, 8),
-            F.lit("57415645"),            # "WAVE"
-            F.lit("666d7420" "10000000"), # "fmt ", size 16
+    ``2 * n_samples`` bytes, all sizes little-endian.
+
+    One Arrow ``mapInPandas`` pass (a pure map, no shuffle; only the
+    id column crosses the boundary): the whole batch's waveform
+    matrix is two vectorized numpy ops and the 64 possible RIFF
+    headers are precomputed, replacing the interpreted per-sample HOF
+    hex chain (guide §4.2; byte-identical output, r15).  A NULL id
+    yields a NULL payload and NULL byte_len, the expression form's
+    semantics."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    hdrs = {
+        n: (
+            b"RIFF"
+            + (2 * n + 36).to_bytes(4, "little")
+            + b"WAVE"
+            + bytes.fromhex("666d7420" "10000000")
             # PCM=1, mono, 16000 Hz, byte rate 32000, block 2, 16-bit
-            F.lit("0100" "0100" "803e0000" "007d0000" "0200" "1000"),
-            F.lit("64617461"),            # "data"
-            _le_hex(data_size, 8),
-            samples_hex,
+            + bytes.fromhex("0100" "0100" "803e0000" "007d0000" "0200" "1000")
+            + b"data"
+            + (2 * n).to_bytes(4, "little")
         )
-    )
-    return df.select(
-        idc.alias("media_id"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit("audio/wav").alias("mime"),
-            F.lit("synthetic").alias("source"),
-            # closed form (data bytes + 44-byte RIFF/fmt/data headers):
-            # F.length(payload) would re-run the per-sample HOF
-            # synthesis a second time per row (no CSE for interpreted
-            # HOF subtrees — the r14 finding)
-            (data_size + 44).alias("byte_len"),
-        ).alias("meta"),
-    )
+        for n in range(64, 128)
+    }
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sevens = 7 * np.arange(128, dtype=np.int64)
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            mask = ids.notna().to_numpy()
+            # fillna(0) BEFORE the int64 cast: routing non-null ids
+            # through float64 would round ids beyond 2^53
+            iv = ids.fillna(0).to_numpy(dtype="int64")
+            ns = 64 + iv % 64
+            base = (iv * 31) % 65536
+            wave = ((base[:, None] + sevens[None, :]) % 65536).astype("<u2")
+            payloads, metas = [], []
+            for r in range(len(iv)):
+                if not mask[r]:
+                    payloads.append(None)
+                    metas.append(
+                        {"mime": "audio/wav", "source": "synthetic",
+                         "byte_len": None}
+                    )
+                    continue
+                n = int(ns[r])
+                payloads.append(hdrs[n] + wave[r, :n].tobytes())
+                metas.append(
+                    {"mime": "audio/wav", "source": "synthetic",
+                     "byte_len": 2 * n + 44}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": pd.Series(metas, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(_render, schema=_MEDIA_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = (
@@ -607,31 +630,62 @@ def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     expressions (the video sibling of :func:`synthesize_image_media` /
     :func:`synthesize_wav_media`), so an oracle can predict every
     sampled frame's header."""
-    idc = F.col(id_col).cast("long")
-    n = (idc % 4 + 3).cast("long")
-    frames_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), n - 1),
-            lambda f: _jpeg_hex(
-                (idc * 5 + f) % 300 + 1, (idc * 3 + f * 7) % 200 + 1
-            ),
-        ),
-        "",
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    # one Arrow pass with a per-task payload cache (guide §4.2/§4.5,
+    # r15; byte-identical to the former per-frame HOF hex chain):
+    # every synthesis input — frame count (id % 4), widths (id*5 % 300)
+    # and heights (id*3 % 200) — is a function of id % lcm(4,60,200) =
+    # id % 600, so at most 600 distinct payloads exist and each is
+    # rendered once per task.  NON-NEGATIVE ids assumed (the
+    # synthesized-corpus contract); NULL id -> NULL payload/byte_len.
+    pre = bytes.fromhex(
+        "ffd8" "ffe0" "0010" "4a46494600" "0101" "00" "0001" "0001" "0000"
+        "ffc0" "0011" "08"
     )
-    payload = F.unhex(frames_hex)
-    return df.select(
-        idc.alias("media_id"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit("video/x-motion-jpeg").alias("mime"),
-            F.lit("synthetic").alias("source"),
-            # closed form: every _jpeg_hex frame is exactly 41 bytes
-            # (fixed markers + two 2-byte dims) — F.length(payload)
-            # would re-run the per-frame HOF synthesis a second time
-            # per row (no CSE for interpreted HOF subtrees — r14)
-            (n * _JPEG_FRAME_BYTES).alias("byte_len"),
-        ).alias("meta"),
-    )
+    post = bytes.fromhex("03" "012200" "021101" "031101" "ffd9")
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+
+        def payload(mid: int) -> bytes:
+            key = mid % 600
+            got = cache.get(key)
+            if got is None:
+                got = b"".join(
+                    pre
+                    + ((mid * 3 + f * 7) % 200 + 1).to_bytes(2, "big")
+                    + ((mid * 5 + f) % 300 + 1).to_bytes(2, "big")
+                    + post
+                    for f in range(mid % 4 + 3)
+                )
+                cache[key] = got
+            return got
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for mid in pdf["media_id"]:
+                if mid is None or mid != mid:
+                    payloads.append(None)
+                    metas.append(
+                        {"mime": "video/x-motion-jpeg",
+                         "source": "synthetic", "byte_len": None}
+                    )
+                    continue
+                b = payload(int(mid))
+                payloads.append(b)
+                metas.append(
+                    {"mime": "video/x-motion-jpeg",
+                     "source": "synthetic", "byte_len": len(b)}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": pd.Series(metas, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(_render, schema=_MEDIA_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = (
@@ -736,6 +790,13 @@ _MEDIA_SCHEMA = (
     "meta struct<mime:string,source:string,byte_len:long>"
 )
 
+#: per-task entry cap for the synthesis vocabulary caches (r14 ADVICE
+#: #1: an open-web partition's vocabulary can grow without bound; the
+#: heaviest cached value — the PGM 72x2 u64 digest block — is ~1.2 KB,
+#: so 2^16 entries bound each task at ~80 MB worst case).  Tokens past
+#: the cap are computed uncached — identical bytes, no eviction churn.
+SYNTH_VOCAB_CACHE_MAX = 1 << 16
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -816,7 +877,8 @@ def synthesize_minhash_pgm(
                     d = hashlib.md5(pre + tb).digest()
                     got[i, 0] = int.from_bytes(d[:8], "big")
                     got[i, 1] = int.from_bytes(d[8:], "big")
-                vocab[tok] = got
+                if len(vocab) < SYNTH_VOCAB_CACHE_MAX:
+                    vocab[tok] = got
             return got
 
         zero_raster = bytes(n_px)
@@ -1053,7 +1115,8 @@ def synthesize_speech_wav(
                     ((u16 + 7 * j) % 65536).to_bytes(2, "little")
                     for j in range(spt)
                 )
-                vocab[tok] = got
+                if len(vocab) < SYNTH_VOCAB_CACHE_MAX:
+                    vocab[tok] = got
             return got
 
         for pdf in batches:
@@ -1116,7 +1179,13 @@ def audio_gram_postings(
     then moved from interpreted array expressions into the decode
     kernel itself, guide §4.2 — rows identical: the hash is
     ``md5('|'-joined decimal window)`` either way, and Python's
-    ``str(int)`` matches Spark's long→string cast)."""
+    ``str(int)`` matches Spark's long→string cast).
+
+    PRECONDITION (r14 ADVICE #2): at most one payload row per
+    ``media_id``.  The fused path emits an independent posting set per
+    ROW; the old groupBy path merged duplicate-media_id rows into one
+    ill-defined sequence.  Every in-repo producer (the synthesizers
+    keyed by doc_id, the per-batch index writers) satisfies this."""
 
     def _postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1354,7 +1423,8 @@ def synthesize_token_video(
             if got is None:
                 fp = hashlib.md5(tok.encode("utf-8")).hexdigest()[:VIDEO_FP_HEX]
                 got = pre + fp.encode("ascii") + post
-                vocab[tok] = got
+                if len(vocab) < SYNTH_VOCAB_CACHE_MAX:
+                    vocab[tok] = got
             return got
 
         for pdf in batches:
@@ -1481,7 +1551,10 @@ def video_gram_postings(media: DataFrame, *, k: int = 4) -> DataFrame:
     the MJPEG EOI walk + COM fingerprint recovery of
     :func:`video_fp_sequences` and the ``md5('|'-joined decimal
     window)`` gram hash, fused into ONE Arrow pass (guide §4.2).
-    Same all-or-nothing per-payload failure contract."""
+    Same all-or-nothing per-payload failure contract, and the same
+    PRECONDITION: at most one payload row per ``media_id`` (the fused
+    path emits one posting set per ROW — see
+    :func:`audio_gram_postings`)."""
 
     def _postings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -2129,23 +2129,28 @@ def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     SQL.  Returns ``(id_col, __s, __n, __qv)``."""
     v = V.as_double(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    # the absmax is BOUND as a lambda variable inside the code
-    # transform: referencing the array_max expression from the
-    # per-element lambda re-scans the vector per element (dim² — r14)
-    qv = F.element_at(
-        F.transform(
-            F.array(amax),
-            lambda am: F.transform(
-                v, lambda x: F.floor(x / (am / F.lit(127.0)) + F.lit(0.5)).cast("int")
-            ),
-        ),
-        1,
-    )
-    return df.select(
+    # __s is BOUND as a projection column and the code transform
+    # references it per element as a cheap attribute: a second
+    # array_max reference in the same projection would re-scan the
+    # vector (the r14 dim² class; CollapseProject keeps the two
+    # projections separate because the alias is non-cheap and
+    # multiply-referenced).  Accepted residual: the __s > 0 predicate
+    # is pushed below the projection by the optimizer, so amax is
+    # still evaluated once in the filter and once in the projection
+    # (2 linear scans total, down from 3).
+    pre = df.select(
         F.col(id_col),
+        v.alias("__v"),
         (amax / F.lit(127.0)).alias("__s"),
-        V.norm(v).alias("__n"),
-        qv.alias("__qv"),
+    )
+    return pre.select(
+        F.col(id_col),
+        "__s",
+        V.norm(F.col("__v")).alias("__n"),
+        F.transform(
+            "__v",
+            lambda x: F.floor(x / F.col("__s") + F.lit(0.5)).cast("int"),
+        ).alias("__qv"),
     ).filter(F.col("__s") > 0)
 
 

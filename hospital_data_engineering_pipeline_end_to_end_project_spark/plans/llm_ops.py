@@ -100,20 +100,30 @@ def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where Spark (exact BigDecimal) and DuckDB (scale-by-1e6 in
     # double) disagree
     d = load_table(spark, sf_dir, "documents")
-    t = TX.tokens(F.col("text"))
     n_chars = F.length("text")
-    punct = (
+    punct_raw = (
         n_chars - F.length(F.regexp_replace(F.col("text"), r"[\.,;:!\?]", ""))
     ).cast("double") / n_chars
-    stop = (
-        F.size(F.filter(t, lambda x: x.isin(*TX.LANG_STOPWORDS["en"]))).cast("double")
-        / F.size(t)
+    # bind the unrounded ratios as columns (r15): the one-projection
+    # form re-split the text per `stop` reference (x2) and re-ran the
+    # regexp per `punct` reference (x2)
+    tk = F.col("__t")
+    stop_raw = (
+        F.size(F.filter(tk, lambda x: x.isin(*TX.LANG_STOPWORDS["en"])))
+        .cast("double")
+        / F.size(tk)
     )
-    return d.select(
-        "doc_id",
-        F.round(punct, 6).alias("punct_ratio"),
-        F.round(stop, 6).alias("stopword_ratio"),
-        F.round(stop * 0.5 + (1.0 - punct) * 0.5, 6).alias("quality_score"),
+    return (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("__t"), punct_raw.alias("__punct"))
+        .select("doc_id", stop_raw.alias("__stop"), "__punct")
+        .select(
+            "doc_id",
+            F.round("__punct", 6).alias("punct_ratio"),
+            F.round("__stop", 6).alias("stopword_ratio"),
+            F.round(
+                F.col("__stop") * 0.5 + (1.0 - F.col("__punct")) * 0.5, 6
+            ).alias("quality_score"),
+        )
     )
 
 
@@ -140,12 +150,40 @@ FROM feats
 # ---------------------------------------------------------------------------
 
 def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenize ONCE, count each language's hits once from the bound
+    # array, then derive the guess from the hit COLUMNS: the flat form
+    # (4x lang_hits + lang_guess) re-split the text ~14x per row (r15)
     d = load_table(spark, sf_dir, "documents")
-    cols = [
-        TX.lang_hits("text", L).cast("long").alias(f"{L}_hits")
+    tk = F.col("__t")
+
+    def is_stopword(lang: str):
+        # closure factory — a default-arg lambda would make PySpark
+        # pass the array INDEX as the second parameter
+        words = TX.LANG_STOPWORDS[lang]
+        return lambda x: x.isin(*words)
+
+    hit_cols = [
+        F.size(F.filter(tk, is_stopword(L))).cast("long").alias(f"{L}_hits")
         for L in ("en", "es", "de", "fr")
     ]
-    return d.select("doc_id", "lang", *cols, TX.lang_guess("text").alias("lang_guess"))
+    return (
+        d.select("doc_id", "lang", TX.tokens("text").alias("__t"))
+        .select("doc_id", "lang", *hit_cols)
+        .select(
+            "doc_id",
+            "lang",
+            "en_hits",
+            "es_hits",
+            "de_hits",
+            "fr_hits",
+            TX.lang_guess_from_hits(
+                F.col("en_hits"),
+                F.col("es_hits"),
+                F.col("de_hits"),
+                F.col("fr_hits"),
+            ).alias("lang_guess"),
+        )
+    )
 
 
 def _hits_sql(lang: str) -> str:
@@ -875,24 +913,24 @@ def q58_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = V.as_double("embedding")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (amax / F.lit(127.0)).alias("scale")
-    # amax bound once — the per-element reference re-scans the vector
-    # per element otherwise (dim², the int8_quantize finding — r14)
-    qv = F.element_at(
-        F.transform(
-            F.array(amax),
-            lambda am: F.transform(
-                v, lambda x: F.floor(x / (am / 127.0) + 0.5).cast("int")
-            ),
-        ),
-        1,
-    )
+    # scale is BOUND as a projection column (r15): the code transform
+    # references it as a cheap attribute instead of re-evaluating the
+    # array_max chain per reference (the r14 dim²/duplicate-scan
+    # class).  The pushed-down scale > 0 predicate still costs one
+    # amax scan in the filter — accepted residual (2 scans, was 3).
     return (
         e.select(
             "vec_id",
-            V.norm(v).alias("l2_norm"),
-            scale,
-            qv.alias("qv"),
+            v.alias("__v"),
+            (amax / F.lit(127.0)).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            V.norm(F.col("__v")).alias("l2_norm"),
+            "scale",
+            F.transform(
+                "__v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int")
+            ).alias("qv"),
         )
         .filter(F.col("scale") > 0)  # zero vectors are unquantizable
         .select(

@@ -63,3 +63,68 @@ def test_zorder_kernel_matches_expression_spec(spark):
     assert dict(keyed.dtypes)["__zb0"] == "int"
     assert dict(keyed.dtypes)["__zkey"] == "bigint"
     assert [c for c in keyed.columns[:3]] == ["id", "x", "y"]
+
+
+def _spec_wav(mid: int) -> bytes:
+    # independent stdlib replay of the closed-form WAV the former
+    # expression chain produced
+    n = 64 + mid % 64
+    data = b"".join(
+        ((mid * 31 + i * 7) % 65536).to_bytes(2, "little") for i in range(n)
+    )
+    return (
+        b"RIFF"
+        + (len(data) + 36).to_bytes(4, "little")
+        + b"WAVE"
+        + bytes.fromhex("666d742010000000")
+        + bytes.fromhex("01000100803e0000007d000002001000")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def _spec_mjpeg(mid: int) -> bytes:
+    frames = []
+    for f in range(mid % 4 + 3):
+        w = (mid * 5 + f) % 300 + 1
+        h = (mid * 3 + f * 7) % 200 + 1
+        frames.append(
+            bytes.fromhex(
+                "ffd8ffe000104a4649460001010000010001" "0000ffc0001108"
+            )
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes.fromhex("03012200021101031101ffd9")
+        )
+    return b"".join(frames)
+
+
+def test_id_synth_kernels_match_expression_spec(spark):
+    from hospital_data_engineering_pipeline_end_to_end_project_spark.operators import (
+        multimodal,
+    )
+
+    ids = [0, 1, 5, 63, 64, 599, 600, 601, 12345]
+    d = spark.createDataFrame([(i,) for i in ids] + [(None,)], "doc_id long")
+
+    wav = {r["media_id"]: r for r in
+           multimodal.synthesize_wav_media(d, "doc_id").collect()}
+    for i in ids:
+        assert bytes(wav[i]["payload"]) == _spec_wav(i), i
+        assert wav[i]["meta"]["byte_len"] == len(_spec_wav(i))
+        assert wav[i]["meta"]["mime"] == "audio/wav"
+    # NULL id: NULL payload, non-null meta struct with NULL byte_len
+    # (the expression form's semantics)
+    null_row = wav[None]
+    assert null_row["payload"] is None
+    assert null_row["meta"]["byte_len"] is None
+
+    vid = {r["media_id"]: r for r in
+           multimodal.synthesize_video_media(d, "doc_id").collect()}
+    for i in ids:
+        assert bytes(vid[i]["payload"]) == _spec_mjpeg(i), i
+        assert vid[i]["meta"]["byte_len"] == len(_spec_mjpeg(i))
+        assert vid[i]["meta"]["mime"] == "video/x-motion-jpeg"
+    assert vid[None]["payload"] is None
+    assert vid[None]["meta"]["byte_len"] is None
