@@ -527,10 +527,19 @@ def hits_bipartite_fixed(
             key, F.expr(f"({val} * {scale}L) div _tot").alias(val)
         )
 
-    hubs = ed.select("s").distinct().select(
-        "s", F.lit(scale).cast("long").alias("h")
+    # the init normalize has a closed form (r15): every hub starts at
+    # `scale`, so its L1 total is exactly n*scale and the normalized
+    # score (scale*scale) div (n*scale) == scale div n for every hub
+    # (scale² = (scale div n)·n·scale + r·scale with r·scale < n·scale
+    # — an exact int64 identity, value-identical to the materialized
+    # aggregate+broadcast it replaces; one bounded driver scalar, the
+    # q123/pagerank init pattern, minus one checkpoint job and one
+    # broadcast per call).
+    hub_ids = ed.select("s").distinct()
+    n_hubs = hub_ids.count()
+    hubs = hub_ids.select(
+        "s", F.lit(scale // max(1, n_hubs)).cast("long").alias("h")
     )
-    hubs = _l1_normalize(hubs, "s", "h")
     auths: DataFrame | None = None
     for _ in range(iterations):
         auths = _l1_normalize(

@@ -821,6 +821,49 @@ def main() -> None:
         out["events_growth_ratio"] = {
             q: round(ev_scaled[q] / ev_base[q], 2) for q in EVENTS_QUERIES
         }
+    if family == "shardfiles":
+        # r15 (VERDICT item 8): prove the shard-write REBALANCE is
+        # scale-adaptive, not a local[32] constant — AQE must coalesce
+        # a bench-scale batch to ~1 file AND re-expand the file count
+        # data-proportionally as the shard grows toward the 64 MB
+        # advisory target.  Synthesizes posting-shaped rows (long id,
+        # 32-hex hash, long pos) at 1x / `copies`x / `copies`²x and
+        # reports files + bytes/file per scale.
+        from pyspark.sql import functions as F
+
+        base_rows = 200_000  # ~ a sf0.1 index batch
+        out["shardfiles"] = {}
+        for label, rows in (
+            ("1x", base_rows),
+            (f"{copies}x", base_rows * copies),
+            (f"{copies * copies}x", base_rows * copies * copies),
+        ):
+            frame = (
+                spark.range(rows)
+                .select(
+                    F.col("id"),
+                    F.md5(F.col("id").cast("string")).alias("__h"),
+                    (F.col("id") % 1000).alias("__pos"),
+                )
+                # a compute-parallel upstream, as the index writers have
+                .repartition(int(cpus))
+            )
+            dest = os.path.join(scaled_dir, f"shardfiles_{label}")
+            from hospital_data_engineering_pipeline_end_to_end_project_spark.streaming.shardstore import write_shard
+
+            write_shard(frame, dest)
+            files = [
+                os.path.join(dest, f)
+                for f in os.listdir(dest)
+                if f.endswith(".parquet")
+            ]
+            total = sum(os.path.getsize(f) for f in files)
+            out["shardfiles"][label] = {
+                "rows": rows,
+                "files": len(files),
+                "mb_per_file": round(total / max(1, len(files)) / 2**20, 2),
+            }
+            shutil.rmtree(dest, ignore_errors=True)
     if family == "deep":
         # two-orders-of-magnitude check: base min-of-2, scaled single
         # run (runs are long enough that co-tenant noise is a small
