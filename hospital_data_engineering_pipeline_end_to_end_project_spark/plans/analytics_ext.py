@@ -56,7 +56,7 @@ def q61_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q61_SQL = f"""
 WITH RECURSIVE
-bands AS ({Q25_SQL}),
+bands AS MATERIALIZED ({Q25_SQL}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bands a JOIN bands b
@@ -421,7 +421,7 @@ def q70_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q70_SQL = f"""
 WITH RECURSIVE
-bands AS ({Q25_SQL}),
+bands AS MATERIALIZED ({Q25_SQL}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bands a JOIN bands b
@@ -1026,7 +1026,7 @@ def q83_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q83_SQL = f"""
 WITH RECURSIVE
-bands AS ({Q25_SQL}),
+bands AS MATERIALIZED ({Q25_SQL}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bands a JOIN bands b
@@ -1567,7 +1567,7 @@ def q93_multi_signal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q93_SQL = f"""
 WITH RECURSIVE
-bands AS ({Q25_SQL}),
+bands AS MATERIALIZED ({Q25_SQL}),
 mh AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b

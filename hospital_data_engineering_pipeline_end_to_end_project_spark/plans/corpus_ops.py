@@ -266,7 +266,7 @@ def q99_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q99_SQL = f"""
-WITH bands AS ({Q25_SQL}),
+WITH bands AS MATERIALIZED ({Q25_SQL}),
 e AS (
   SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
   FROM bands a JOIN bands b

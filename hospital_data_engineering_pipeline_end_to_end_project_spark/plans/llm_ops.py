@@ -842,34 +842,34 @@ def _q48_quantizer_prefix(where: str = "") -> str:
     for it in range(1, Q48_ITERS + 1):
         prev_l = f"c{it - 1}l"
         iters.append(
-            f"""r{it} AS ({_q48_ranked(prev_l, src="sv")}),
-a{it} AS (SELECT vec_id, dv, c AS cluster FROM r{it} WHERE rn = 1),
-u{it} AS (
+            f"""r{it} AS MATERIALIZED ({_q48_ranked(prev_l, src="sv")}),
+a{it} AS MATERIALIZED (SELECT vec_id, dv, c AS cluster FROM r{it} WHERE rn = 1),
+u{it} AS MATERIALIZED (
   SELECT a.cluster, i.i AS dim,
          floor(avg(a.dv[i.i]) * 1024 + 0.5) / 1024 AS m
   FROM a{it} a CROSS JOIN idx i GROUP BY a.cluster, i.i
 ),
-c{it} AS (
+c{it} AS MATERIALIZED (
   SELECT s.c, s.dim, coalesce(u.m, s.val) AS val
   FROM c{it - 1} s LEFT JOIN u{it} u
     ON u.cluster = s.c AND u.dim = s.dim
 ),
-c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c{it} GROUP BY c)"""
+c{it}l AS MATERIALIZED (SELECT c, list(val ORDER BY dim) AS cent FROM c{it} GROUP BY c)"""
         )
     iter_sql = ",\n".join(iters)
-    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings{where}),
-nv AS (SELECT vec_id, {_UNIT.format(v='dv')} AS nv FROM v),
-sv AS (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q48_TRAIN_CAP}),
+    return f"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings{where}),
+nv AS MATERIALIZED (SELECT vec_id, {_UNIT.format(v='dv')} AS nv FROM v),
+sv AS MATERIALIZED (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q48_TRAIN_CAP}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY {_Q48_ORD}) - 1 AS c, dv AS cent
   FROM sv ORDER BY {_Q48_ORD} LIMIT {Q48_CLUSTERS}
 ),
 idx AS (SELECT unnest(range(1, {Q48_DIM + 1})) AS i),
 c0 AS (SELECT s.c, i.i AS dim, s.cent[i.i] AS val FROM seeds s CROSS JOIN idx i),
-c0l AS (SELECT c, list(val ORDER BY dim) AS cent FROM c0 GROUP BY c),
+c0l AS MATERIALIZED (SELECT c, list(val ORDER BY dim) AS cent FROM c0 GROUP BY c),
 {iter_sql},
-rf AS ({_q48_ranked(f"c{Q48_ITERS}l")}),
-assigned AS (SELECT vec_id, c AS cluster FROM rf WHERE rn = 1)"""
+rf AS MATERIALIZED ({_q48_ranked(f"c{Q48_ITERS}l")}),
+assigned AS MATERIALIZED (SELECT vec_id, c AS cluster FROM rf WHERE rn = 1)"""
 
 
 def _q48_sql() -> str:
@@ -1031,7 +1031,7 @@ def _pq_train_ctes(m: int, sample: str, vcol: str) -> str:
     lo = m * Q109_DS
     sl = f"{vcol}[{lo + 1}:{lo + Q109_DS}]"
     parts = [
-        f"""s{m}v AS (SELECT vec_id, {sl} AS sdv FROM {sample}),
+        f"""s{m}v AS MATERIALIZED (SELECT vec_id, {sl} AS sdv FROM {sample}),
 s{m}seeds AS (
   SELECT row_number() OVER (ORDER BY {_Q48_ORD}) - 1 AS c, sdv AS cent
   FROM s{m}v ORDER BY {_Q48_ORD} LIMIT {Q109_K}
@@ -1040,28 +1040,28 @@ s{m}c0 AS (
   SELECT s.c, i.i AS dim, s.cent[i.i] AS val
   FROM s{m}seeds s CROSS JOIN sidx i
 ),
-s{m}c0l AS (SELECT c, list(val ORDER BY dim) AS cent FROM s{m}c0 GROUP BY c)"""
+s{m}c0l AS MATERIALIZED (SELECT c, list(val ORDER BY dim) AS cent FROM s{m}c0 GROUP BY c)"""
     ]
     for it in range(1, Q109_ITERS + 1):
         parts.append(
-            f"""s{m}r{it} AS (
+            f"""s{m}r{it} AS MATERIALIZED (
   SELECT v.vec_id, v.sdv, cl.c,
          row_number() OVER (PARTITION BY v.vec_id
            ORDER BY {_q109_dist('v.sdv', 'cl.cent')}, cl.c) AS rn
   FROM s{m}v v CROSS JOIN s{m}c{it - 1}l cl
 ),
-s{m}a{it} AS (SELECT vec_id, sdv, c AS cluster FROM s{m}r{it} WHERE rn = 1),
-s{m}u{it} AS (
+s{m}a{it} AS MATERIALIZED (SELECT vec_id, sdv, c AS cluster FROM s{m}r{it} WHERE rn = 1),
+s{m}u{it} AS MATERIALIZED (
   SELECT a.cluster, i.i AS dim,
          floor(avg(a.sdv[i.i]) * 1024 + 0.5) / 1024 AS mn
   FROM s{m}a{it} a CROSS JOIN sidx i GROUP BY a.cluster, i.i
 ),
-s{m}c{it} AS (
+s{m}c{it} AS MATERIALIZED (
   SELECT s.c, s.dim, coalesce(u.mn, s.val) AS val
   FROM s{m}c{it - 1} s LEFT JOIN s{m}u{it} u
     ON u.cluster = s.c AND u.dim = s.dim
 ),
-s{m}c{it}l AS (SELECT c, list(val ORDER BY dim) AS cent FROM s{m}c{it} GROUP BY c)"""
+s{m}c{it}l AS MATERIALIZED (SELECT c, list(val ORDER BY dim) AS cent FROM s{m}c{it} GROUP BY c)"""
         )
     return ",\n".join(parts)
 
@@ -1075,14 +1075,14 @@ def _q109_subspace(m: int) -> str:
     return ",\n".join(
         [
             _pq_train_ctes(m, "sv", "dv"),
-            f"""s{m}all AS (
+            f"""s{m}all AS MATERIALIZED (
   SELECT v.vec_id, cl.c,
          row_number() OVER (PARTITION BY v.vec_id
            ORDER BY {_q109_dist(f'(v.{sl})', 'cl.cent')}, cl.c) AS rn
   FROM v CROSS JOIN s{m}c{Q109_ITERS}l cl
 ),
-s{m}code AS (SELECT vec_id, c AS code FROM s{m}all WHERE rn = 1),
-s{m}qt AS (
+s{m}code AS MATERIALIZED (SELECT vec_id, c AS code FROM s{m}all WHERE rn = 1),
+s{m}qt AS MATERIALIZED (
   SELECT q.vec_id, cl.c, {_q109_dist(f'(q.{sl})', 'cl.cent')} AS d
   FROM qv q CROSS JOIN s{m}c{Q109_ITERS}l cl
 )""",
@@ -1103,7 +1103,7 @@ def _q109_sql() -> str:
     sumexpr = " + ".join(f"t{m}.d" for m in range(Q109_SUB))
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
-sv AS (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q109_TRAIN_CAP}),
+sv AS MATERIALIZED (SELECT vec_id, dv FROM v ORDER BY {_Q48_ORD} LIMIT {Q109_TRAIN_CAP}),
 sidx AS (SELECT unnest(range(1, {Q109_DS + 1})) AS i),
 qv AS (SELECT vec_id, dv FROM v WHERE vec_id < {Q109_NQ}),
 {subs},
@@ -1171,14 +1171,14 @@ def _q110_subspace(m: int) -> str:
     return ",\n".join(
         [
             _pq_train_ctes(m, "srv", "rdv"),
-            f"""s{m}all AS (
+            f"""s{m}all AS MATERIALIZED (
   SELECT r.vec_id, cl.c,
          row_number() OVER (PARTITION BY r.vec_id
            ORDER BY {_q109_dist(f'(r.{sl})', 'cl.cent')}, cl.c) AS rn
   FROM rv r CROSS JOIN s{m}c{Q109_ITERS}l cl
 ),
-s{m}code AS (SELECT vec_id, c AS code FROM s{m}all WHERE rn = 1),
-s{m}qt AS (
+s{m}code AS MATERIALIZED (SELECT vec_id, c AS code FROM s{m}all WHERE rn = 1),
+s{m}qt AS MATERIALIZED (
   SELECT q.vec_id, q.cluster, cl.c,
          {_q109_dist(f'(q.{sl})', 'cl.cent')} AS d
   FROM qrv q CROSS JOIN s{m}c{Q109_ITERS}l cl
@@ -1206,25 +1206,25 @@ def _q110_sql() -> str:
     return f"""
 WITH {_q48_quantizer_prefix()},
 sidx AS (SELECT unnest(range(1, {Q109_DS + 1})) AS i),
-rv AS (
+rv AS MATERIALIZED (
   SELECT a.vec_id, a.cluster, {rdv64} AS rdv
   FROM assigned a JOIN v ON v.vec_id = a.vec_id
   JOIN c{Q48_ITERS}l cl ON cl.c = a.cluster
 ),
-srv AS (
+srv AS MATERIALIZED (
   SELECT vec_id, rdv FROM rv ORDER BY {_Q48_ORD} LIMIT {Q109_TRAIN_CAP}
 ),
 probes AS (
   SELECT vec_id, c AS cluster FROM rf
   WHERE rn <= {Q48_NPROBE} AND vec_id < {Q109_NQ}
 ),
-qrv AS (
+qrv AS MATERIALIZED (
   SELECT p.vec_id, p.cluster, {rdv64} AS rdv
   FROM probes p JOIN v ON v.vec_id = p.vec_id
   JOIN c{Q48_ITERS}l cl ON cl.c = p.cluster
 ),
 {subs},
-codesw AS (
+codesw AS MATERIALIZED (
   SELECT a.vec_id, a.cluster, {ksel}
   FROM assigned a JOIN s0code c0 ON c0.vec_id = a.vec_id {kjoin}
 ),

@@ -341,7 +341,7 @@ def _q123_step(prev: str, out: str) -> str:
 
 
 Q123_SQL = f"""
-WITH bands AS ({Q25_SQL}),
+WITH bands AS MATERIALIZED ({Q25_SQL}),
 e0 AS (
   SELECT DISTINCT least(a.doc_id, b.doc_id) AS u,
                   greatest(a.doc_id, b.doc_id) AS v

@@ -290,8 +290,14 @@ def q141_incremental_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lp_step(sym: str, prev: str, out: str) -> str:
+    # MATERIALIZED: each step reads `prev` twice, so DuckDB's default
+    # CTE inlining re-evaluates the whole upstream chain per reference
+    # — exponential in the round count (the q141 sf0.001 oracle took
+    # ~170 s before the hint, ~1 s after; r15).  Result rows are
+    # identical — materialization is an evaluation strategy, not a
+    # semantic change.
     return f"""
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT node, min(label) AS label FROM (
     SELECT node, label FROM {prev}
     UNION ALL
@@ -318,13 +324,13 @@ sigs AS (
                          'min') FOR j IN range(8)] AS sig
   FROM hv
 ),
-bands AS (
+bands AS MATERIALIZED (
   SELECT doc_id, band_id,
          md5(CAST(band_id AS VARCHAR) || '|' || CAST(sig[2*band_id + 1] AS VARCHAR)
              || '|' || CAST(sig[2*band_id + 2] AS VARCHAR)) AS band_hash
   FROM sigs, (SELECT unnest(range(4)) AS band_id)
 ),
-ce AS (
+ce AS MATERIALIZED (
   SELECT DISTINCT least(a.doc_id, b.doc_id) AS u,
                   greatest(a.doc_id, b.doc_id) AS v
   FROM bands a JOIN bands b
@@ -332,7 +338,7 @@ ce AS (
    AND a.doc_id < b.doc_id
   WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 <> 0
 ),
-csym AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+csym AS MATERIALIZED (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
 c0 AS (SELECT DISTINCT u AS node, u AS label FROM csym),
 {",".join(_lp_step("csym", f"c{i - 1}", f"c{i}") for i in range(1, _Q141_ROUNDS + 1))},
 ne AS (
@@ -343,14 +349,14 @@ ne AS (
    AND a.doc_id < b.doc_id
   WHERE a.doc_id % 17 = 0 OR b.doc_id % 17 = 0
 ),
-e2 AS (
+e2 AS MATERIALIZED (
   SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM (
     SELECT node AS x, label AS y FROM c{_Q141_ROUNDS} WHERE node <> label
     UNION ALL
     SELECT u AS x, v AS y FROM ne
   ) WHERE x <> y
 ),
-sym2 AS (SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2),
+sym2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2),
 m0 AS (SELECT DISTINCT u AS node, u AS label FROM sym2),
 {",".join(_lp_step("sym2", f"m{i - 1}", f"m{i}") for i in range(1, _Q141_INC_ROUNDS + 1))}
 SELECT coalesce(m.node, c.node) AS node,

@@ -422,16 +422,16 @@ def q157_hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q157_step(i: int) -> str:
     prev_h = f"h{i - 1}n"
     return f"""
-a{i} AS (SELECT p, sum(h)::BIGINT AS a FROM ed JOIN {prev_h} USING (s) GROUP BY p),
-a{i}n AS (SELECT p, ((a * {_Q157_SCALE}) // (SELECT sum(a) FROM a{i}))::BIGINT AS a FROM a{i}),
-h{i} AS (SELECT s, sum(a)::BIGINT AS h FROM ed JOIN a{i}n USING (p) GROUP BY s),
-h{i}n AS (SELECT s, ((h * {_Q157_SCALE}) // (SELECT sum(h) FROM h{i}))::BIGINT AS h FROM h{i})"""
+a{i} AS MATERIALIZED (SELECT p, sum(h)::BIGINT AS a FROM ed JOIN {prev_h} USING (s) GROUP BY p),
+a{i}n AS MATERIALIZED (SELECT p, ((a * {_Q157_SCALE}) // (SELECT sum(a) FROM a{i}))::BIGINT AS a FROM a{i}),
+h{i} AS MATERIALIZED (SELECT s, sum(a)::BIGINT AS h FROM ed JOIN a{i}n USING (p) GROUP BY s),
+h{i}n AS MATERIALIZED (SELECT s, ((h * {_Q157_SCALE}) // (SELECT sum(h) FROM h{i}))::BIGINT AS h FROM h{i})"""
 
 
 Q157_SQL = f"""
-WITH ed AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+WITH ed AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
 h0 AS (SELECT s, {_Q157_SCALE}::BIGINT AS h FROM (SELECT DISTINCT s FROM ed)),
-h0n AS (SELECT s, ((h * {_Q157_SCALE}) // (SELECT sum(h) FROM h0))::BIGINT AS h FROM h0),
+h0n AS MATERIALIZED (SELECT s, ((h * {_Q157_SCALE}) // (SELECT sum(h) FROM h0))::BIGINT AS h FROM h0),
 {",".join(_q157_step(i) for i in range(1, _Q157_ITER + 1))}
 SELECT 'hub' AS side, s AS id, h AS score FROM h{_Q157_ITER}n
 UNION ALL

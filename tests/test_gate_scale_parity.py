@@ -19,7 +19,10 @@ from tests.oracle_harness import compare
 QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()
 
-pytestmark = pytest.mark.gate
+# gate keeps the historical deselect handle; slow keeps the sf0.01
+# full-catalog rehearsal out of the default fast tier (r15 — the
+# sf0.001 parity suite covers every oracle by default)
+pytestmark = [pytest.mark.gate, pytest.mark.slow]
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -18,7 +18,11 @@ def test_oracle_parity(spark, name):
     compare(spark, name, QUERIES[name], ORACLES[name], SF_SMOKE)
 
 
+@pytest.mark.slow
 def test_all_queries_return_rows(spark):
+    # slow tier (r15): every query here also runs (and is value-checked)
+    # in the parametrized parity sweep above, so this count-only pass
+    # adds ~2.5 min of redundant execution to the default tier
     for name, fn in QUERIES.items():
         df = fn(spark, SF_SMOKE)
         assert df.count() >= 0, name
